@@ -1,0 +1,20 @@
+"""Device kernels (JAX/XLA/Pallas) and their NumPy oracles."""
+
+from . import reference
+from .beamform import beamform, fold_components
+from .cf import envelope, kurtosis, saturated_envelopes, scalar_kurtosis
+from .matched_filter import matched_filter
+from .thresholds import bp_detection_threshold, time_dependent_threshold
+
+__all__ = [
+    "reference",
+    "beamform",
+    "fold_components",
+    "matched_filter",
+    "envelope",
+    "kurtosis",
+    "saturated_envelopes",
+    "scalar_kurtosis",
+    "time_dependent_threshold",
+    "bp_detection_threshold",
+]

@@ -1,0 +1,181 @@
+"""Time-dependent detection thresholds (device implementations).
+
+Replaces BPMF/libc.c:516-673 (OpenMP 'rms' kernel), the 'mad' numpy variant
+(BPMF/similarity_search.py:1079-1113) and the BP median+MAD interpolated
+threshold (BPMF/template_search.py:1418-1487).
+
+The sliding statistics run as XLA `reduce_window` ops; the reference's quirky
+"delay-the-jump" smoothing is a tiny sequential pass over a few hundred
+window values and runs as a `lax.scan`.  The zero-filling with a cyclic
+500-sample Gaussian table is reproduced exactly (seeded table provided by the
+caller for determinism/parity).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .reference import GAUSSIAN_SAMPLE_LEN
+
+
+def _window_sums(x, win, shift):
+    """Sums of x over windows [i*shift, i*shift + win)."""
+    return jax.lax.reduce_window(
+        x,
+        jnp.float32(0.0),
+        jax.lax.add,
+        window_dimensions=(win,),
+        window_strides=(shift,),
+        padding="VALID",
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("win", "shift", "n_win"))
+def _tdt_rms_kernel(ts, gauss, num_dev, *, win, shift, n_win):
+    n = ts.shape[0]
+    # global center/dev over non-zero samples of the first (n // win) windows
+    n_glob = (n // win) * win
+    head = ts[:n_glob]
+    nz = head != 0.0
+    n_nz = jnp.maximum(jnp.sum(nz), 1)
+    center = jnp.sum(jnp.where(nz, head, 0.0)) / n_nz
+    dev = jnp.sqrt(
+        jnp.sum(jnp.where(nz, (head - center) ** 2, 0.0)) / n_nz
+    )
+
+    # fill zeros with cyclic scaled Gaussian noise
+    idx = jnp.arange(n, dtype=jnp.int32) % GAUSSIAN_SAMPLE_LEN
+    fill = center + gauss[idx] * dev
+    ts = jnp.where(ts == 0.0, fill, ts)
+
+    # sliding mean + num_dev * std over n_win windows at stride `shift`
+    n_need = (n_win - 1) * shift + win
+    ts_w = ts[:n_need]
+    s1 = _window_sums(ts_w, win, shift)[:n_win]
+    s2 = _window_sums(ts_w * ts_w, win, shift)[:n_win]
+    mean = s1 / win
+    var = jnp.maximum(s2 / win - mean * mean, 0.0)
+    thr_win = mean + num_dev * jnp.sqrt(var)
+
+    # "delay the jump" conservative smoothing.  The reference's two
+    # sequential passes over (value, diff) pairs (libc.c:631-651) are
+    # algebraically a pair of pairwise maxima:
+    #   pass 1: new[i]  = max(orig[i], orig[i-1])   (delay downward steps)
+    #   pass 2: final[i] = max(new[i], new[i+1])    (anticipate upward steps)
+    thr1 = jnp.concatenate(
+        [thr_win[:1], jnp.maximum(thr_win[1:], thr_win[:-1])]
+    )
+    thr2 = jnp.concatenate(
+        [jnp.maximum(thr1[:-1], thr1[1:]), thr1[-1:]]
+    )
+
+    # step-wise expansion to full length
+    i = jnp.arange(n, dtype=jnp.int32)
+    j = jnp.clip(i // shift, 0, n_win - 1)
+    out = thr2[j]
+    out = jnp.where(i < shift, thr2[0], out)
+    out = jnp.where(i >= n - shift, thr2[n_win - 1], out)
+    return out.astype(jnp.float32)
+
+
+def time_dependent_threshold(
+    time_series,
+    sliding_window_samp: int,
+    num_dev: float,
+    overlap: float = 0.66,
+    threshold_type: str = "rms",
+    white_noise=None,
+):
+    """Time-dependent detection threshold on a CC time series (device op).
+
+    Matches `ops.reference.time_dependent_threshold`.
+    """
+    ts = jnp.asarray(time_series, jnp.float32)
+    n = ts.shape[0]
+    threshold_type = threshold_type.lower()
+
+    if threshold_type == "rms":
+        half_win = sliding_window_samp // 2
+        shift = int((1.0 - overlap) * sliding_window_samp)
+        win = 2 * half_win
+        n_win = (n - (win - shift)) // shift
+        if white_noise is None:
+            white_noise = np.random.normal(size=GAUSSIAN_SAMPLE_LEN).astype(
+                np.float32
+            )
+        gauss = jnp.asarray(white_noise, jnp.float32)[:GAUSSIAN_SAMPLE_LEN]
+        return _tdt_rms_kernel(
+            ts, gauss, jnp.float32(num_dev), win=win, shift=shift, n_win=n_win
+        )
+
+    if threshold_type == "mad":
+        # median-based: quantile reductions are host-unfriendly on TPU at
+        # full length; delegate to the (already vectorized) numpy reference.
+        from . import reference
+
+        return jnp.asarray(
+            reference.time_dependent_threshold(
+                np.asarray(time_series),
+                sliding_window_samp,
+                num_dev,
+                overlap=overlap,
+                threshold_type="mad",
+                white_noise=None if white_noise is None else np.asarray(white_noise),
+            )
+        )
+
+    raise ValueError(f"threshold_type must be 'rms' or 'mad', got {threshold_type!r}")
+
+
+@functools.partial(jax.jit, static_argnames=("window", "shift", "n_windows"))
+def _bp_threshold_kernel(x, num_dev, *, window, shift, n_windows):
+    """Median + num_dev * MAD in strided windows, linearly interpolated.
+
+    Medians over `window`-sample windows are computed with jnp.median on a
+    strided window view (materialized per window via gather — n_windows is
+    small, ~hundreds per day).
+    """
+    n = x.shape[0]
+    starts = (jnp.arange(1, n_windows + 1) * shift).astype(jnp.int32)
+    length = jnp.minimum(n - starts, window)
+    # NaN-pad so windows truncated by the data end slice without clamping
+    x_pad = jnp.concatenate([x, jnp.full((window,), jnp.nan, x.dtype)])
+
+    def stats(start, leng):
+        w = jax.lax.dynamic_slice(x_pad, (start,), (window,))
+        mask = jnp.arange(window) < leng
+        wm = jnp.where(mask, w, jnp.nan)
+        med = jnp.nanmedian(wm)
+        mad = jnp.nanmedian(jnp.abs(wm - med))
+        return med, mad
+
+    med, mad = jax.vmap(stats)(starts, length)
+    # scipy.stats.median_abs_deviation default scale is 1.0 (reference uses it)
+    centers = (starts + jnp.minimum(starts + window, n)) / 2.0
+    thr = med + num_dev * mad
+    # boundary extension (reference adds copies at t=0 and t=n)
+    t_knots = jnp.concatenate(
+        [jnp.zeros(1), centers.astype(jnp.float32), jnp.full((1,), float(n))]
+    )
+    v_knots = jnp.concatenate([thr[:1], thr, thr[-1:]])
+    t_full = jnp.arange(n, dtype=jnp.float32)
+    return jnp.interp(t_full, t_knots, v_knots).astype(jnp.float32)
+
+
+def bp_detection_threshold(
+    maxbeam, window: int, overlap: float = 0.75, num_dev: float = 15.0
+):
+    """Running median + num_dev*MAD threshold for the max beam (device op).
+
+    Matches `ops.reference.bp_detection_threshold`.
+    """
+    x = jnp.asarray(maxbeam, jnp.float32)
+    shift = int((1.0 - overlap) * window)
+    n_windows = int((x.shape[0] - window) // shift) + 1
+    return _bp_threshold_kernel(
+        x, jnp.float32(num_dev), window=window, shift=shift, n_windows=n_windows
+    )

@@ -1,0 +1,256 @@
+"""Parity tests: JAX device kernels vs the NumPy oracles.
+
+Synthetic data design: impulse trains with known moveouts so beam/CC peaks
+are analytically known, plus dense random noise for general parity.
+"""
+
+import numpy as np
+import pytest
+
+from seismic_bpmf_tpu.ops import reference as ref
+from seismic_bpmf_tpu.ops import (
+    beamform,
+    bp_detection_threshold,
+    envelope,
+    kurtosis,
+    matched_filter,
+    saturated_envelopes,
+    time_dependent_threshold,
+)
+
+
+def _random_bp_problem(rng, n_src=37, n_sta=7, n_comp=3, n_ph=2, n_samp=400,
+                       max_mv=60):
+    features = rng.normal(size=(n_sta, n_comp, n_samp)).astype(np.float32)
+    moveouts = rng.integers(0, max_mv, size=(n_src, n_sta, n_ph)).astype(
+        np.int32
+    )
+    w_ph = np.zeros((n_sta, n_comp, n_ph), np.float32)
+    w_ph[:, 2, 0] = 1.0  # P on vertical
+    w_ph[:, :2, 1] = 1.0  # S on horizontals
+    w_src = rng.uniform(0.2, 1.0, size=(n_src, n_sta)).astype(np.float32)
+    w_src[rng.random(size=w_src.shape) < 0.2] = 0.0
+    return features, moveouts, w_ph, w_src
+
+
+class TestBeamform:
+    @pytest.mark.parametrize("engine", ["onehot", "gather"])
+    @pytest.mark.parametrize("oob", ["strict", "flexible"])
+    def test_reduce_none_parity(self, rng, engine, oob):
+        feats, mv, w_ph, w_src = _random_bp_problem(rng)
+        want = ref.beamform(feats, mv, w_ph, w_src, reduce="none",
+                            out_of_bounds=oob)
+        got = np.asarray(
+            beamform(feats, mv, w_ph, w_src, reduce="none",
+                     out_of_bounds=oob, engine=engine,
+                     time_block=128, src_block=16)
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    @pytest.mark.parametrize("engine", ["onehot", "gather"])
+    def test_reduce_max_parity(self, rng, engine):
+        feats, mv, w_ph, w_src = _random_bp_problem(rng)
+        want_max, want_src = ref.beamform(
+            feats, mv, w_ph, w_src, reduce="max", out_of_bounds="strict"
+        )
+        got_max, got_src = beamform(
+            feats, mv, w_ph, w_src, reduce="max", out_of_bounds="strict",
+            engine=engine, time_block=128, src_block=16,
+        )
+        got_max, got_src = np.asarray(got_max), np.asarray(got_src)
+        np.testing.assert_allclose(got_max, want_max, rtol=2e-4, atol=2e-4)
+        # argmax may differ where beams tie within tolerance; check values
+        n_samp = feats.shape[-1]
+        full = ref.beamform(feats, mv, w_ph, w_src, reduce="none",
+                            out_of_bounds="strict")
+        picked = full[got_src, np.arange(n_samp)]
+        np.testing.assert_allclose(picked, want_max, rtol=2e-4, atol=2e-4)
+
+    def test_impulse_train_peaks(self, rng):
+        """An impulse inserted with the moveouts of source i must produce a
+        beam maximum at the insertion time attributed to source i."""
+        n_src, n_sta, n_ph = 11, 6, 2
+        n_samp = 600
+        mv = rng.integers(0, 80, size=(n_src, n_sta, n_ph)).astype(np.int32)
+        # make source 4 distinctive
+        feats = np.zeros((n_sta, 3, n_samp), np.float32)
+        t0 = 150
+        src = 4
+        for s in range(n_sta):
+            feats[s, 2, t0 + mv[src, s, 0]] = 1.0  # P on Z
+            feats[s, 0, t0 + mv[src, s, 1]] = 1.0  # S on N
+            feats[s, 1, t0 + mv[src, s, 1]] = 1.0  # S on E
+        w_ph = np.zeros((n_sta, 3, n_ph), np.float32)
+        w_ph[:, 2, 0] = 1.0
+        w_ph[:, :2, 1] = 1.0
+        w_src = np.ones((n_src, n_sta), np.float32)
+        maxbeam, maxsrc = beamform(
+            feats, mv, w_ph, w_src, reduce="max", engine="onehot",
+            time_block=256, src_block=8,
+        )
+        maxbeam = np.asarray(maxbeam)
+        assert int(np.argmax(maxbeam)) == t0
+        assert int(np.asarray(maxsrc)[t0]) == src
+        # peak value = n_sta * (1 P + 2 S impulses)
+        np.testing.assert_allclose(maxbeam[t0], 3 * n_sta, rtol=1e-5)
+
+
+class TestMatchedFilter:
+    def _problem(self, rng, n_tp=5, n_sta=6, n_comp=3, L=40, n_samp=500):
+        data = rng.normal(size=(n_sta, n_comp, n_samp)).astype(np.float32)
+        moveouts = rng.integers(0, 50, size=(n_tp, n_sta, n_comp)).astype(
+            np.int32
+        )
+        templates = rng.normal(size=(n_tp, n_sta, n_comp, L)).astype(
+            np.float32
+        )
+        weights = rng.uniform(0.0, 1.0, size=(n_tp, n_sta, n_comp)).astype(
+            np.float32
+        )
+        weights /= weights.sum(axis=(1, 2), keepdims=True)
+        return templates, moveouts, weights, data
+
+    @pytest.mark.parametrize("step", [1, 2, 4])
+    def test_network_sum_parity(self, rng, step):
+        tp, mv, w, data = self._problem(rng)
+        want = ref.matched_filter(tp, mv, w, data, step=step)
+        got = np.asarray(
+            matched_filter(tp, mv, w, data, step=step, n_corr_block=64)
+        )
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_per_channel_parity(self, rng):
+        tp, mv, w, data = self._problem(rng, n_tp=3, n_samp=300)
+        want = ref.matched_filter(tp, mv, w, data, step=1, network_sum=False)
+        got = np.asarray(
+            matched_filter(tp, mv, w, data, step=1, network_sum=False,
+                           n_corr_block=64)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_self_detection(self, rng):
+        """Templates cut from the data at known times must produce CC ~ 1."""
+        tp, mv, w, data = self._problem(rng, n_tp=2, L=30, n_samp=400)
+        t_event = 123
+        n_tp, n_sta, n_comp, L = tp.shape
+        for t in range(n_tp):
+            for s in range(n_sta):
+                for c in range(n_comp):
+                    st = t_event + mv[t, s, c]
+                    tp[t, s, c] = data[s, c, st : st + L]
+        cc = np.asarray(matched_filter(tp, mv, w, data, n_corr_block=128))
+        np.testing.assert_allclose(cc[:, t_event], 1.0, atol=1e-5)
+        assert np.all(cc[:, t_event] >= cc.max(axis=1) - 1e-6)
+
+    def test_zero_variance_window(self, rng):
+        tp, mv, w, data = self._problem(rng, n_tp=2, n_samp=300)
+        data[0, 0, :] = 0.0  # dead channel -> cc contribution 0
+        want = ref.matched_filter(tp, mv, w, data)
+        got = np.asarray(matched_filter(tp, mv, w, data, n_corr_block=64))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+class TestThresholds:
+    def test_rms_parity(self, rng):
+        n = 5000
+        cc = np.abs(rng.normal(size=n)).astype(np.float32) * 0.05
+        cc[1000:1100] = 0.0  # a gap
+        gauss = rng.normal(size=500).astype(np.float32)
+        want = ref.time_dependent_threshold(
+            cc, 600, 8.0, overlap=0.66, threshold_type="rms",
+            white_noise=gauss,
+        )
+        got = np.asarray(
+            time_dependent_threshold(
+                cc, 600, 8.0, overlap=0.66, threshold_type="rms",
+                white_noise=gauss,
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-5)
+
+    def test_mad_parity(self, rng):
+        n = 5000
+        cc = np.abs(rng.normal(size=n)).astype(np.float32) * 0.05
+        gauss = rng.normal(size=n).astype(np.float32)
+        want = ref.time_dependent_threshold(
+            cc, 600, 8.0, overlap=0.66, threshold_type="mad",
+            white_noise=gauss,
+        )
+        got = np.asarray(
+            time_dependent_threshold(
+                cc, 600, 8.0, overlap=0.66, threshold_type="mad",
+                white_noise=gauss,
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_bp_threshold_parity(self, rng):
+        n = 4000
+        x = np.abs(rng.normal(size=n)).astype(np.float32)
+        want = ref.bp_detection_threshold(x, window=500, overlap=0.75,
+                                          num_dev=15.0)
+        got = np.asarray(
+            bp_detection_threshold(x, window=500, overlap=0.75, num_dev=15.0)
+        )
+        np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+class TestCharacteristicFunctions:
+    def test_envelope_parity(self, rng):
+        x = rng.normal(size=(3, 2, 1024)).astype(np.float32)
+        want = ref.envelope(x)
+        got = np.asarray(envelope(x))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    def test_saturated_envelopes(self, rng):
+        x = rng.normal(size=(4, 3, 2048)).astype(np.float32)
+        x[1, 2, :] = 0.0  # dead channel
+        want_env, want_avail = ref.saturated_envelopes(x)
+        got_env, got_avail = saturated_envelopes(x)
+        np.testing.assert_allclose(
+            np.asarray(got_env), want_env, rtol=1e-3, atol=1e-3
+        )
+        np.testing.assert_array_equal(np.asarray(got_avail), want_avail)
+
+    def test_kurtosis_parity(self, rng):
+        x = rng.normal(size=(2, 3, 600)).astype(np.float32)
+        want = ref.kurtosis(x, 50)
+        got = np.asarray(kurtosis(x, 50))
+        np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
+
+
+class TestHostScans:
+    def test_select_cc_indexes_simple(self):
+        cc = np.array([0, 1, 0, 5, 4, 0, 0, 9, 0, 2], np.float32)
+        thr = np.full(10, 0.5, np.float32)
+        sel = ref.select_cc_indexes(cc, thr, search_win=2)
+        # 1 is cleared by 5; 4 is within 2 of 5; 9 wins over everything near
+        assert list(np.flatnonzero(sel)) == [3, 7]
+
+    def test_dedup_detection_indexes(self):
+        cc = np.zeros(100, np.float32)
+        cc[[10, 12, 40, 41, 80]] = [3.0, 5.0, 2.0, 1.0, 4.0]
+        idx = np.array([10, 12, 40, 41, 80])
+        kept = ref.dedup_detection_indexes(idx, cc, search_win=5)
+        assert list(kept) == [12, 40, 80]
+
+    def test_find_similar_sources(self, rng):
+        n_src, n_sta = 30, 8
+        mv = rng.uniform(0, 20, size=(n_src, n_sta)).astype(np.float32)
+        mv[5] = mv[2] + 0.01  # source 5 redundant with 2
+        mv[9] = mv[2] + 0.02  # source 9 redundant with 2
+        lon = rng.uniform(30, 31, n_src).astype(np.float32)
+        lat = rng.uniform(40, 41, n_src).astype(np.float32)
+        cells_lon = np.linspace(30, 31, 3).astype(np.float32)
+        cells_lat = np.linspace(40, 41, 3).astype(np.float32)
+        red = ref.find_similar_sources(
+            mv, lon, lat, cells_lon, cells_lat, threshold=0.1,
+            method="smallest",
+        )
+        assert not red[2] and red[5] and red[9]
+        red2 = ref.find_similar_sources(
+            mv, lon, lat, cells_lon, cells_lat, threshold=0.1,
+            method="closest",
+        )
+        assert not red2[2] and red2[5] and red2[9]
