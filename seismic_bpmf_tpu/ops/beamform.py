@@ -77,26 +77,33 @@ def _strict_mask(beam, t_abs, lo_s, hi_s, n_samp):
     return jnp.where(ok, beam, 0.0)
 
 
-def _reduce_scan(one_block, blocks, src_block, n_src, B, reduce):
+def _reduce_scan(one_block, blocks, src_block, src_ofs, n_src_total, B, reduce):
     """Run `one_block` over stacked source blocks, reducing max/argmax or
-    concatenating the full beam.  Padded fake sources (index >= n_src) are
-    excluded from the argmax via a -inf mask."""
+    concatenating the full beam.
+
+    `src_ofs` (traced) is the global index of the first local source (non-zero
+    when the source axis is sharded over a mesh); padded fake sources (global
+    index >= n_src_total) are excluded from the argmax via a -inf mask.
+    Returned argmax indices are global.
+    """
     if reduce == "none":
         beams = jax.lax.map(one_block, blocks)
-        return beams.reshape(-1, B)[:n_src]
+        return beams.reshape(-1, B)
 
     row = jnp.arange(src_block, dtype=jnp.int32)
 
     def scan_body(carry, args):
         best_val, best_src, blk = carry
         beam = one_block(args)
-        src_ids = blk * src_block + row
-        beam_m = jnp.where((src_ids < n_src)[:, None], beam, -jnp.inf)
+        src_ids = src_ofs + blk * src_block + row
+        beam_m = jnp.where((src_ids < n_src_total)[:, None], beam, -jnp.inf)
         loc = jnp.argmax(beam_m, axis=0)
         val = beam_m[loc, jnp.arange(B)]
         take = val > best_val
         best_val = jnp.where(take, val, best_val)
-        best_src = jnp.where(take, blk * src_block + loc.astype(jnp.int32), best_src)
+        best_src = jnp.where(
+            take, src_ofs + blk * src_block + loc.astype(jnp.int32), best_src
+        )
         return (best_val, best_src, blk + 1), None
 
     init = (
@@ -111,18 +118,20 @@ def _reduce_scan(one_block, blocks, src_block, n_src, B, reduce):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "B", "M", "n_samp", "win_off", "strict", "reduce", "src_block", "n_src",
+        "B", "M", "n_samp", "win_off", "strict", "reduce", "src_block",
     ),
 )
 def _bp_time_block_onehot(
-    g_pad, mv, w, mv_used_min, mv_used_max, t0,
-    *, B, M, n_samp, win_off, strict, reduce, src_block, n_src,
+    g_pad, mv, w, mv_used_min, mv_used_max, t0, t_base, src_ofs, n_src,
+    *, B, M, n_samp, win_off, strict, reduce, src_block,
 ):
     """One time block of the one-hot-matmul beamformer (MXU path).
 
-    `t0` is the output-time start of the block; `mv` holds the one-hot shift
-    indices ``moveout - min_moveout`` in [0, M); `win_off` is the static
-    offset ``min_moveout + pad_left`` of the Hankel window inside g_pad.
+    `t0` is the local slice start inside g_pad; `t_base` is the absolute
+    output time of the block's first sample (differs from t0 when the time
+    axis is sharded); `mv` holds the one-hot shift indices
+    ``moveout - min_moveout`` in [0, M); `win_off` is the static offset
+    ``min_moveout + pad_left`` of the Hankel window inside g_pad.
     """
     n_sp = g_pad.shape[0]
     n_sblk = mv.shape[0] // src_block
@@ -136,7 +145,7 @@ def _bp_time_block_onehot(
         precision=jax.lax.Precision.HIGHEST,
     )  # (n_sp, M, B)
     H = patches.reshape(n_sp * M, B)
-    t_abs = t0 + jnp.arange(B, dtype=jnp.int32)
+    t_abs = t_base + jnp.arange(B, dtype=jnp.int32)
     m_idx = jnp.arange(M, dtype=jnp.int32)
 
     blocks = (
@@ -159,27 +168,28 @@ def _bp_time_block_onehot(
             beam = _strict_mask(beam, t_abs, lo_s, hi_s, n_samp)
         return beam
 
-    return _reduce_scan(one_block, blocks, src_block, n_src, B, reduce)
+    return _reduce_scan(
+        one_block, blocks, src_block, src_ofs, n_src, B, reduce
+    )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=(
-        "B", "n_samp", "strict", "reduce", "src_block", "n_src",
-    ),
+    static_argnames=("B", "n_samp", "strict", "reduce", "src_block"),
 )
 def _bp_time_block_gather(
-    g_pad, mv, w, mv_used_min, mv_used_max, t0,
-    *, B, n_samp, strict, reduce, src_block, n_src,
+    g_pad, mv, w, mv_used_min, mv_used_max, t0, t_base, src_ofs, n_src,
+    *, B, n_samp, strict, reduce, src_block,
 ):
     """One time block of the gather-engine beamformer.
 
-    `t0` is the output-time start of the block; `mv` is pre-offset by
-    pad_left so g_pad[t0 + mv + b] = g[t0 + b + moveout].
+    `t0` is the local slice start inside g_pad (mv pre-offset by pad_left so
+    g_pad[t0 + mv + b] = g[t0 + b + moveout]); `t_base` is the absolute
+    output time of the block's first sample.
     """
     n_sp = g_pad.shape[0]
     n_sblk = mv.shape[0] // src_block
-    t_abs = t0 + jnp.arange(B, dtype=jnp.int32)
+    t_abs = t_base + jnp.arange(B, dtype=jnp.int32)
 
     blocks = (
         mv.reshape(n_sblk, src_block, n_sp),
@@ -206,7 +216,9 @@ def _bp_time_block_gather(
             beam = _strict_mask(beam, t_abs, lo_s, hi_s, n_samp)
         return beam
 
-    return _reduce_scan(one_block, blocks, src_block, n_src, B, reduce)
+    return _reduce_scan(
+        one_block, blocks, src_block, src_ofs, n_src, B, reduce
+    )
 
 
 def beamform(
@@ -273,18 +285,20 @@ def beamform(
         g_pad = jnp.pad(g, ((0, 0), (pad_left, pad_right)))
         run = lambda t0: _bp_time_block_onehot(
             g_pad, jnp.asarray(mv_flat - min_mv), jnp.asarray(w_flat),
-            jnp.asarray(mv_lo), jnp.asarray(mv_hi), t0,
+            jnp.asarray(mv_lo), jnp.asarray(mv_hi),
+            t0, t0, jnp.int32(0), jnp.int32(n_src),
             B=B, M=M, n_samp=n_samp, win_off=win_off,
-            strict=strict, reduce=reduce, src_block=src_block, n_src=n_src,
+            strict=strict, reduce=reduce, src_block=src_block,
         )
     elif engine == "gather":
         pad_right = max(0, (n_blocks - 1) * B + max_mv + B - n_samp)
         g_pad = jnp.pad(g, ((0, 0), (pad_left, pad_right)))
         run = lambda t0: _bp_time_block_gather(
             g_pad, jnp.asarray(mv_flat + pad_left), jnp.asarray(w_flat),
-            jnp.asarray(mv_lo), jnp.asarray(mv_hi), t0,
+            jnp.asarray(mv_lo), jnp.asarray(mv_hi),
+            t0, t0, jnp.int32(0), jnp.int32(n_src),
             B=B, n_samp=n_samp,
-            strict=strict, reduce=reduce, src_block=src_block, n_src=n_src,
+            strict=strict, reduce=reduce, src_block=src_block,
         )
     else:
         raise ValueError(f"unknown engine {engine!r}")
@@ -300,4 +314,4 @@ def beamform(
             jnp.concatenate(src_parts)[:n_samp],
         )
     parts = [run(b * B) for b in range(n_blocks)]
-    return jnp.concatenate(parts, axis=1)[:, :n_samp]
+    return jnp.concatenate(parts, axis=1)[:n_src, :n_samp]

@@ -1,0 +1,6 @@
+"""Mesh construction and sharded detection kernels."""
+
+from .mesh import make_mesh
+from .sharded import beamform_sharded, matched_filter_sharded
+
+__all__ = ["make_mesh", "beamform_sharded", "matched_filter_sharded"]

@@ -1,0 +1,295 @@
+"""Mesh-sharded detection kernels (shard_map wrappers).
+
+Replaces the reference's process/file-lock distribution (SURVEY.md section
+2.4 rows P3-P8) with a single logical program:
+
+  - source / template axes shard trivially across devices;
+  - the time axis shards in contiguous chunks with a one-sided right-halo
+    exchange (`ppermute`) of length max(moveout) (+ template_len for the
+    matched filter), so a sharded scan is bit-identical to the monolithic
+    one (the reference instead relies on 500-s buffer margins and trims edge
+    detections, BPMF/similarity_search.py:276-286);
+  - the max/argmax over a sharded source axis is a pmax followed by a pmin
+    over the tying indices, preserving the reference's first-max semantics.
+
+All wrappers assert sharded == unsharded in the test suite.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+import importlib
+
+# the submodules share names with the functions re-exported by ops/__init__,
+# so resolve them through sys.modules rather than attribute access
+_bp = importlib.import_module("seismic_bpmf_tpu.ops.beamform")
+_mf = importlib.import_module("seismic_bpmf_tpu.ops.matched_filter")
+
+
+def _right_halo(x, axis_name: str, halo: int):
+    """Append each device's left-neighbor view of the next chunk.
+
+    Device i receives the first `halo` samples of device i+1's chunk along
+    the last axis; the last device receives zeros (matching the zero padding
+    of the global data end).
+    """
+    n = jax.lax.axis_size(axis_name)
+    head = jax.lax.slice_in_dim(x, 0, halo, axis=-1)
+    perm = [(i, i - 1) for i in range(1, n)]
+    recv = jax.lax.ppermute(head, axis_name, perm)
+    return jnp.concatenate([x, recv], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Matched filter: mesh ('tp', 'time')
+# ---------------------------------------------------------------------------
+
+def matched_filter_sharded(
+    templates,
+    moveouts,
+    weights,
+    data,
+    mesh: Mesh,
+    step: int = 1,
+    tp_axis: str = "tp",
+    time_axis: str = "time",
+):
+    """Matched filter with the template bank sharded over `tp_axis` and the
+    continuous data sharded over `time_axis` with halo exchange.
+
+    Matches `ops.matched_filter.matched_filter(..., network_sum=True)`.
+    Moveouts must be non-negative (true for BPMF moveouts, which are relative
+    to the template window start).
+    """
+    templates = np.asarray(templates, np.float32)
+    moveouts = np.asarray(moveouts, np.int32)
+    weights = np.asarray(weights, np.float32)
+    data = jnp.asarray(data, jnp.float32)
+
+    assert moveouts.min(initial=0) >= 0, "moveouts must be non-negative"
+    n_tp, n_sta, n_comp, L = templates.shape
+    n_ch = n_sta * n_comp
+    n_samp = data.shape[-1]
+    n_corr = (n_samp - L) // step + 1
+    max_mv = int(moveouts.max(initial=0))
+    halo = max_mv + L  # window of the last local lag reaches chunk+halo-1
+
+    n_tp_dev = mesh.shape[tp_axis] if tp_axis in mesh.shape else 1
+    n_t_dev = mesh.shape[time_axis] if time_axis in mesh.shape else 1
+
+    # pad template axis to a multiple of the template-shard count
+    pad_tp = (-n_tp) % n_tp_dev
+    if pad_tp:
+        templates = np.pad(templates, ((0, pad_tp), (0, 0), (0, 0), (0, 0)))
+        moveouts = np.pad(moveouts, ((0, pad_tp), (0, 0), (0, 0)))
+        weights = np.pad(weights, ((0, pad_tp), (0, 0), (0, 0)))
+    # pad the time axis so each chunk is equal and a multiple of step
+    chunk = math.ceil(n_samp / n_t_dev)
+    chunk = math.ceil(chunk / step) * step
+    pad_t = n_t_dev * chunk - n_samp
+    if pad_t:
+        data = jnp.pad(data, ((0, 0), (0, 0), (0, pad_t)))
+    if chunk < halo and n_t_dev > 1:
+        raise ValueError(
+            f"time chunk ({chunk}) smaller than halo ({halo}); "
+            f"use fewer time shards"
+        )
+
+    tp_flat = jnp.asarray(templates.reshape(-1, n_ch, L))
+    mv_flat = jnp.asarray(moveouts.reshape(-1, n_ch))
+    w_flat = jnp.asarray(weights.reshape(-1, n_ch))
+    data_flat = data.reshape(n_ch, -1)
+    lags_per_chunk = chunk // step
+
+    def body(tp_l, mv_l, w_l, data_l):
+        t_idx = jax.lax.axis_index(time_axis)
+        data_ext = (
+            _right_halo(data_l, time_axis, halo) if n_t_dev > 1
+            else jnp.pad(data_l, ((0, 0), (0, halo)))
+        )
+        cc = _mf._mf_block(
+            tp_l,
+            mv_l,
+            w_l,
+            data_ext,
+            t_idx * chunk,
+            step=step,
+            network_sum=True,
+            n_corr_block=lags_per_chunk,
+            n_samp=n_samp,
+            pad_left=0,
+        )
+        return cc
+
+    out = jax.shard_map(
+        body,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(
+            P(tp_axis if tp_axis in mesh.shape else None),
+            P(tp_axis if tp_axis in mesh.shape else None),
+            P(tp_axis if tp_axis in mesh.shape else None),
+            P(None, time_axis if time_axis in mesh.shape else None),
+        ),
+        out_specs=P(
+            tp_axis if tp_axis in mesh.shape else None,
+            time_axis if time_axis in mesh.shape else None,
+        ),
+    )(tp_flat, mv_flat, w_flat, data_flat)
+    return out[:n_tp, :n_corr]
+
+
+# ---------------------------------------------------------------------------
+# Beamforming: mesh ('src', 'time')
+# ---------------------------------------------------------------------------
+
+def beamform_sharded(
+    features,
+    moveouts,
+    weights_phases,
+    weights_sources,
+    mesh: Mesh,
+    reduce: str = "max",
+    out_of_bounds: str = "strict",
+    engine: str = "onehot",
+    src_axis: str = "src",
+    time_axis: str = "time",
+    time_block: int = 16384,
+    src_block: int = 512,
+):
+    """Beamforming with the source grid sharded over `src_axis` and the
+    data time axis sharded over `time_axis` (right-halo exchange).
+
+    Matches `ops.beamform.beamform`.  Moveouts must be non-negative.
+    """
+    assert reduce in ("max", "none")
+    features = jnp.asarray(features, jnp.float32)
+    n_sta, n_comp, n_samp = features.shape
+    mv_flat, w_flat, mv_lo, mv_hi = _bp._flatten_moveouts(
+        moveouts, weights_phases, weights_sources
+    )
+    n_src, n_sp = mv_flat.shape
+    assert mv_flat.min(initial=0) >= 0, "moveouts must be non-negative"
+    strict = out_of_bounds == "strict"
+    max_mv = int(mv_flat.max(initial=0))
+    M = max_mv + 1
+
+    n_s_dev = mesh.shape[src_axis] if src_axis in mesh.shape else 1
+    n_t_dev = mesh.shape[time_axis] if time_axis in mesh.shape else 1
+
+    g = _bp.fold_components(features, weights_phases)  # (n_sp, n_samp)
+
+    # pad sources to multiple of (n_s_dev * src_block)
+    src_block = min(src_block, math.ceil(n_src / n_s_dev))
+    pad_src = (-n_src) % (n_s_dev * src_block)
+    if pad_src:
+        mv_flat = np.pad(mv_flat, ((0, pad_src), (0, 0)))
+        w_flat = np.pad(w_flat, ((0, pad_src), (0, 0)))
+        mv_lo = np.pad(mv_lo, (0, pad_src))
+        mv_hi = np.pad(mv_hi, (0, pad_src))
+    n_src_pad = mv_flat.shape[0]
+    n_src_local = n_src_pad // n_s_dev
+
+    # pad/shard time into equal chunks, blocked by B inside each shard
+    chunk = math.ceil(n_samp / n_t_dev)
+    B = min(time_block, chunk)
+    chunk = math.ceil(chunk / B) * B
+    pad_t = n_t_dev * chunk - n_samp
+    g_p = jnp.pad(g, ((0, 0), (0, pad_t)))
+    # last block slices up to chunk + max_mv - 1 in both engines
+    halo = max_mv
+    if n_t_dev > 1 and chunk < halo:
+        raise ValueError(
+            f"time chunk ({chunk}) smaller than halo ({halo}); "
+            f"use fewer time shards or a smaller time_block"
+        )
+    n_blocks = chunk // B
+
+    mvj = jnp.asarray(mv_flat)
+    wj = jnp.asarray(w_flat)
+    loj = jnp.asarray(mv_lo)
+    hij = jnp.asarray(mv_hi)
+
+    def body(g_l, mv_l, w_l, lo_l, hi_l):
+        s_idx = (
+            jax.lax.axis_index(src_axis) if src_axis in mesh.shape
+            else jnp.int32(0)
+        )
+        t_idx = (
+            jax.lax.axis_index(time_axis) if time_axis in mesh.shape
+            else jnp.int32(0)
+        )
+        src_ofs = s_idx * n_src_local
+        g_ext = (
+            _right_halo(g_l, time_axis, halo) if n_t_dev > 1
+            else jnp.pad(g_l, ((0, 0), (0, halo)))
+        )
+
+        outs_max, outs_src, outs_beam = [], [], []
+        for b in range(n_blocks):
+            t0 = b * B
+            t_base = t_idx * chunk + t0
+            if engine == "onehot":
+                r = _bp._bp_time_block_onehot(
+                    g_ext, mv_l, w_l, lo_l, hi_l,
+                    t0, t_base, src_ofs, jnp.int32(n_src),
+                    B=B, M=M, n_samp=n_samp, win_off=0,
+                    strict=strict, reduce=reduce, src_block=src_block,
+                )
+            else:
+                r = _bp._bp_time_block_gather(
+                    g_ext, mv_l, w_l, lo_l, hi_l,
+                    t0, t_base, src_ofs, jnp.int32(n_src),
+                    B=B, n_samp=n_samp,
+                    strict=strict, reduce=reduce, src_block=src_block,
+                )
+            if reduce == "max":
+                outs_max.append(r[0])
+                outs_src.append(r[1])
+            else:
+                outs_beam.append(r)
+
+        if reduce == "none":
+            return jnp.concatenate(outs_beam, axis=1)
+
+        val = jnp.concatenate(outs_max)
+        src = jnp.concatenate(outs_src)
+        if src_axis in mesh.shape and n_s_dev > 1:
+            vmax = jax.lax.pmax(val, src_axis)
+            src_c = jnp.where(val == vmax, src, jnp.int32(2**30))
+            src = jax.lax.pmin(src_c, src_axis)
+            val = vmax
+        return val, src
+
+    src_spec = src_axis if src_axis in mesh.shape else None
+    time_spec = time_axis if time_axis in mesh.shape else None
+
+    if reduce == "max":
+        out_specs = (P(time_spec), P(time_spec))
+    else:
+        out_specs = P(src_spec, time_spec)
+
+    out = jax.shard_map(
+        body,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(
+            P(None, time_spec),
+            P(src_spec, None),
+            P(src_spec, None),
+            P(src_spec),
+            P(src_spec),
+        ),
+        out_specs=out_specs,
+    )(g_p, mvj, wj, loj, hij)
+
+    if reduce == "max":
+        return out[0][:n_samp], out[1][:n_samp]
+    return out[:n_src, :n_samp]

@@ -1,0 +1,106 @@
+"""Sharded == unsharded on a virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from seismic_bpmf_tpu.ops import beamform, matched_filter
+from seismic_bpmf_tpu.parallel import (
+    beamform_sharded,
+    make_mesh,
+    matched_filter_sharded,
+)
+
+
+def _bp_problem(rng, n_src=29, n_sta=5, n_comp=3, n_ph=2, n_samp=512,
+                max_mv=40):
+    features = rng.normal(size=(n_sta, n_comp, n_samp)).astype(np.float32)
+    moveouts = rng.integers(0, max_mv, size=(n_src, n_sta, n_ph)).astype(
+        np.int32
+    )
+    w_ph = np.zeros((n_sta, n_comp, n_ph), np.float32)
+    w_ph[:, 2, 0] = 1.0
+    w_ph[:, :2, 1] = 1.0
+    w_src = rng.uniform(0.2, 1.0, size=(n_src, n_sta)).astype(np.float32)
+    return features, moveouts, w_ph, w_src
+
+
+def _mf_problem(rng, n_tp=5, n_sta=4, n_comp=3, L=32, n_samp=640, max_mv=30):
+    data = rng.normal(size=(n_sta, n_comp, n_samp)).astype(np.float32)
+    moveouts = rng.integers(0, max_mv, size=(n_tp, n_sta, n_comp)).astype(
+        np.int32
+    )
+    templates = rng.normal(size=(n_tp, n_sta, n_comp, L)).astype(np.float32)
+    weights = rng.uniform(0.1, 1.0, size=(n_tp, n_sta, n_comp)).astype(
+        np.float32
+    )
+    weights /= weights.sum(axis=(1, 2), keepdims=True)
+    return templates, moveouts, weights, data
+
+
+def test_device_count():
+    assert len(jax.devices()) == 8, "tests need the virtual 8-device CPU mesh"
+
+
+class TestMatchedFilterSharded:
+    @pytest.mark.parametrize(
+        "mesh_shape", [{"tp": 8, "time": 1}, {"tp": 1, "time": 8},
+                       {"tp": 2, "time": 4}, {"tp": 4, "time": 2}]
+    )
+    def test_matches_unsharded(self, rng, mesh_shape):
+        tp, mv, w, data = _mf_problem(rng)
+        mesh = make_mesh(mesh_shape)
+        want = np.asarray(matched_filter(tp, mv, w, data, n_corr_block=128))
+        got = np.asarray(
+            matched_filter_sharded(tp, mv, w, data, mesh)
+        )
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_step_decimation(self, rng):
+        tp, mv, w, data = _mf_problem(rng)
+        mesh = make_mesh({"tp": 2, "time": 4})
+        want = np.asarray(
+            matched_filter(tp, mv, w, data, step=4, n_corr_block=64)
+        )
+        got = np.asarray(matched_filter_sharded(tp, mv, w, data, mesh, step=4))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+class TestBeamformSharded:
+    @pytest.mark.parametrize(
+        "mesh_shape", [{"src": 8, "time": 1}, {"src": 1, "time": 8},
+                       {"src": 4, "time": 2}]
+    )
+    @pytest.mark.parametrize("engine", ["onehot", "gather"])
+    def test_reduce_max(self, rng, mesh_shape, engine):
+        feats, mv, w_ph, w_src = _bp_problem(rng)
+        mesh = make_mesh(mesh_shape)
+        want_max, want_src = beamform(
+            feats, mv, w_ph, w_src, reduce="max", engine=engine,
+            time_block=128, src_block=8,
+        )
+        got_max, got_src = beamform_sharded(
+            feats, mv, w_ph, w_src, mesh, reduce="max", engine=engine,
+            time_block=64, src_block=4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_max), np.asarray(want_max), rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got_src), np.asarray(want_src)
+        )
+
+    @pytest.mark.parametrize("oob", ["strict", "flexible"])
+    def test_reduce_none(self, rng, oob):
+        feats, mv, w_ph, w_src = _bp_problem(rng, n_src=17)
+        mesh = make_mesh({"src": 2, "time": 4})
+        want = np.asarray(
+            beamform(feats, mv, w_ph, w_src, reduce="none",
+                     out_of_bounds=oob, time_block=128, src_block=8)
+        )
+        got = np.asarray(
+            beamform_sharded(feats, mv, w_ph, w_src, mesh, reduce="none",
+                             out_of_bounds=oob, time_block=64, src_block=4)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
