@@ -1,0 +1,28 @@
+"""Host-side data model: streams, network/event/template containers, IO."""
+
+from .catalog import Catalog
+from .events import Event, Template
+from .groups import EventGroup, Stack, TemplateGroup
+from .network import Network
+from .readers import data_reader_hdf5, data_reader_mseed, write_hdf5_continuous
+from .stream import Stream, Trace
+from .travel_times import TravelTimes
+from .waveforms import Data, get_np_array
+
+__all__ = [
+    "Catalog",
+    "Data",
+    "Event",
+    "EventGroup",
+    "Network",
+    "Stack",
+    "Stream",
+    "Template",
+    "TemplateGroup",
+    "Trace",
+    "TravelTimes",
+    "data_reader_hdf5",
+    "data_reader_mseed",
+    "get_np_array",
+    "write_hdf5_continuous",
+]

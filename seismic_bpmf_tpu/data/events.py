@@ -1,0 +1,882 @@
+"""Event and Template containers with HDF5 IO.
+
+Reference parity: `Event` (BPMF/dataset.py:1052-3240) and `Template`
+(BPMF/dataset.py:3243-4079).  The HDF5 on-disk schema is identical to the
+reference (attributes origin_time/latitude/longitude/depth/moveouts/stations/
+components/phases/where/sampling_rate + groups aux_data, picks,
+arrival_times, waveforms/<sta>/<cha>; BPMF/dataset.py:2899-3012) so event and
+template databases interoperate between the two implementations.
+
+Differences by design:
+  - no lock files: writes are plain single-writer HDF5 (the distributed
+    pipeline gathers results via collectives instead of concurrent writers);
+  - times are numpy.datetime64 / epoch floats, not obspy UTCDateTime;
+  - waveform access returns dense float32 arrays for the device pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+
+from ..utils.time import epoch_from_utc, sec_to_samp, utc_from_epoch
+from .stream import Stream, Trace
+from .waveforms import DEFAULT_ALIASES, get_np_array
+
+DEFAULT_PHASE_ON_COMP = {"N": "S", "1": "S", "E": "S", "2": "S", "Z": "P"}
+DEFAULT_OFFSET_PHASE = {"P": 1.0, "S": 4.0}
+
+
+def _to_datetime64(t) -> np.datetime64:
+    if isinstance(t, np.datetime64):
+        return t.astype("datetime64[ns]")
+    if isinstance(t, (int, float)):
+        return utc_from_epoch(float(t))
+    return np.datetime64(str(t), "ns")
+
+
+class Event:
+    """A detected or candidate earthquake: origin, moveouts, picks, waveforms.
+
+    Reference parity: BPMF/dataset.py:1052-1142 (constructor semantics).
+    Moveouts are given in **seconds** as an (n_stations, n_phases) array.
+    """
+
+    def __init__(
+        self,
+        origin_time,
+        moveouts,
+        stations,
+        phases,
+        data_filename: str = "",
+        data_path: str = "",
+        latitude: Optional[float] = None,
+        longitude: Optional[float] = None,
+        depth: Optional[float] = None,
+        component_aliases: Dict[str, List[str]] = DEFAULT_ALIASES,
+        sampling_rate: Optional[float] = None,
+        components=("N", "E", "Z"),
+        id: Optional[str] = None,
+        data_reader: Optional[Callable] = None,
+    ):
+        self.origin_time = _to_datetime64(origin_time)
+        self.date = self.origin_time
+        self.where = os.path.join(data_path, data_filename)
+        self.stations = np.asarray(stations).astype("U")
+        self.components = np.asarray(list(components)).astype("U")
+        self.component_aliases = component_aliases
+        self.phases = np.asarray(phases).astype("U")
+        self.latitude = latitude
+        self.longitude = longitude
+        self.depth = depth
+        self.sampling_rate = sampling_rate
+        moveouts = np.asarray(moveouts)
+        if moveouts.dtype.kind in "iu":
+            print(
+                "Integer data type detected for moveouts. Are you sure these"
+                " are in seconds?"
+            )
+        mv_table = {"stations": self.stations}
+        for p, ph in enumerate(self.phases):
+            mv_table[f"moveouts_{ph.upper()}"] = moveouts[:, p]
+        self.moveouts = pd.DataFrame(mv_table).set_index("stations")
+        if id is None:
+            ts = pd.Timestamp(self.origin_time)
+            self.id = ts.strftime("%Y%m%d_%H%M%S.%f")
+        else:
+            self.id = str(id)
+        self.data_reader = data_reader
+        self.aux_data: Dict = {}
+
+    # ------------------------------------------------------------------
+    # properties
+    # ------------------------------------------------------------------
+    @property
+    def origin_time_epoch(self) -> float:
+        return epoch_from_utc(self.origin_time)
+
+    @property
+    def location(self):
+        return [self.longitude, self.latitude, self.depth]
+
+    @property
+    def sr(self):
+        return self.sampling_rate
+
+    @property
+    def n_samples(self):
+        return int(sec_to_samp(self.duration, sr=self.sr))
+
+    @property
+    def waveforms_arr(self):
+        return get_np_array(
+            self.traces,
+            self.stations,
+            components=self.components,
+            priority="HH",
+            component_aliases=self.component_aliases,
+            n_samples=self.n_samples,
+            verbose=False,
+        )
+
+    @property
+    def availability_per_sta(self):
+        if hasattr(self, "_availability_per_sta"):
+            return self._availability_per_sta
+        raise RuntimeError("call set_availability first")
+
+    @property
+    def availability(self):
+        return self.availability_per_sta
+
+    @property
+    def hmax_unc(self):
+        return self._unc("hmax_unc")
+
+    @property
+    def hmin_unc(self):
+        return self._unc("hmin_unc")
+
+    @property
+    def vmax_unc(self):
+        return self._unc("vmax_unc")
+
+    @property
+    def az_hmax_unc(self):
+        return self._unc("az_hmax_unc")
+
+    def _unc(self, name):
+        if name in self.aux_data:
+            return self.aux_data[name]
+        self.hor_ver_uncertainties()
+        return self.aux_data[name]
+
+    # ------------------------------------------------------------------
+    # aux data / moveout setters
+    # ------------------------------------------------------------------
+    def set_aux_data(self, aux_data: Dict):
+        self.aux_data.update(aux_data)
+
+    def inherit_location(self, other: "Event"):
+        """Reference parity: BPMF/dataset.py:1423-1439."""
+        for attr in ("longitude", "latitude", "depth"):
+            setattr(self, attr, getattr(other, attr))
+        cov = getattr(other, "cov_mat", None)
+        if cov is None and "cov_mat" in getattr(other, "aux_data", {}):
+            cov = other.aux_data["cov_mat"]
+        if cov is not None:
+            self.cov_mat = cov
+            self.set_aux_data({"cov_mat": cov})
+
+    def set_moveouts_to_empirical_times(self):
+        """Set moveouts from picked arrival times (seconds after origin).
+
+        Reference parity: BPMF/dataset.py:2653-2671.
+        """
+        if not hasattr(self, "picks"):
+            raise RuntimeError("no picks; call pick_PS_phases first")
+        ot = self.origin_time_epoch
+        for ph in self.phases:
+            col = f"{ph.upper()}_abs_picks"
+            if col not in self.picks.columns:
+                continue
+            for sta in self.picks.index:
+                t = self.picks.loc[sta, col]
+                if pd.isnull(t):
+                    continue
+                self.moveouts.loc[sta, f"moveouts_{ph.upper()}"] = (
+                    epoch_from_utc(np.datetime64(t)) - ot
+                )
+
+    def set_moveouts_to_theoretical_times(self, travel_times: pd.DataFrame):
+        """Set moveouts from a (stations x phases) travel-time table.
+
+        Reference parity: BPMF/dataset.py:2673-2689.
+        """
+        for ph in self.phases:
+            for sta in self.stations:
+                if sta in travel_times.index:
+                    self.moveouts.loc[sta, f"moveouts_{ph.upper()}"] = (
+                        travel_times.loc[sta, ph]
+                    )
+
+    # ------------------------------------------------------------------
+    # waveforms
+    # ------------------------------------------------------------------
+    def read_waveforms(
+        self,
+        duration: float,
+        phase_on_comp: Dict[str, str] = DEFAULT_PHASE_ON_COMP,
+        component_aliases: Dict[str, List[str]] = DEFAULT_ALIASES,
+        offset_phase: Dict[str, float] = DEFAULT_OFFSET_PHASE,
+        time_shifted: bool = True,
+        offset_ot: float = 20.0,
+        data_reader: Optional[Callable] = None,
+        **reader_kwargs,
+    ):
+        """Extract per-channel windows around the predicted phase arrivals.
+
+        Reference parity: BPMF/dataset.py:1929-2069.  With `time_shifted`,
+        the window on component `c` starts at
+        ``origin_time + moveout(phase_on_comp[c]) - offset_phase[phase]``.
+        """
+        data_reader = data_reader or self.data_reader
+        if data_reader is None:
+            raise RuntimeError("a data_reader is required")
+        self.data_reader = data_reader
+        self.traces = Stream()
+        self.duration = duration
+        ot = self.origin_time_epoch
+        for sta in self.stations:
+            for comp in self.components:
+                ph = phase_on_comp[comp].upper()
+                if time_shifted:
+                    start = (
+                        ot
+                        + float(self.moveouts.loc[sta, f"moveouts_{ph}"])
+                        - offset_phase[ph]
+                    )
+                else:
+                    start = ot - offset_ot
+                for cp_alias in component_aliases[comp]:
+                    st = data_reader(
+                        self.where,
+                        stations=[sta],
+                        channels=f"*{cp_alias}",
+                        starttime=utc_from_epoch(start),
+                        endtime=utc_from_epoch(start + duration),
+                        **reader_kwargs,
+                    )
+                    if len(st) > 0:
+                        self.traces += st
+                        break
+        for ph, off in offset_phase.items():
+            self.set_aux_data({f"offset_{ph.upper()}": off})
+        for comp, ph in phase_on_comp.items():
+            self.set_aux_data({f"phase_on_comp{comp}": ph})
+        if len(self.traces) > 0:
+            self.sampling_rate = self.traces[0].stats.sampling_rate
+        if not time_shifted:
+            self.trim_waveforms(
+                starttime=ot - offset_ot,
+                endtime=ot - offset_ot + duration,
+            )
+        return self
+
+    def trim_waveforms(self, starttime=None, endtime=None):
+        for tr in self.traces:
+            tr.trim(starttime=starttime, endtime=endtime, pad=True,
+                    fill_value=0.0)
+
+    def set_availability(self, stations=None):
+        """Availability = any non-zero sample on any component."""
+        stations = list(stations if stations is not None else self.stations)
+        avail = np.zeros(len(stations), dtype=bool)
+        avail_cha = np.zeros((len(stations), len(self.components)), dtype=bool)
+        if hasattr(self, "traces"):
+            arr = self.waveforms_arr
+            for s in range(len(stations)):
+                avail_cha[s] = np.any(arr[s] != 0.0, axis=-1)
+            avail = avail_cha.any(axis=1)
+        self._availability_per_sta = pd.Series(index=stations, data=avail)
+        self._availability_per_cha = pd.DataFrame(
+            index=stations, columns=list(self.components), data=avail_cha
+        )
+        return self._availability_per_sta
+
+    @property
+    def availability_per_cha(self):
+        if hasattr(self, "_availability_per_cha"):
+            return self._availability_per_cha
+        raise RuntimeError("call set_availability first")
+
+    def compute_snr(self, noise_window_sec: float = 5.0):
+        """Amplitude SNR per channel: RMS(signal) / RMS(pre-window noise).
+
+        Requires `self.traces` (time-shifted windows).  Reference parity:
+        BPMF/dataset.py:1441-1520 (simplified: noise from the first
+        `noise_window_sec` of each extracted window).
+        """
+        arr = self.waveforms_arr
+        n_noise = int(sec_to_samp(noise_window_sec, sr=self.sr))
+        noise = arr[..., :n_noise]
+        signal = arr[..., n_noise:]
+        rms = lambda x: np.sqrt(np.mean(x.astype(np.float64) ** 2, axis=-1))
+        noise_rms = rms(noise)
+        snr = np.where(noise_rms > 0, rms(signal) / np.maximum(noise_rms, 1e-30), 0.0)
+        for c, cp in enumerate(self.components):
+            self.set_aux_data({
+                f"snr_{cp}": pd.Series(index=self.stations, data=snr[:, c])
+            })
+        self._snr = pd.DataFrame(
+            index=self.stations, columns=list(self.components), data=snr
+        )
+        return self._snr
+
+    @property
+    def snr(self):
+        if hasattr(self, "_snr"):
+            return self._snr
+        raise RuntimeError("call compute_snr first")
+
+    def n_closest_stations(self, n: int, available_stations=None):
+        """Indices/names of the n stations with smallest first-phase moveout.
+
+        Reference parity: BPMF/dataset.py:1612-1652 (moveout as distance
+        proxy).
+        """
+        mv = self.moveouts[f"moveouts_{self.phases[0].upper()}"].copy()
+        if available_stations is not None:
+            mask = ~mv.index.isin(list(available_stations))
+            mv[mask] = np.inf
+        order = np.argsort(mv.values, kind="stable")
+        return mv.index.values[order[:n]].astype("U")
+
+    def n_best_SNR_stations(self, n: int, available_stations=None):
+        """Names of the n stations with the highest mean SNR.
+
+        Reference parity: BPMF/dataset.py:1654-1704.
+        """
+        snr = self.snr.mean(axis=1).copy()
+        if available_stations is not None:
+            snr[~snr.index.isin(list(available_stations))] = -np.inf
+        order = np.argsort(snr.values, kind="stable")[::-1]
+        return snr.index.values[order[:n]].astype("U")
+
+    def zero_out_clipped_waveforms(self, kurtosis_threshold: float = -1.0):
+        """Zero traces whose sample-distribution kurtosis is below threshold
+        (clipped recordings are platykurtic).
+
+        Reference parity: BPMF/dataset.py:2868-2894.
+        """
+        from scipy.stats import kurtosis as scipy_kurtosis
+
+        for tr in self.traces:
+            if len(tr.data) and scipy_kurtosis(tr.data) < kurtosis_threshold:
+                tr.data = np.zeros_like(tr.data)
+
+    # ------------------------------------------------------------------
+    # picking
+    # ------------------------------------------------------------------
+    def pick_PS_phases(
+        self,
+        duration: float,
+        picker: Callable,
+        threshold_P: float = 0.60,
+        threshold_S: float = 0.60,
+        offset_ot: float = 20.0,
+        picker_sampling_rate: float = 100.0,
+        component_order: str = "ZNE",
+        **reader_kwargs,
+    ):
+        """Pick P/S arrivals with an ML phase picker.
+
+        `picker` follows the reference's picker-callable protocol
+        (BPMF/dataset.py:1729-1736): probas (n_sta, 2, n_t) = picker(x
+        (n_sta, 3, n_t)) with channel order `component_order` at
+        `picker_sampling_rate`; output phases ordered (P, S).
+
+        Populates `self.picks` with columns {P,S}_{picks,probas,unc,abs_picks}.
+        Reference parity: BPMF/dataset.py:1706-1927 (core path).
+        """
+        from scipy.signal import resample_poly
+
+        from ..ops.picks import find_picks, get_picks
+
+        if not hasattr(self, "traces"):
+            self.read_waveforms(
+                duration, time_shifted=False, offset_ot=offset_ot,
+                **reader_kwargs,
+            )
+        arr = self.waveforms_arr  # (n_sta, n_comp(NEZ), n)
+        # reorder to the picker's component order
+        comp_idx = {c: i for i, c in enumerate(self.components)}
+        order = [comp_idx[c] for c in component_order if c in comp_idx]
+        x = arr[:, order, :]
+        if self.sr != picker_sampling_rate:
+            up = int(round(picker_sampling_rate))
+            down = int(round(self.sr))
+            x = resample_poly(x, up, down, axis=-1)
+        probas = np.asarray(picker(x))  # (n_sta, 2, n_t)
+        sr_p = picker_sampling_rate
+        rows = {}
+        for s, sta in enumerate(self.stations):
+            row = {}
+            for p, ph in enumerate(("P", "S")):
+                thr = threshold_P if ph == "P" else threshold_S
+                values, means, stds = find_picks(probas[s, p], thr)
+                row[f"{ph}_probas"] = values
+                row[f"{ph}_picks"] = means / sr_p * self.sr  # native samples
+                row[f"{ph}_unc"] = stds / sr_p * self.sr
+            rows[sta] = row
+        picks = pd.DataFrame.from_dict(rows, orient="index")
+        picks.index.name = "stations"
+        picks = get_picks(picks, buffer_length=0)
+        # absolute times
+        t0 = epoch_from_utc(self.origin_time) - offset_ot
+        for ph in ("P", "S"):
+            abs_col = []
+            for sta in picks.index:
+                v = picks.loc[sta, f"{ph}_picks"]
+                if pd.isnull(v):
+                    abs_col.append(pd.NaT)
+                else:
+                    abs_col.append(pd.Timestamp(utc_from_epoch(t0 + float(v) / self.sr)))
+            picks[f"{ph}_abs_picks"] = abs_col
+        self.picks = picks
+        return picks
+
+    def remove_outlier_picks(self, max_moveout_sec: float = 60.0):
+        """Drop picks implying absurd moveouts (reference:
+        BPMF/dataset.py:2464-2520, simplified criterion)."""
+        if not hasattr(self, "picks"):
+            return
+        ot = self.origin_time_epoch
+        for ph in ("P", "S"):
+            col = f"{ph}_abs_picks"
+            if col not in self.picks.columns:
+                continue
+            for sta in self.picks.index:
+                t = self.picks.loc[sta, col]
+                if pd.isnull(t):
+                    continue
+                if abs(epoch_from_utc(np.datetime64(t)) - ot) > max_moveout_sec:
+                    for c in (f"{ph}_picks", f"{ph}_probas", f"{ph}_unc"):
+                        if c in self.picks.columns:
+                            self.picks.loc[sta, c] = np.nan
+                    self.picks.loc[sta, col] = pd.NaT
+
+    # ------------------------------------------------------------------
+    # location uncertainty
+    # ------------------------------------------------------------------
+    def hor_ver_uncertainties(self):
+        """Horizontal/vertical marginals of the location covariance.
+
+        From `self.cov_mat` (3x3, km^2, E-N-Z right-handed), computes the
+        max/min horizontal and max vertical standard errors and azimuths.
+        Reference parity: BPMF/dataset.py:1521-1610.
+        """
+        cov = getattr(self, "cov_mat", None)
+        if cov is None:
+            cov = self.aux_data.get("cov_mat")
+        if cov is None:
+            # unlocated event: report large defaults
+            self.set_aux_data(
+                {"hmax_unc": 15.0, "hmin_unc": 15.0, "vmax_unc": 15.0,
+                 "az_hmax_unc": 0.0, "az_hmin_unc": 90.0}
+            )
+            return
+        cov = np.asarray(cov)
+        # horizontal 2x2 block
+        h = cov[:2, :2]
+        w, v = np.linalg.eigh(h)
+        hmax = float(np.sqrt(max(w[1], 0.0)))
+        hmin = float(np.sqrt(max(w[0], 0.0)))
+        az_hmax = float(np.degrees(np.arctan2(v[0, 1], v[1, 1]))) % 180.0
+        az_hmin = float(np.degrees(np.arctan2(v[0, 0], v[1, 0]))) % 180.0
+        vmax = float(np.sqrt(max(cov[2, 2], 0.0)))
+        self.set_aux_data(
+            {"hmax_unc": hmax, "hmin_unc": hmin, "vmax_unc": vmax,
+             "az_hmax_unc": az_hmax, "az_hmin_unc": az_hmin}
+        )
+
+    # ------------------------------------------------------------------
+    # relocation (beam; NLLoc glue lives in location/)
+    # ------------------------------------------------------------------
+    def relocate(self, *args, routine: str = "beam", **kwargs):
+        routine = routine.lower()
+        if routine == "beam":
+            return self.relocate_beam(*args, **kwargs)
+        elif routine == "nlloc":
+            from ..location.nlloc import relocate_nlloc
+
+            return relocate_nlloc(self, *args, **kwargs)
+        raise ValueError(f"unknown relocation routine {routine!r}")
+
+    def relocate_beam(
+        self,
+        beamformer,
+        waveform_features,
+        duration: float = 60.0,
+        offset_ot: float = 10.0,
+        restricted_domain_side_km: Optional[float] = None,
+    ):
+        """Fine-grid beam relocation: backproject features in a window around
+        the current origin time and move the hypocenter to the beam argmax.
+
+        Reference parity: BPMF/dataset.py:2102-2269 (core path: full beam,
+        argmax, likelihood-weighted uncertainty).
+        """
+        beam = beamformer.backproject(waveform_features, reduce="none")
+        beam = np.asarray(beam)
+        # max over time for each source, then argmax over sources
+        beam_max_t = beam.max(axis=1)
+        best = int(np.argmax(beam_max_t))
+        t_best = int(np.argmax(beam[best]))
+        src = beamformer.source_coordinates
+        self.longitude = float(src["longitude"].iloc[best])
+        self.latitude = float(src["latitude"].iloc[best])
+        self.depth = float(src["depth"].iloc[best])
+        # likelihood-weighted location uncertainty
+        lik = beam_max_t - beam_max_t.min()
+        if lik.max() > 0:
+            lik = lik / lik.max()
+            w = lik**2
+            w /= w.sum()
+            from ..utils.geo import two_point_distance
+
+            d = two_point_distance(
+                src["longitude"].values, src["latitude"].values,
+                src["depth"].values,
+                self.longitude, self.latitude, self.depth,
+            )
+            unc = float(np.sqrt(np.sum(w * d**2)))
+            self.set_aux_data({"hmax_unc": unc, "hmin_unc": unc,
+                               "vmax_unc": unc, "az_hmax_unc": 0.0})
+        self.set_aux_data({"maxbeam_reloc": float(beam[best, t_best])})
+        return self
+
+    # ------------------------------------------------------------------
+    # HDF5 IO (schema-compatible with the reference)
+    # ------------------------------------------------------------------
+    def write(
+        self,
+        db_filename: str,
+        db_path: str = "",
+        save_waveforms: bool = False,
+        gid: Optional[str] = None,
+        hdf5_file=None,
+    ):
+        """Write the event to HDF5 (reference schema,
+        BPMF/dataset.py:2899-3012; no lock files by design)."""
+        import h5py
+
+        where = os.path.join(db_path, db_filename)
+        close = hdf5_file is None
+        f0 = hdf5_file or h5py.File(where, mode="a")
+        try:
+            if gid is not None:
+                if str(gid) in f0:
+                    del f0[str(gid)]
+                f = f0.create_group(str(gid))
+            else:
+                f = f0
+                for key in list(f.keys()):
+                    del f[key]
+            attrs = {
+                "origin_time": str(self.origin_time),
+                "latitude": self.latitude,
+                "longitude": self.longitude,
+                "depth": self.depth,
+                "moveouts": self.moveouts.loc[self.stations].values,
+                "stations": np.asarray(self.stations).astype("S"),
+                "components": np.asarray(self.components).astype("S"),
+                "phases": np.asarray(self.phases).astype("S"),
+                "where": self.where,
+                "sampling_rate": self.sampling_rate,
+                "id": self.id,
+            }
+            for k, v in attrs.items():
+                if v is None:
+                    continue
+                f.create_dataset(k, data=v)
+            if self.aux_data:
+                g = f.create_group("aux_data")
+                for k, v in self.aux_data.items():
+                    if isinstance(v, dict):
+                        gg = g.create_group(k)
+                        for k2, v2 in v.items():
+                            gg.create_dataset(k2, data=v2)
+                    elif isinstance(v, pd.Series):
+                        g.create_dataset(k, data=v.values)
+                    else:
+                        g.create_dataset(k, data=v)
+            for table_name in ("picks", "arrival_times"):
+                if not hasattr(self, table_name):
+                    continue
+                table = getattr(self, table_name)
+                g = f.create_group(table_name)
+                g.create_dataset(
+                    "stations", data=np.asarray(table.index).astype("S")
+                )
+                for column in table.columns:
+                    data = table[column]
+                    if data.dtype.kind == "M":
+                        data = data.dt.strftime("%Y-%m-%d %H:%M:%S.%f %z")
+                    if data.dtype == np.dtype("O"):
+                        data = data.astype("S")
+                    g.create_dataset(column, data=np.asarray(data))
+            if save_waveforms and hasattr(self, "traces"):
+                g = f.create_group("waveforms")
+                for tr in self.traces:
+                    sta, cha = tr.stats.station, tr.stats.channel
+                    if sta not in g:
+                        g.create_group(sta)
+                    if cha not in g[sta]:
+                        g[sta].create_dataset(cha, data=tr.data)
+        finally:
+            if close:
+                f0.close()
+
+    @classmethod
+    def read_from_file(
+        cls,
+        filename: Optional[str] = None,
+        db_path: str = "",
+        hdf5_file=None,
+        gid: Optional[str] = None,
+        data_reader: Optional[Callable] = None,
+    ):
+        """Read an event from the reference HDF5 schema
+        (BPMF/dataset.py:1144-1269)."""
+        import h5py
+
+        close = False
+        if filename is not None:
+            parent = h5py.File(os.path.join(db_path, filename), mode="r")
+            f = parent[str(gid)] if gid is not None else parent
+            close = True
+        else:
+            f = hdf5_file
+            parent = None
+
+        def _str(x):
+            return x.decode("utf-8") if isinstance(x, bytes) else str(x)
+
+        try:
+            origin_time = _str(f["origin_time"][()])
+            moveouts = f["moveouts"][()]
+            stations = f["stations"][()].astype("U")
+            phases = f["phases"][()].astype("U")
+            where = _str(f["where"][()])
+            data_path, data_filename = os.path.split(where)
+            kwargs = {}
+            for opt in ("latitude", "longitude", "depth", "sampling_rate"):
+                if opt in f:
+                    kwargs[opt] = f[opt][()]
+            if "components" in f:
+                kwargs["components"] = f["components"][()].astype("U")
+            if "id" in f:
+                kwargs["id"] = _str(f["id"][()])
+            aux_data = {}
+            if "aux_data" in f:
+                for k in f["aux_data"]:
+                    node = f["aux_data"][k]
+                    if isinstance(node, h5py.Group):
+                        aux_data[k] = {k2: node[k2][()] for k2 in node}
+                    else:
+                        v = node[()]
+                        aux_data[k] = _str(v) if isinstance(v, bytes) else v
+            tables = {}
+            for table_name in ("picks", "arrival_times"):
+                if table_name not in f:
+                    continue
+                tbl = {}
+                for k in f[table_name]:
+                    v = f[table_name][k][()]
+                    if v.dtype.kind == "S":
+                        v = v.astype("U")
+                        if k != "stations":
+                            v = pd.to_datetime(v, format="mixed")
+                    tbl[k] = v
+                df = pd.DataFrame(tbl).set_index("stations")
+                tables[table_name] = df
+            waveforms = None
+            sr = kwargs.get("sampling_rate")
+            if "waveforms" in f:
+                waveforms = Stream()
+                for sta in f["waveforms"]:
+                    for cha in f["waveforms"][sta]:
+                        waveforms += Trace(
+                            f["waveforms"][sta][cha][()],
+                            station=sta,
+                            channel=cha,
+                            sampling_rate=float(sr) if sr is not None else 1.0,
+                        )
+        finally:
+            if close:
+                parent.close()
+
+        kwargs["data_reader"] = data_reader
+        event = cls(origin_time, moveouts, stations, phases,
+                    data_filename, data_path, **kwargs)
+        if "cov_mat" in aux_data:
+            event.cov_mat = aux_data["cov_mat"]
+        event.set_aux_data(aux_data)
+        for name, df in tables.items():
+            setattr(event, name, df)
+        if waveforms is not None and len(waveforms) > 0:
+            event.traces = waveforms
+            if "n_samples" in aux_data and sr is not None:
+                event.duration = float(aux_data["n_samples"]) / float(sr)
+        if gid is not None:
+            event.hdf5_gid = str(gid)
+        return event
+
+    def __repr__(self):
+        return (
+            f"Event(id={self.id}, ot={self.origin_time}, "
+            f"lon={self.longitude}, lat={self.latitude}, dep={self.depth}, "
+            f"{len(self.stations)} stations)"
+        )
+
+
+class Template(Event):
+    """A template event: an Event with windowed waveforms and integer-sample
+    moveouts keyed by the phase used on each component.
+
+    Reference parity: BPMF/dataset.py:3243-4079.
+    """
+
+    @classmethod
+    def init_from_event(cls, event: Event, attach_waveforms: bool = True):
+        """Reference parity: BPMF/dataset.py:3321-3405."""
+        db_path, db_filename = os.path.split(event.where)
+        template = cls(
+            event.origin_time,
+            event.moveouts.values,
+            event.stations,
+            event.phases,
+            db_filename,
+            db_path,
+            latitude=event.latitude,
+            longitude=event.longitude,
+            depth=event.depth,
+            sampling_rate=event.sampling_rate,
+            components=event.components,
+            id=event.id,
+        )
+        if hasattr(event, "picks"):
+            template.picks = event.picks
+        if hasattr(event, "arrival_times"):
+            template.arrival_times = event.arrival_times
+        keep = [f"offset_{ph}" for ph in event.phases] + [
+            "tid", "cov_mat", "Mw", "Mw_err", "hmax_unc", "hmin_unc",
+            "vmax_unc", "az_hmax_unc",
+        ]
+        keep += [k for k in event.aux_data if k.startswith("phase_on_comp")]
+        keep += [k for k in event.aux_data if k.startswith("snr")]
+        aux = {k: event.aux_data[k] for k in keep if k in event.aux_data}
+        if hasattr(event, "duration"):
+            template.duration = event.duration
+        else:
+            template.duration = float(event.aux_data["n_samples"]) / event.sr
+        if attach_waveforms:
+            if not hasattr(event, "traces"):
+                raise RuntimeError(
+                    "call event.read_waveforms before init_from_event"
+                )
+            template.traces = event.traces
+            template.set_availability()
+        aux["n_samples"] = template.n_samples
+        if "cov_mat" in aux:
+            template.cov_mat = aux["cov_mat"]
+        template.set_aux_data(aux)
+        return template
+
+    @classmethod
+    def read_from_file(cls, filename, db_path="", gid=None, **kwargs):
+        event = Event.read_from_file(filename, db_path=db_path, gid=gid)
+        template = cls.init_from_event(event, attach_waveforms=False)
+        if hasattr(event, "traces"):
+            template.traces = event.traces
+        template.id = str(template.aux_data.get("tid", template.id))
+        template.where = os.path.join(db_path, filename)
+        return template
+
+    # ------------------------------------------------------------------
+    @property
+    def tid(self):
+        return self.id
+
+    @property
+    def template_idx(self):
+        return self.id
+
+    @property
+    def moveouts_win(self) -> pd.DataFrame:
+        """Moveouts of the extracted windows (phase moveout minus the
+        pre-pick offset).  Reference parity: BPMF/dataset.py:3464-3475."""
+        mv = self.moveouts.copy()
+        for ph in self.phases:
+            mv[f"moveouts_{ph.upper()}"] = (
+                self.moveouts[f"moveouts_{ph.upper()}"]
+                - self.aux_data[f"offset_{ph.upper()}"]
+            )
+        return mv
+
+    @property
+    def moveouts_arr(self) -> np.ndarray:
+        """(n_stations, n_components) int samples, per phase_on_comp.
+
+        Reference parity: BPMF/dataset.py:3451-3462.
+        """
+        cols = [
+            f'moveouts_{str(self.aux_data[f"phase_on_comp{cp}"]).upper()}'
+            for cp in self.components
+        ]
+        return sec_to_samp(
+            self.moveouts_win.loc[self.stations][cols].values, sr=self.sr
+        )
+
+    def distance(self, longitude, latitude, depth) -> float:
+        from ..utils.geo import two_point_distance
+
+        return float(
+            two_point_distance(
+                self.longitude, self.latitude, self.depth,
+                longitude, latitude, depth,
+            )
+        )
+
+    def read_waveforms(self, stations=None, components=None):
+        """Read template waveforms from the template's own HDF5 file.
+
+        Reference parity: BPMF/dataset.py:3588-3649.
+        """
+        event = Event.read_from_file(filename=os.path.basename(self.where),
+                                     db_path=os.path.dirname(self.where))
+        if hasattr(event, "traces"):
+            self.traces = event.traces
+            for tr in self.traces:
+                tr.stats.sampling_rate = self.sr
+        return self
+
+    def find_monochromatic_traces(
+        self, autocorr_peak_threshold: float = 0.33,
+        num_peaks_criterion: int = 5,
+    ):
+        """Flag traces that look monochromatic (sensor glitches): count
+        autocorrelation peaks above threshold.
+
+        Reference parity: BPMF/dataset.py:3506-3585.
+        """
+        flagged = []
+        for tr in self.traces:
+            x = tr.data.astype(np.float64)
+            if len(x) < 8 or np.allclose(x, 0):
+                continue
+            x = x - x.mean()
+            ac = np.correlate(x, x, mode="full")[len(x) - 1 :]
+            if ac[0] <= 0:
+                continue
+            ac /= ac[0]
+            from scipy.signal import find_peaks
+
+            peaks, _ = find_peaks(ac, height=autocorr_peak_threshold)
+            if len(peaks) >= num_peaks_criterion:
+                flagged.append(tr.id)
+        return flagged
+
+    def write(self, db_filename, db_path="", save_waveforms=True, **kwargs):
+        super().write(db_filename, db_path=db_path,
+                      save_waveforms=save_waveforms, **kwargs)
+
+    def __repr__(self):
+        return (
+            f"Template(tid={self.tid}, ot={self.origin_time}, "
+            f"lon={self.longitude}, lat={self.latitude}, dep={self.depth})"
+        )

@@ -1,0 +1,462 @@
+"""Event/template group containers.
+
+Reference parity: `Family`/`EventGroup` (BPMF/dataset.py:4082-4373),
+`TemplateGroup` (BPMF/dataset.py:4376-5353) and `Stack`
+(BPMF/dataset.py:5356-5677).  These containers assemble the dense batch
+arrays the device kernels consume:
+
+  moveouts_arr  : (n_events, n_stations, n_components) int32 samples
+  waveforms_arr : (n_events, n_stations, n_components, n_samples) float32
+
+The inter-template CC and the multi-detection dedup (`remove_multiples`)
+use the TPU matched-filter kernel instead of FMF.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from ..utils.geo import two_point_distance
+from ..utils.stacking import svdwf
+from .events import Event, Template
+from .network import Network
+from .waveforms import get_np_array
+
+
+class EventGroup:
+    """A set of events aligned on a common network (stacking input).
+
+    Reference parity: BPMF/dataset.py:4082-4373.
+    """
+
+    def __init__(self, events: Sequence[Event], network: Network):
+        self.events = list(events)
+        self.network = network
+
+    @property
+    def n_events(self):
+        return len(self.events)
+
+    @property
+    def components(self):
+        return list(self.network.components)
+
+    @property
+    def stations(self):
+        return self.network.stations
+
+    def get_moveouts_arr(self) -> np.ndarray:
+        """(n_ev, n_sta, n_comp) int32 samples (phase-on-component)."""
+        mv = np.zeros(
+            (self.n_events, len(self.stations), len(self.components)),
+            np.int32,
+        )
+        for e, ev in enumerate(self.events):
+            from ..utils.time import sec_to_samp
+
+            for c, cp in enumerate(self.components):
+                ph = str(ev.aux_data.get(f"phase_on_comp{cp}", "S")).upper()
+                col = f"moveouts_{ph}"
+                for s, sta in enumerate(self.stations):
+                    if sta in ev.moveouts.index:
+                        mv[e, s, c] = sec_to_samp(
+                            float(ev.moveouts.loc[sta, col]), sr=ev.sr
+                        )
+        return mv
+
+    def get_waveforms_arr(self, **kwargs) -> np.ndarray:
+        arrs = []
+        for ev in self.events:
+            arrs.append(
+                get_np_array(
+                    ev.traces,
+                    self.stations,
+                    components=self.components,
+                    n_samples=ev.n_samples,
+                    verbose=False,
+                )
+            )
+        n = min(a.shape[-1] for a in arrs)
+        self.waveforms_arr = np.stack([a[..., :n] for a in arrs])
+        return self.waveforms_arr
+
+    def normalize(self, method: str = "rms"):
+        """Normalize each event's waveforms (rms or max) in the batch array."""
+        arr = self.waveforms_arr
+        if method == "rms":
+            norm = np.std(arr, axis=-1, keepdims=True)
+        elif method == "max":
+            norm = np.max(np.abs(arr), axis=-1, keepdims=True)
+        else:
+            raise ValueError("method must be 'rms' or 'max'")
+        norm[norm == 0.0] = 1.0
+        self.waveforms_arr = arr / norm
+
+    def SVDWF_stack(
+        self,
+        freqmin: float,
+        freqmax: float,
+        sampling_rate: float,
+        expl_var: float = 0.4,
+        max_singular_values: int = 5,
+    ) -> "Stack":
+        """SVD-Wiener-filtered stack -> `Stack` instance.
+
+        Reference parity: BPMF/dataset.py:4275-4373.
+        """
+        if not hasattr(self, "waveforms_arr"):
+            self.get_waveforms_arr()
+        n_ev, n_sta, n_comp, n_samp = self.waveforms_arr.shape
+        stacked = np.zeros((n_sta, n_comp, n_samp), np.float32)
+        for s in range(n_sta):
+            for c in range(n_comp):
+                matrix = self.waveforms_arr[:, s, c, :]
+                if np.allclose(matrix, 0.0):
+                    continue
+                stacked[s, c] = svdwf(
+                    matrix,
+                    expl_var=expl_var,
+                    max_singular_values=max_singular_values,
+                    freqmin=freqmin,
+                    freqmax=freqmax,
+                    sampling_rate=sampling_rate,
+                )
+        stack = Stack(
+            stacked,
+            self.stations,
+            self.components,
+            sampling_rate=sampling_rate,
+            phases=self.events[0].phases,
+            moveouts=self.events[0].moveouts.values,
+        )
+        stack.events = self.events
+        return stack
+
+
+class Stack(Event):
+    """An Event wrapping stacked traces (reference:
+    BPMF/dataset.py:5356-5677)."""
+
+    def __init__(
+        self,
+        waveforms: np.ndarray,
+        stations,
+        components,
+        sampling_rate: float,
+        phases=("P", "S"),
+        moveouts: Optional[np.ndarray] = None,
+    ):
+        if moveouts is None:
+            moveouts = np.zeros((len(stations), len(phases)), np.float32)
+        super().__init__(
+            np.datetime64("now", "ns"),
+            np.asarray(moveouts, np.float32),
+            stations,
+            phases,
+            sampling_rate=sampling_rate,
+            components=components,
+        )
+        from .stream import Stream, Trace
+
+        self.traces = Stream()
+        for s, sta in enumerate(stations):
+            for c, cp in enumerate(components):
+                self.traces += Trace(
+                    waveforms[s, c],
+                    station=str(sta),
+                    channel=f"HH{cp}",
+                    sampling_rate=sampling_rate,
+                )
+        self.duration = waveforms.shape[-1] / sampling_rate
+
+
+class TemplateGroup:
+    """The matched-filter-side fleet container.
+
+    Reference parity: BPMF/dataset.py:4376-5353.
+    """
+
+    def __init__(self, templates: Sequence[Template], network: Network):
+        self.templates = list(templates)
+        self.network = network
+        tids = [tp.tid for tp in self.templates]
+        self.tids = np.asarray(tids)
+        self.tindexes = pd.Series(
+            index=self.tids, data=np.arange(len(tids))
+        )
+
+    @classmethod
+    def read_from_files(cls, filenames: Sequence[str], network: Network,
+                        db_path: str = "") -> "TemplateGroup":
+        templates = [
+            Template.read_from_file(os.path.basename(fn),
+                                    db_path=os.path.dirname(fn) or db_path)
+            for fn in filenames
+        ]
+        return cls(templates, network)
+
+    # ------------------------------------------------------------------
+    @property
+    def n_templates(self):
+        return len(self.templates)
+
+    @property
+    def stations(self):
+        return self.network.stations
+
+    @property
+    def components(self):
+        return list(self.network.components)
+
+    @property
+    def moveouts_arr(self) -> np.ndarray:
+        """(n_tp, n_sta, n_comp) int32 samples aligned to the network."""
+        if hasattr(self, "_moveouts_arr"):
+            return self._moveouts_arr
+        n_tp = self.n_templates
+        stations = self.stations
+        mv = np.zeros((n_tp, len(stations), len(self.components)), np.int32)
+        for t, tp in enumerate(self.templates):
+            tp_mv = pd.DataFrame(
+                tp.moveouts_arr, index=tp.stations,
+                columns=self.components,
+            )
+            common = [s for s in stations if s in tp_mv.index]
+            idx = [list(stations).index(s) for s in common]
+            mv[t, idx, :] = tp_mv.loc[common].values
+        self._moveouts_arr = mv
+        return mv
+
+    @property
+    def waveforms_arr(self) -> np.ndarray:
+        if hasattr(self, "_waveforms_arr"):
+            return self._waveforms_arr
+        self.read_waveforms()
+        return self._waveforms_arr
+
+    @property
+    def availability_arr(self) -> np.ndarray:
+        """(n_tp, n_sta, n_comp) bool: template channel has data."""
+        arr = self.waveforms_arr
+        return np.any(arr != 0.0, axis=-1)
+
+    @property
+    def network_to_template_map(self) -> np.ndarray:
+        """(n_tp, n_sta, n_comp) bool mask of channels present per template.
+
+        Reference parity: BPMF/dataset.py:4977-5008.
+        """
+        return self.availability_arr
+
+    def read_waveforms(self):
+        arrs = []
+        for tp in self.templates:
+            if not hasattr(tp, "traces"):
+                tp.read_waveforms()
+            arrs.append(
+                get_np_array(
+                    tp.traces,
+                    self.stations,
+                    components=self.components,
+                    n_samples=tp.n_samples,
+                    verbose=False,
+                )
+            )
+        n = min(a.shape[-1] for a in arrs)
+        self._waveforms_arr = np.stack([a[..., :n] for a in arrs]).astype(
+            np.float32
+        )
+        return self._waveforms_arr
+
+    def normalize(self, method: str = "rms"):
+        arr = self.waveforms_arr
+        if method == "rms":
+            norm = np.std(arr, axis=-1, keepdims=True)
+        elif method == "max":
+            norm = np.max(np.abs(arr), axis=-1, keepdims=True)
+        else:
+            raise ValueError("method must be 'rms' or 'max'")
+        norm[norm == 0.0] = 1.0
+        self._waveforms_arr = arr / norm
+
+    def n_best_SNR_stations(self, n: int, available_stations=None):
+        for tp in self.templates:
+            if not hasattr(tp, "_snr"):
+                try:
+                    tp.compute_snr()
+                except Exception:
+                    pass
+        return {
+            tp.tid: (
+                tp.n_best_SNR_stations(n, available_stations)
+                if hasattr(tp, "_snr")
+                else tp.n_closest_stations(n, available_stations)
+            )
+            for tp in self.templates
+        }
+
+    # ------------------------------------------------------------------
+    # inter-template similarity and dedup
+    # ------------------------------------------------------------------
+    @property
+    def intertemplate_distances(self) -> pd.DataFrame:
+        if hasattr(self, "_intertp_dist"):
+            return self._intertp_dist
+        lon = np.array([tp.longitude for tp in self.templates], float)
+        lat = np.array([tp.latitude for tp in self.templates], float)
+        dep = np.array([tp.depth for tp in self.templates], float)
+        d = two_point_distance(
+            lon[:, None], lat[:, None], dep[:, None],
+            lon[None, :], lat[None, :], dep[None, :],
+        )
+        self._intertp_dist = pd.DataFrame(
+            index=self.tids, columns=self.tids, data=d
+        )
+        return self._intertp_dist
+
+    @property
+    def ellipsoid_distances(self) -> pd.DataFrame:
+        """Directional distance reduced by the location-uncertainty
+        ellipsoids of both templates along the inter-template direction.
+
+        Reference parity: BPMF/dataset.py:4594-4688 (simplified: isotropic
+        use of hmax/vmax along the connecting vector).
+        """
+        if hasattr(self, "_ellips_dist"):
+            return self._ellips_dist
+        d = self.intertemplate_distances.values.copy()
+        unc = np.array(
+            [
+                max(tp.aux_data.get("hmax_unc", 0.0) or 0.0,
+                    tp.aux_data.get("vmax_unc", 0.0) or 0.0)
+                for tp in self.templates
+            ]
+        )
+        d = d - unc[:, None] - unc[None, :]
+        d = np.maximum(d, 0.0)
+        self._ellips_dist = pd.DataFrame(
+            index=self.tids, columns=self.tids, data=d
+        )
+        return self._ellips_dist
+
+    def compute_intertemplate_cc(
+        self,
+        distance_threshold: float = 5.0,
+        n_stations: int = 10,
+        max_lag: int = 10,
+        device_step: int = 1,
+    ) -> pd.DataFrame:
+        """Pairwise max-lag-corrected template CC via the TPU matched filter.
+
+        For each template pair within `distance_threshold` (ellipsoid
+        distance), slides template 2 across template 1's waveforms within
+        +-`max_lag` samples and takes the weighted network CC maximum.
+        Reference parity: BPMF/dataset.py:4690-4932 (FMF site 2).
+        """
+        from ..ops import matched_filter as mf_op
+
+        n_tp = self.n_templates
+        cc = np.zeros((n_tp, n_tp), np.float32)
+        np.fill_diagonal(cc, 1.0)
+        ell = self.ellipsoid_distances.values
+        wf = self.waveforms_arr  # (n_tp, n_sta, n_comp, n_samp)
+        mv = self.moveouts_arr
+        n_samp = wf.shape[-1]
+        for i in range(n_tp):
+            close = np.flatnonzero((ell[i] <= distance_threshold))
+            close = close[close > i]
+            if close.size == 0:
+                continue
+            # use template i's waveforms (padded) as "data"; out-of-range
+            # moveout differences are handled by the kernel's bounds masks
+            data = np.pad(wf[i], ((0, 0), (0, 0), (max_lag, max_lag)))
+            templates = wf[close]
+            rel_mv = mv[close] - mv[i][None, ...]
+            weights = (np.any(templates != 0.0, axis=-1)).astype(np.float32)
+            norm = weights.sum(axis=(1, 2), keepdims=True)
+            norm[norm == 0] = 1.0
+            weights = weights / norm
+            ccs = np.asarray(
+                mf_op(
+                    templates,
+                    rel_mv + max_lag,
+                    weights,
+                    data,
+                    step=device_step,
+                )
+            )  # (n_close, n_lags)
+            cc_max = ccs.max(axis=1)
+            cc[i, close] = cc_max
+            cc[close, i] = cc_max
+        self._intertemplate_cc = pd.DataFrame(
+            index=self.tids, columns=self.tids, data=cc
+        )
+        return self._intertemplate_cc
+
+    @property
+    def intertemplate_cc(self) -> pd.DataFrame:
+        if not hasattr(self, "_intertemplate_cc"):
+            self.compute_intertemplate_cc()
+        return self._intertemplate_cc
+
+    def remove_multiples(
+        self,
+        catalog: "pd.DataFrame",
+        dt_criterion: float = 3.0,
+        distance_criterion: float = 5.0,
+        similarity_criterion: float = 0.33,
+        ranking_metric: str = "cc",
+    ) -> pd.DataFrame:
+        """Flag multi-template detections of the same event, keeping the
+        detection with the highest `ranking_metric`.
+
+        `catalog` must have columns origin_time (epoch seconds), tid, and the
+        ranking metric.  Sequential scan over the time-sorted catalog, as in
+        the reference (BPMF/dataset.py:5130-5295).  Returns the catalog with
+        a boolean `unique_event` column.
+        """
+        cat = catalog.sort_values("origin_time").reset_index(drop=True)
+        n = len(cat)
+        unique = np.ones(n, dtype=bool)
+        ell = self.ellipsoid_distances
+        try:
+            cc = self.intertemplate_cc
+            have_cc = True
+        except Exception:
+            have_cc = False
+        times = cat["origin_time"].values.astype(np.float64)
+        tids = cat["tid"].values
+        metric = cat[ranking_metric].values
+        i = 0
+        while i < n:
+            j = i + 1
+            group = [i]
+            while j < n and times[j] - times[group[-1]] <= dt_criterion:
+                tid_i, tid_j = tids[group[0]], tids[j]
+                close = (
+                    tid_i == tid_j
+                    or (
+                        tid_i in ell.index and tid_j in ell.columns
+                        and ell.loc[tid_i, tid_j] <= distance_criterion
+                    )
+                    or (
+                        have_cc
+                        and tid_i in cc.index and tid_j in cc.columns
+                        and cc.loc[tid_i, tid_j] >= similarity_criterion
+                    )
+                )
+                if close:
+                    group.append(j)
+                j += 1
+            if len(group) > 1:
+                best = group[int(np.argmax(metric[group]))]
+                for g in group:
+                    if g != best:
+                        unique[g] = False
+            i = group[-1] + 1
+        cat["unique_event"] = unique
+        return cat

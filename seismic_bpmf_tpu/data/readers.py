@@ -1,0 +1,151 @@
+"""Pluggable data readers.
+
+Protocol identical to the reference (BPMF/data_reader_examples.py:4-44):
+
+    reader(where, network=..., stations=..., channels=..., location=...,
+           starttime=..., endtime=..., **kwargs) -> Stream
+
+Readers provided:
+  - `data_reader_hdf5`: the framework's native preprocessed-data format —
+    one HDF5 file per time window with `waveforms/<station>/<channel>`
+    datasets and root attrs `starttime` (ISO string) and `sampling_rate`.
+    This is the fast path feeding the TPU pipeline.
+  - `data_reader_mseed`: the reference tutorial's miniSEED folder convention
+    (BPMF/data_reader_examples.py:115-214); requires obspy and converts to
+    the internal Stream.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Optional
+
+import numpy as np
+
+from ..utils.time import epoch_from_utc
+from .stream import Stream, Trace, from_obspy
+
+
+def write_hdf5_continuous(
+    path: str, stream: Stream, sampling_rate: Optional[float] = None
+):
+    """Write a Stream to the native HDF5 continuous-data format."""
+    import h5py
+
+    with h5py.File(path, "w") as f:
+        t0 = min(tr.stats.starttime for tr in stream)
+        f.attrs["starttime"] = str(np.datetime64(int(t0 * 1e9), "ns"))
+        f.attrs["sampling_rate"] = (
+            sampling_rate
+            if sampling_rate is not None
+            else stream[0].stats.sampling_rate
+        )
+        g = f.create_group("waveforms")
+        for tr in stream:
+            sta = tr.stats.station
+            cha = tr.stats.channel or f"HH{tr.stats.component}"
+            if sta not in g:
+                g.create_group(sta)
+                g[sta].attrs["network"] = tr.stats.network
+            g[sta].create_dataset(cha, data=tr.data.astype(np.float32))
+            g[sta][cha].attrs["starttime_offset_sec"] = tr.stats.starttime - t0
+
+
+def data_reader_hdf5(
+    where,
+    network=None,
+    stations=None,
+    channels=None,
+    location=None,
+    starttime=None,
+    endtime=None,
+    **kwargs,
+) -> Stream:
+    """Read the native HDF5 continuous-data format into a Stream."""
+    import h5py
+
+    out = Stream()
+    with h5py.File(where, "r") as f:
+        t0 = epoch_from_utc(str(f.attrs["starttime"]))
+        sr = float(f.attrs["sampling_rate"])
+        g = f["waveforms"]
+        for sta in g.keys():
+            if stations is not None and sta not in stations:
+                continue
+            net = g[sta].attrs.get("network", "")
+            for cha in g[sta].keys():
+                if channels is not None and not any(
+                    _match(cha, pat) for pat in np.atleast_1d(channels)
+                ):
+                    continue
+                ofs = float(g[sta][cha].attrs.get("starttime_offset_sec", 0.0))
+                tr = Trace(
+                    g[sta][cha][()],
+                    station=sta,
+                    network=str(net),
+                    channel=cha,
+                    sampling_rate=sr,
+                    starttime=t0 + ofs,
+                )
+                out += tr
+    if starttime is not None or endtime is not None:
+        out = out.slice(starttime, endtime)
+    return out
+
+
+def _match(value: str, pattern: str) -> bool:
+    import fnmatch
+
+    return fnmatch.fnmatch(value, pattern)
+
+
+def data_reader_mseed(
+    where,
+    network="*",
+    stations="*",
+    channels="*",
+    location="*",
+    starttime=None,
+    endtime=None,
+    attach_response=False,
+    data_folder="",
+    **kwargs,
+) -> Stream:
+    """Tutorial-convention miniSEED reader (requires obspy).
+
+    Folder layout as in BPMF/data_reader_examples.py:115-214:
+    `where/<YYYY>/<JJJ>/data_folder/net.sta.loc.cha_*.mseed`.
+    """
+    try:
+        import obspy
+    except ImportError as e:
+        raise ImportError(
+            "data_reader_mseed requires obspy; use data_reader_hdf5 for the "
+            "native format instead"
+        ) from e
+
+    t_start = obspy.UTCDateTime(str(starttime))
+    year = t_start.year
+    jday = t_start.julday
+    st = obspy.Stream()
+    if not isinstance(stations, str):
+        stations = ",".join(np.atleast_1d(stations))
+    for sta in stations.split(","):
+        pattern = os.path.join(
+            where, f"{year}", f"{jday:03d}", data_folder,
+            f"{network}.{sta}.{location}.{channels}*",
+        )
+        for fn in glob.glob(pattern):
+            st += obspy.read(
+                fn,
+                starttime=obspy.UTCDateTime(str(starttime)),
+                endtime=obspy.UTCDateTime(str(endtime)),
+            )
+    st.merge(fill_value=0.0)
+    if attach_response:
+        inv = obspy.read_inventory(
+            os.path.join(where, "..", "resp", "*.xml")
+        )
+        st.attach_response(inv)
+    return from_obspy(st)

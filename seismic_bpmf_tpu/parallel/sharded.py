@@ -102,20 +102,28 @@ def matched_filter_sharded(
             f"use fewer time shards"
         )
 
-    tp_flat = jnp.asarray(templates.reshape(-1, n_ch, L))
+    tp_flat = templates.reshape(-1, n_ch, L)
+    tp_dm = tp_flat - tp_flat.mean(axis=-1, keepdims=True)
+    band = jnp.asarray(_mf._build_band(tp_dm))
+    x_norm = jnp.asarray(
+        np.sqrt((tp_dm.astype(np.float64) ** 2).sum(-1)), jnp.float32
+    )
+    ones_band = jnp.asarray(_mf._ones_band(L))
     mv_flat = jnp.asarray(moveouts.reshape(-1, n_ch))
     w_flat = jnp.asarray(weights.reshape(-1, n_ch))
     data_flat = data.reshape(n_ch, -1)
     lags_per_chunk = chunk // step
 
-    def body(tp_l, mv_l, w_l, data_l):
+    def body(band_l, xn_l, mv_l, w_l, data_l):
         t_idx = jax.lax.axis_index(time_axis)
         data_ext = (
             _right_halo(data_l, time_axis, halo) if n_t_dev > 1
             else jnp.pad(data_l, ((0, 0), (0, halo)))
         )
         cc = _mf._mf_block(
-            tp_l,
+            band_l,
+            xn_l,
+            ones_band,
             mv_l,
             w_l,
             data_ext,
@@ -125,24 +133,25 @@ def matched_filter_sharded(
             n_corr_block=lags_per_chunk,
             n_samp=n_samp,
             pad_left=0,
+            L=L,
         )
         return cc
 
+    tp_spec = tp_axis if tp_axis in mesh.shape else None
+    t_spec = time_axis if time_axis in mesh.shape else None
     out = jax.shard_map(
         body,
         mesh=mesh,
         check_vma=False,
         in_specs=(
-            P(tp_axis if tp_axis in mesh.shape else None),
-            P(tp_axis if tp_axis in mesh.shape else None),
-            P(tp_axis if tp_axis in mesh.shape else None),
-            P(None, time_axis if time_axis in mesh.shape else None),
+            P(tp_spec),
+            P(tp_spec),
+            P(tp_spec),
+            P(tp_spec),
+            P(None, t_spec),
         ),
-        out_specs=P(
-            tp_axis if tp_axis in mesh.shape else None,
-            time_axis if time_axis in mesh.shape else None,
-        ),
-    )(tp_flat, mv_flat, w_flat, data_flat)
+        out_specs=P(tp_spec, t_spec),
+    )(band, x_norm, mv_flat, w_flat, data_flat)
     return out[:n_tp, :n_corr]
 
 

@@ -1,0 +1,318 @@
+"""Data-layer tests: streams, network, events/templates, HDF5 round trips,
+catalog, travel-time tables."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from seismic_bpmf_tpu.data import (
+    Catalog,
+    Data,
+    Event,
+    EventGroup,
+    Network,
+    Stream,
+    Template,
+    TemplateGroup,
+    Trace,
+    TravelTimes,
+    data_reader_hdf5,
+    get_np_array,
+    write_hdf5_continuous,
+)
+
+
+def _make_stream(rng, stations=("ST1", "ST2"), sr=25.0, n=1000, t0=0.0):
+    st = Stream()
+    for sta in stations:
+        for comp in "NEZ":
+            st += Trace(
+                rng.normal(size=n).astype(np.float32),
+                station=sta,
+                network="XX",
+                channel=f"HH{comp}",
+                sampling_rate=sr,
+                starttime=t0,
+            )
+    return st
+
+
+class TestStream:
+    def test_select(self, rng):
+        st = _make_stream(rng)
+        assert len(st.select(station="ST1")) == 3
+        assert len(st.select(component="Z")) == 2
+        assert len(st.select(station="ST2", component="N")) == 1
+
+    def test_slice_and_trim(self, rng):
+        st = _make_stream(rng, n=1000, sr=25.0, t0=100.0)
+        sl = st.slice(110.0, 120.0)
+        assert abs(sl[0].stats.starttime - 110.0) < 1e-9
+        assert len(sl[0].data) == 251
+        tr = st[0].copy()
+        tr.trim(90.0, 150.0, pad=True)
+        assert len(tr.data) == int((150 - 90) * 25) + 1
+        assert tr.data[0] == 0.0  # padded region
+
+    def test_get_np_array_aliases(self, rng):
+        st = Stream()
+        st += Trace(np.ones(100, np.float32), station="ST1", channel="HH1",
+                    sampling_rate=25.0)
+        arr = get_np_array(st, ["ST1", "ST2"], components=["N", "E", "Z"],
+                           n_samples=100, verbose=False)
+        assert arr.shape == (2, 3, 100)
+        assert np.all(arr[0, 0] == 1.0)  # '1' aliased to 'N'
+        assert np.all(arr[1] == 0.0)
+
+
+class TestNetwork:
+    def test_file_roundtrip(self, tmp_path):
+        md = pd.DataFrame({
+            "stations": ["ST1", "ST2", "ST3"],
+            "networks": ["XX", "XX", "YY"],
+            "latitude": [40.1, 40.5, 40.9],
+            "longitude": [30.1, 30.4, 30.8],
+            "elevation_m": [100.0, 250.0, 0.0],
+        })
+        net = Network.from_dataframe(
+            md, components=["N", "E", "Z"],
+            start_date="2012-07-26", end_date="2012-07-27",
+        )
+        p = str(tmp_path / "network.tsv")
+        net.write(p)
+        net2 = Network("network.tsv", str(tmp_path)).read()
+        assert list(net2.stations) == ["ST1", "ST2", "ST3"]
+        assert net2.components == ["N", "E", "Z"]
+        np.testing.assert_allclose(net2.depth, [-0.1, -0.25, 0.0])
+
+    def test_box_subset_distances(self):
+        md = pd.DataFrame({
+            "stations": ["A", "B", "C"],
+            "networks": ["XX"] * 3,
+            "latitude": [40.0, 40.5, 41.5],
+            "longitude": [30.0, 30.5, 31.5],
+            "elevation_m": [0.0, 0.0, 0.0],
+        })
+        net = Network.from_dataframe(md)
+        sub = net.box(39.9, 41.0, 29.9, 31.0)
+        assert list(sub.stations) == ["A", "B"]
+        d = net.interstation_distances
+        assert d.loc["A", "A"] == 0.0
+        # ~70 km between A and B (0.5 deg diagonal)
+        assert 60 < d.loc["A", "B"] < 80
+        assert d.loc["A", "B"] == pytest.approx(d.loc["B", "A"])
+
+
+class TestHDF5Data:
+    def test_continuous_roundtrip(self, rng, tmp_path):
+        st = _make_stream(rng, t0=1343260800.0)
+        p = str(tmp_path / "day.h5")
+        write_hdf5_continuous(p, st)
+        data = Data("2012-07-26", p, data_reader_hdf5, duration=40.0,
+                    sampling_rate=25.0)
+        data.read_waveforms()
+        arr = data.get_np_array(["ST1", "ST2"])
+        assert arr.shape == (2, 3, 1000)
+        avail = data.set_availability(["ST1", "ST2", "ST9"])
+        assert bool(avail.loc["ST1"]) and not bool(avail.loc["ST9"])
+
+
+def _make_event(rng):
+    moveouts = np.array([[1.0, 2.0], [1.5, 3.0]], np.float32)
+    ev = Event(
+        "2012-07-26T01:02:03.5",
+        moveouts,
+        ["ST1", "ST2"],
+        ["P", "S"],
+        "day.h5",
+        "/tmp",
+        latitude=40.3,
+        longitude=30.2,
+        depth=8.0,
+        sampling_rate=25.0,
+    )
+    ev.set_aux_data({"cc": 0.7, "n_dev": 12.3})
+    return ev
+
+
+class TestEvent:
+    def test_constructor(self, rng):
+        ev = _make_event(rng)
+        assert ev.id.startswith("20120726_010203")
+        assert ev.moveouts.loc["ST2", "moveouts_S"] == 3.0
+        assert ev.location == [30.2, 40.3, 8.0]
+
+    def test_hdf5_roundtrip(self, rng, tmp_path):
+        ev = _make_event(rng)
+        ev.picks = pd.DataFrame(
+            {"P_picks": [10.0, 12.0], "P_probas": [0.9, 0.8]},
+            index=pd.Index(["ST1", "ST2"], name="stations"),
+        )
+        fn = "events.h5"
+        ev.write(fn, db_path=str(tmp_path), gid="1")
+        ev2 = Event.read_from_file(fn, db_path=str(tmp_path), gid="1")
+        assert str(ev2.origin_time) == str(ev.origin_time)
+        np.testing.assert_allclose(
+            ev2.moveouts.values, ev.moveouts.values
+        )
+        assert list(ev2.stations) == ["ST1", "ST2"]
+        assert ev2.aux_data["cc"] == pytest.approx(0.7)
+        assert ev2.picks.loc["ST2", "P_probas"] == pytest.approx(0.8)
+
+    def test_inherit_location(self, rng):
+        ev, ev2 = _make_event(rng), _make_event(rng)
+        ev.cov_mat = np.eye(3) * 4.0
+        ev2.longitude = 0.0
+        ev2.inherit_location(ev)
+        assert ev2.longitude == ev.longitude
+        np.testing.assert_allclose(ev2.cov_mat, ev.cov_mat)
+        ev2.hor_ver_uncertainties()
+        assert ev2.aux_data["hmax_unc"] == pytest.approx(2.0)
+        assert ev2.aux_data["vmax_unc"] == pytest.approx(2.0)
+
+    def test_n_closest_stations(self, rng):
+        ev = _make_event(rng)
+        assert list(ev.n_closest_stations(1)) == ["ST1"]
+
+
+def _template_with_waveforms(rng, tmp_path):
+    ev = _make_event(rng)
+    # synthesize time-shifted windows directly
+    from seismic_bpmf_tpu.data.stream import Stream, Trace
+
+    ev.traces = Stream()
+    for sta in ev.stations:
+        for comp in "NEZ":
+            ev.traces += Trace(
+                rng.normal(size=200).astype(np.float32),
+                station=sta, channel=f"HH{comp}", sampling_rate=25.0,
+            )
+    ev.duration = 8.0
+    for ph, off in (("P", 1.0), ("S", 4.0)):
+        ev.set_aux_data({f"offset_{ph}": off})
+    for comp, ph in (("N", "S"), ("E", "S"), ("Z", "P")):
+        ev.set_aux_data({f"phase_on_comp{comp}": ph})
+    tp = Template.init_from_event(ev)
+    tp.set_aux_data({"tid": 7})
+    return tp
+
+
+class TestTemplate:
+    def test_moveouts_arr(self, rng, tmp_path):
+        tp = _template_with_waveforms(rng, tmp_path)
+        mv = tp.moveouts_arr  # (n_sta, n_comp) samples
+        # N,E carry S-phase windows: (moveout_S - offset_S) * 25
+        assert mv[0, 0] == int((2.0 - 4.0) * 25)
+        assert mv[1, 2] == int((1.5 - 1.0) * 25)
+
+    def test_write_read(self, rng, tmp_path):
+        tp = _template_with_waveforms(rng, tmp_path)
+        tp.write("template7.h5", db_path=str(tmp_path))
+        tp2 = Template.read_from_file("template7.h5", db_path=str(tmp_path))
+        assert tp2.tid == "7"
+        np.testing.assert_allclose(tp2.moveouts_arr, tp.moveouts_arr)
+        assert hasattr(tp2, "traces")
+        assert tp2.waveforms_arr.shape == (2, 3, 200)
+
+
+class TestTemplateGroup:
+    def _group(self, rng, tmp_path):
+        md = pd.DataFrame({
+            "stations": ["ST1", "ST2"],
+            "networks": ["XX", "XX"],
+            "latitude": [40.1, 40.5],
+            "longitude": [30.1, 30.4],
+            "elevation_m": [0.0, 0.0],
+        })
+        net = Network.from_dataframe(md)
+        tps = []
+        for i in range(3):
+            tp = _template_with_waveforms(rng, tmp_path)
+            tp.set_aux_data({"tid": i})
+            tp.id = str(i)
+            tp.latitude = 40.0 + 0.01 * i
+            tps.append(tp)
+        return TemplateGroup(tps, net)
+
+    def test_arrays(self, rng, tmp_path):
+        tg = self._group(rng, tmp_path)
+        assert tg.moveouts_arr.shape == (3, 2, 3)
+        assert tg.waveforms_arr.shape == (3, 2, 3, 200)
+        assert tg.availability_arr.all()
+
+    def test_intertemplate_cc_and_multiples(self, rng, tmp_path):
+        tg = self._group(rng, tmp_path)
+        cc = tg.compute_intertemplate_cc(distance_threshold=100.0,
+                                         max_lag=5)
+        assert np.allclose(np.diag(cc.values), 1.0)
+        assert (cc.values <= 1.0 + 1e-5).all()
+        cat = pd.DataFrame({
+            "origin_time": [0.0, 1.0, 50.0],
+            "tid": ["0", "1", "2"],
+            "cc": [0.9, 0.5, 0.8],
+        })
+        out = tg.remove_multiples(cat, dt_criterion=3.0,
+                                  distance_criterion=100.0,
+                                  similarity_criterion=2.0)
+        assert list(out["unique_event"]) == [True, False, True]
+
+
+class TestCatalog:
+    def test_from_events_and_concat(self, rng):
+        evs = [_make_event(rng) for _ in range(3)]
+        cat = Catalog.read_from_events(evs, extra_attributes=["cc"])
+        assert cat.n_events == 3
+        assert "cc" in cat.catalog.columns
+        cat2 = Catalog.concatenate([cat, cat])
+        assert cat2.n_events == 6
+
+    def test_detection_file(self, rng, tmp_path):
+        evs = [_make_event(rng) for _ in range(2)]
+        for i, ev in enumerate(evs):
+            ev.write("dets.h5", db_path=str(tmp_path), gid=str(i))
+        cat = Catalog.read_from_detection_file("dets.h5",
+                                               db_path=str(tmp_path))
+        assert cat.n_events == 2
+        assert cat.catalog["cc"].iloc[0] == pytest.approx(0.7)
+
+
+class TestTravelTimes:
+    def test_roundtrip_and_moveouts(self, tmp_path, rng):
+        n_src = 12
+        coords = {
+            "longitude": np.linspace(30, 31, n_src),
+            "latitude": np.linspace(40, 41, n_src),
+            "depth": np.full(n_src, 8.0),
+        }
+        tts = {
+            "P": {"ST1": rng.uniform(1, 5, n_src).astype(np.float32),
+                  "ST2": rng.uniform(1, 5, n_src).astype(np.float32)},
+            "S": {"ST1": rng.uniform(2, 9, n_src).astype(np.float32),
+                  "ST2": rng.uniform(2, 9, n_src).astype(np.float32)},
+        }
+        p = str(tmp_path / "tts.h5")
+        TravelTimes.write_table(p, tts, coords)
+        tt = TravelTimes("tts.h5", str(tmp_path))
+        tt.read(["P", "S"], read_coords=True)
+        tt.convert_to_samples(25.0)
+        arr = tt.get_travel_times_array(
+            units="samples", stations=["ST1", "ST2"], phases=["P", "S"],
+            relative_to_first=True,
+        )
+        assert arr.shape == (n_src, 2, 2)
+        assert arr.min() == 0 or (arr.min(axis=(1, 2)) == 0).all()
+        assert hasattr(tt, "moveout_to_tt")
+
+    def test_source_subset(self, tmp_path, rng):
+        n_src = 10
+        coords = {k: np.arange(n_src, dtype=float)
+                  for k in ("longitude", "latitude", "depth")}
+        tts = {"P": {"ST1": np.arange(n_src, dtype=np.float32)}}
+        p = str(tmp_path / "tts.h5")
+        TravelTimes.write_table(p, tts, coords)
+        tt = TravelTimes("tts.h5", str(tmp_path))
+        tt.read(["P"], source_indexes=np.array([2, 5, 7]), read_coords=True)
+        assert tt.n_sources == 3
+        np.testing.assert_allclose(tt.travel_times.loc["ST1", "P"], [2, 5, 7])
