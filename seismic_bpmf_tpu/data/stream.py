@@ -79,23 +79,32 @@ class Trace:
         return tr
 
     def slice(self, starttime=None, endtime=None) -> "Trace":
-        """Return a view-based sub-trace between two times (inclusive)."""
+        """Return a view-based sub-trace between two times (inclusive).
+
+        Sample snapping uses the same epsilon-guarded quantization as
+        `utils.time.sec_to_samp` so that window extraction is sample-exact
+        with moveout arrays built via sec_to_samp (self-detection CC = 1).
+        """
+        from ..utils.time import sec_to_samp
+
         sr = self.stats.sampling_rate
         t0 = self.stats.starttime
         i0 = 0
         if starttime is not None:
             st = starttime if isinstance(starttime, (int, float)) else epoch_from_utc(starttime)
-            i0 = max(0, int(np.ceil((st - t0) * sr - 1e-6)))
+            i0 = max(0, int(sec_to_samp(st - t0, sr=sr)))
         i1 = len(self.data)
         if endtime is not None:
             et = endtime if isinstance(endtime, (int, float)) else epoch_from_utc(endtime)
-            i1 = min(len(self.data), int(np.floor((et - t0) * sr + 1e-6)) + 1)
+            i1 = min(len(self.data), int(sec_to_samp(et - t0, sr=sr)) + 1)
         out = Trace(self.data[i0:i1], **dataclasses.asdict(self.stats))
         out.stats.starttime = t0 + i0 / sr
         return out
 
     def trim(self, starttime=None, endtime=None, pad=False, fill_value=0.0) -> "Trace":
         """Trim (in place) to [starttime, endtime], optionally zero-padding."""
+        from ..utils.time import sec_to_samp
+
         sr = self.stats.sampling_rate
         t0 = self.stats.starttime
         st = t0 if starttime is None else (
@@ -104,8 +113,8 @@ class Trace:
         et = self.stats.endtime if endtime is None else (
             endtime if isinstance(endtime, (int, float)) else epoch_from_utc(endtime)
         )
-        n_out = int(round((et - st) * sr)) + 1
-        i0 = int(round((st - t0) * sr))
+        n_out = int(sec_to_samp(et - st, sr=sr)) + 1
+        i0 = int(sec_to_samp(st - t0, sr=sr))
         out = np.full(n_out, fill_value, dtype=self.data.dtype)
         src_lo = max(0, i0)
         src_hi = min(len(self.data), i0 + n_out)

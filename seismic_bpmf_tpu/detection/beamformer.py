@@ -1,0 +1,348 @@
+"""Backprojection detection engine.
+
+Reference parity: `Beamformer` (BPMF/template_search.py:398-1333).  The
+compute path is the TPU beamform kernel (`ops.beamform` single chip,
+`parallel.beamform_sharded` on a mesh); weight policies, detection
+extraction and uncertainty quantification mirror the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from ..config import Config, DEFAULT_CONFIG
+from ..ops import beamform as beamform_op
+from ..ops import bp_detection_threshold
+from ..ops.picks import detect_peaks
+from ..utils.time import sec_to_samp, utc_from_epoch
+from ..data.events import Event
+
+
+class Beamformer:
+    """Holds data + network + phases + travel times; runs backprojection."""
+
+    def __init__(
+        self,
+        data=None,
+        network=None,
+        phases: Optional[Sequence[str]] = None,
+        travel_times=None,
+        moveouts_relative_to_first: bool = True,
+        cfg: Config = DEFAULT_CONFIG,
+        engine: str = "onehot",
+        mesh=None,
+    ):
+        self.data = data
+        self.network = network
+        self.phases = list(phases) if phases is not None else None
+        self.travel_times = travel_times
+        self.moveouts_relative_to_first = moveouts_relative_to_first
+        self.cfg = cfg
+        self.engine = engine
+        self.mesh = mesh
+
+    # ------------------------------------------------------------------
+    @property
+    def moveouts(self) -> np.ndarray:
+        """(n_src, n_sta, n_ph) int-sample moveouts (reference:
+        BPMF/template_search.py:444-454)."""
+        return self.travel_times.get_travel_times_array(
+            units="samples",
+            stations=self.stations,
+            phases=self.phases,
+            relative_to_first=self.moveouts_relative_to_first,
+        )
+
+    @property
+    def stations(self):
+        return self.network.stations
+
+    @property
+    def n_stations(self):
+        return self.network.n_stations
+
+    @property
+    def n_phases(self):
+        return len(self.phases)
+
+    @property
+    def n_sources(self):
+        return self.travel_times.n_sources
+
+    @property
+    def source_coordinates(self):
+        return self.travel_times.source_coordinates
+
+    # ------------------------------------------------------------------
+    def set_data(self, data):
+        self.data = data
+        self.starttime = data.date
+
+    def set_network(self, network):
+        self.network = network
+
+    def set_phases(self, phases):
+        self.phases = list(phases)
+
+    def set_travel_times(self, travel_times):
+        self.travel_times = travel_times
+
+    def set_weights(self, weights_phases=None, weights_sources=None):
+        if weights_phases is not None:
+            self.weights_phases = np.asarray(weights_phases, np.float32)
+        if weights_sources is not None:
+            self.weights_sources = np.asarray(weights_sources, np.float32)
+
+    # ------------------------------------------------------------------
+    # source-weight policies (reference: template_search.py:763-949)
+    # ------------------------------------------------------------------
+    def _operational_stations(self) -> np.ndarray:
+        if self.data is not None and hasattr(self.data, "availability_per_sta"):
+            return self.data.availability_per_sta.loc[
+                list(self.stations)
+            ].values.astype(bool)
+        return np.ones(self.n_stations, dtype=bool)
+
+    def _weights_sources_closest(self, num_closest_stations: int):
+        w = np.ones((self.n_sources, self.n_stations), np.float32)
+        operational = self._operational_stations()
+        mv = self.moveouts[:, operational, 0]
+        k = min(mv.shape[1], num_closest_stations)
+        if 0 < k < self.n_stations:
+            cutoff = np.max(
+                np.partition(mv, k - 1)[:, :k], axis=1, keepdims=True
+            )
+            w[self.moveouts[:, :, 0] > cutoff] = 0.0
+        w[:, ~operational] = 0.0
+        return w
+
+    def _weights_sources_max_moveout(self, max_moveout):
+        w = np.zeros((self.n_sources, self.n_stations), np.float32)
+        operational = self._operational_stations()
+        mv = np.min(self.moveouts, axis=-1)
+        w[mv < max_moveout] = 1.0
+        w[:, ~operational] = 0.0
+        return w
+
+    def _station_density_weights(
+        self, cutoff_dist=None, lower_percentile=0.0, upper_percentile=100.0
+    ):
+        """Reference parity: BPMF/template_search.py:897-949."""
+        dists = self.network.interstation_distances.values
+        if cutoff_dist is None:
+            cutoff_dist = np.median(dists[dists != 0.0])
+        w = 1.0 / np.sum(np.exp(-(dists**2) / cutoff_dist**2), axis=1)
+        if lower_percentile > 0.0:
+            w = np.clip(w, np.percentile(w, lower_percentile), w.max())
+        if upper_percentile < 100.0:
+            w = np.clip(w, w.min(), np.percentile(w, upper_percentile))
+        return w.astype(np.float32)
+
+    def set_weights_sources(
+        self,
+        n_min_stations: int = 0,
+        normalize: bool = False,
+        weight_station_density: bool = False,
+        method: str = "closest_stations",
+        **kwargs,
+    ):
+        if self.data is not None and hasattr(self.data, "traces"):
+            self.data.set_availability(list(self.stations))
+        if method == "closest_stations":
+            w = self._weights_sources_closest(kwargs["num_closest_stations"])
+        elif method == "max_moveout":
+            w = self._weights_sources_max_moveout(kwargs["max_moveout"])
+        else:
+            raise ValueError(f"invalid method {method!r}")
+        if n_min_stations > 0:
+            n_per_src = np.sum(w > 0.0, axis=-1)
+            w[n_per_src < n_min_stations, :] = 0.0
+        if weight_station_density:
+            w *= self._station_density_weights(
+                cutoff_dist=kwargs.get("cutoff_dist"),
+                lower_percentile=kwargs.get("lower_percentile", 0.0),
+                upper_percentile=kwargs.get("upper_percentile", 100.0),
+            )[None, :]
+        if normalize:
+            norm = w.sum(axis=1, keepdims=True)
+            norm[norm == 0.0] = 1.0
+            w = w / norm
+        self.weights_sources = w
+
+    # ------------------------------------------------------------------
+    def backproject(
+        self,
+        waveform_features: np.ndarray,
+        reduce: str = "max",
+        out_of_bounds: str = "strict",
+        **kwargs,
+    ):
+        """Run the TPU beamform kernel.
+
+        Reference parity: BPMF/template_search.py:508-572 (the `device`
+        argument is gone: there is a single jitted path; `engine` and `mesh`
+        are construction-time options).
+        """
+        if not hasattr(self, "weights_phases"):
+            raise RuntimeError("set weights_phases first (set_weights)")
+        if not hasattr(self, "weights_sources"):
+            raise RuntimeError("set weights_sources first")
+        kwargs.setdefault("engine", self.engine)
+        if self.mesh is not None:
+            from ..parallel import beamform_sharded
+
+            out = beamform_sharded(
+                waveform_features,
+                self.moveouts,
+                self.weights_phases,
+                self.weights_sources,
+                self.mesh,
+                reduce=reduce,
+                out_of_bounds=out_of_bounds,
+                **kwargs,
+            )
+        else:
+            out = beamform_op(
+                waveform_features,
+                self.moveouts,
+                self.weights_phases,
+                self.weights_sources,
+                reduce=reduce,
+                out_of_bounds=out_of_bounds,
+                **kwargs,
+            )
+        if reduce == "max":
+            self.maxbeam = np.asarray(out[0])
+            self.maxbeam_sources = np.asarray(out[1])
+            return self.maxbeam, self.maxbeam_sources
+        self.beam = np.asarray(out)
+        return self.beam
+
+    # ------------------------------------------------------------------
+    def compute_detection_threshold(
+        self, window_sec: float = 3600.0, overlap: float = 0.75,
+        num_dev: Optional[float] = None,
+    ) -> np.ndarray:
+        if num_dev is None:
+            num_dev = self.cfg.n_dev_bp_threshold
+        window = int(sec_to_samp(window_sec, sr=self.data.sr))
+        self.detection_threshold = np.asarray(
+            bp_detection_threshold(
+                self.maxbeam, window, overlap=overlap, num_dev=num_dev
+            )
+        )
+        return self.detection_threshold
+
+    def find_detections(
+        self,
+        detection_threshold,
+        minimum_interevent_time: float,
+        n_max_stations: Optional[int] = None,
+        data_reader=None,
+    ):
+        """Peak-pick the max beam and build Events.
+
+        Reference parity: BPMF/template_search.py:574-673.
+        """
+        detection_threshold = np.asarray(detection_threshold)
+        if detection_threshold.ndim == 0:
+            detection_threshold = np.full(
+                len(self.maxbeam), float(detection_threshold), np.float32
+            )
+        self.detection_threshold = detection_threshold
+        sr = self.data.sr
+        min_iet = int(sec_to_samp(minimum_interevent_time, sr=sr))
+
+        peak_indexes = detect_peaks(self.maxbeam, mpd=min_iet)
+        peak_indexes = peak_indexes[
+            self.maxbeam[peak_indexes] > detection_threshold[peak_indexes]
+        ]
+        # keep the largest peak inside each group
+        for i in range(len(peak_indexes)):
+            lo = max(0, peak_indexes[i] - min_iet // 2)
+            hi = min(peak_indexes[i] + min_iet // 2, len(self.maxbeam))
+            idx = np.arange(lo, hi)
+            upd = np.where(peak_indexes == peak_indexes[i])[0]
+            peak_indexes[upd] = idx[np.argmax(self.maxbeam[idx])]
+        peak_indexes = np.unique(peak_indexes)
+        source_indexes = self.maxbeam_sources[peak_indexes]
+
+        detections = []
+        import os
+
+        data_path, data_filename = os.path.split(str(self.data.where))
+        for i in range(len(peak_indexes)):
+            src_pos = source_indexes[i]
+            src_idx = self.source_coordinates.index[src_pos]
+            ot = self.data.date_epoch + peak_indexes[i] / sr
+            mv = self.moveouts[src_pos].astype(np.float64) / sr
+            if hasattr(self.travel_times, "moveout_to_tt"):
+                ot = ot - float(self.travel_times.moveout_to_tt[src_pos])
+                mv = mv + float(self.travel_times.moveout_to_tt[src_pos])
+            if n_max_stations is not None and n_max_stations < len(mv):
+                mv_max = np.sort(mv[:, 0])[n_max_stations - 1]
+            else:
+                mv_max = np.finfo(np.float32).max
+            stations_in = np.asarray(self.stations)[mv[:, 0] <= mv_max]
+            mv_in = mv[mv[:, 0] <= mv_max]
+            event = Event(
+                utc_from_epoch(ot),
+                mv_in,
+                stations_in,
+                self.phases,
+                data_filename,
+                data_path,
+                latitude=float(self.source_coordinates["latitude"].loc[src_idx]),
+                longitude=float(self.source_coordinates["longitude"].loc[src_idx]),
+                depth=float(self.source_coordinates["depth"].loc[src_idx]),
+                sampling_rate=sr,
+                data_reader=data_reader or getattr(self.data, "data_reader", None),
+            )
+            event.set_aux_data(
+                {
+                    "maxbeam": float(self.maxbeam[peak_indexes[i]]),
+                    "source_index": int(src_idx),
+                }
+            )
+            detections.append(event)
+
+        self.peak_indexes = peak_indexes
+        self.source_indexes = source_indexes
+        return detections, peak_indexes, source_indexes
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _likelihood(beam_volume: np.ndarray) -> np.ndarray:
+        """Min-max normalized beam (reference:
+        BPMF/template_search.py:498-506)."""
+        rng = beam_volume.max() - beam_volume.min()
+        if rng == 0:
+            return np.zeros_like(beam_volume)
+        lik = (beam_volume - beam_volume.min()) / rng
+        return np.clip(lik, 0.0, 1.0)
+
+    def location_uncertainty(self, beam_over_sources: np.ndarray):
+        """Likelihood-weighted RMS distance from the argmax source.
+
+        Reference parity: BPMF/template_search.py:1269-1333.
+        """
+        from ..utils.geo import two_point_distance
+
+        lik = self._likelihood(beam_over_sources)
+        best = int(np.argmax(beam_over_sources))
+        src = self.source_coordinates
+        d = two_point_distance(
+            src["longitude"].values, src["latitude"].values,
+            src["depth"].values,
+            float(src["longitude"].iloc[best]),
+            float(src["latitude"].iloc[best]),
+            float(src["depth"].iloc[best]),
+        )
+        w = lik**2
+        if w.sum() == 0:
+            return np.inf
+        w = w / w.sum()
+        return float(np.sqrt(np.sum(w * d**2)))

@@ -1,0 +1,416 @@
+"""Matched-filter detection engine.
+
+Reference parity: `MatchedFilter` (BPMF/similarity_search.py:22-1028).  The
+compute path is the TPU matched-filter kernel (`ops.matched_filter` single
+chip, `parallel.matched_filter_sharded` on a mesh); channel-weight policies,
+time-dependent thresholding, CC-peak selection, CDF validation and event
+extraction mirror the reference.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from ..config import Config, DEFAULT_CONFIG
+from ..ops import matched_filter as matched_filter_op
+from ..ops import time_dependent_threshold
+from ..ops.cf import scalar_kurtosis
+from ..ops.reference import dedup_detection_indexes
+from ..utils.time import sec_to_samp, utc_from_epoch
+from ..data.events import Event
+
+
+class MatchedFilter:
+    """Runs the template-matching scan and extracts detections."""
+
+    def __init__(
+        self,
+        template_group,
+        min_channels: int = 6,
+        min_stations: int = 3,
+        max_kurto: float = 100.0,
+        remove_edges: bool = True,
+        normalize: bool = True,
+        max_CC_threshold: float = 0.80,
+        threshold_type: str = "rms",
+        step: Optional[int] = None,
+        max_memory_gb: Optional[float] = None,
+        anomalous_cdf_at_mean_plus_1sig: float = 0.0,
+        window_for_validation_Tmax: float = 100.0,
+        cfg: Config = DEFAULT_CONFIG,
+        mesh=None,
+    ):
+        self.template_group = template_group
+        self.min_channels = min_channels
+        self.min_stations = min_stations
+        self.max_kurto = max_kurto
+        self.remove_edges = remove_edges
+        self.normalize = normalize
+        self.max_CC_threshold = max_CC_threshold
+        self.threshold_type = threshold_type.lower()
+        self.step = step if step is not None else max(1, cfg.matched_filter_step_samp)
+        self.max_memory_gb = max_memory_gb
+        self.anomalous_cdf_at_mean_plus_1sig = anomalous_cdf_at_mean_plus_1sig
+        self.window_for_validation_Tmax = window_for_validation_Tmax
+        self.cfg = cfg
+        self.mesh = mesh
+
+    # ------------------------------------------------------------------
+    @property
+    def components(self):
+        return self.template_group.components
+
+    @property
+    def stations(self):
+        return self.template_group.stations
+
+    @property
+    def network(self):
+        return self.template_group.network
+
+    @property
+    def memory_cc_time_series_gb(self) -> float:
+        """Per-template CC-series size in GB (reference:
+        BPMF/similarity_search.py:153-161)."""
+        if not hasattr(self, "data"):
+            return 0.0
+        nbytes = 4 * int(self.data.duration / (self.step / self.data.sr))
+        return nbytes / 1024.0**3
+
+    # ------------------------------------------------------------------
+    def set_data(self, data):
+        """Attach continuous data; RMS-normalize channels (reference:
+        BPMF/similarity_search.py:163-185)."""
+        self.data = data
+        self.data_arr = data.get_np_array(
+            self.stations, components=self.components
+        ).astype(np.float32)
+        if self.normalize:
+            norm = np.std(self.data_arr, axis=-1, keepdims=True)
+            norm[norm == 0.0] = 1.0
+            self.data_norm = norm.squeeze(-1)
+            self.data_arr = self.data_arr / norm
+
+    # ------------------------------------------------------------------
+    # channel-weight policies (reference: similarity_search.py:288-474)
+    # ------------------------------------------------------------------
+    def _apply_validity(self, weights: np.ndarray) -> np.ndarray:
+        invalid = (
+            np.sum(weights != 0.0, axis=(1, 2)) < self.min_channels
+        ) | (
+            np.sum(np.sum(weights, axis=2) > 0.0, axis=1) < self.min_stations
+        )
+        weights[invalid] = 0.0
+        return weights
+
+    def _weights_channels_simple(self):
+        w = np.float32(self.template_group.network_to_template_map)
+        return self._apply_validity(w)
+
+    def _weights_channels_closest(self, num_closest_stations: int):
+        tg = self.template_group
+        w = np.ones(
+            (tg.n_templates, self.network.n_stations,
+             self.network.n_components),
+            np.float32,
+        )
+        operational = tg.availability_arr.copy()
+        if hasattr(self.data, "availability_per_cha"):
+            operational &= self.data.availability_per_cha.loc[
+                list(self.stations)
+            ].values[None, ...]
+        op_sta = np.any(operational, axis=-1)
+        mv = tg.moveouts_arr[..., 0].astype(np.int64)
+        mv = np.where(op_sta, mv, np.iinfo(np.int32).max)
+        k = min(mv.shape[1], num_closest_stations)
+        if 0 < k < self.network.n_stations:
+            cutoff = np.max(
+                np.partition(mv, k - 1)[:, :k], axis=1, keepdims=True
+            )
+            w[tg.moveouts_arr[:, :, 0] > cutoff, :] = 0.0
+        w[~operational] = 0.0
+        return self._apply_validity(w)
+
+    def _weights_channels_max_moveout(self, max_moveout_sec: float):
+        tg = self.template_group
+        sr = tg.templates[0].sr
+        w = np.zeros(
+            (tg.n_templates, self.network.n_stations,
+             self.network.n_components),
+            np.float32,
+        )
+        operational = tg.availability_arr.copy()
+        if hasattr(self.data, "availability_per_cha"):
+            operational &= self.data.availability_per_cha.loc[
+                list(self.stations)
+            ].values[None, ...]
+        op_sta = np.any(operational, axis=-1)
+        mv = np.min(tg.moveouts_arr, axis=-1)
+        valid = (mv < int(max_moveout_sec * sr)) & op_sta
+        w[valid, :] = 1.0
+        w[~operational] = 0.0
+        return self._apply_validity(w)
+
+    def set_weights_channels(
+        self,
+        n_min_stations: int = 0,
+        normalize: bool = True,
+        weight_station_density: bool = False,
+        method: str = "simple",
+        **kwargs,
+    ):
+        if method == "simple":
+            w = self._weights_channels_simple()
+        elif method == "closest_stations":
+            w = self._weights_channels_closest(
+                kwargs["num_closest_stations"]
+            )
+        elif method == "max_moveout":
+            w = self._weights_channels_max_moveout(kwargs["max_moveout_sec"])
+        else:
+            raise ValueError(f"invalid method {method!r}")
+        if n_min_stations > 0:
+            n_sta = np.sum(np.any(w > 0.0, axis=-1), axis=1)
+            w[n_sta < n_min_stations, :] = 0.0
+        if weight_station_density:
+            dists = self.network.interstation_distances.values
+            cutoff = kwargs.get("cutoff_dist") or np.median(
+                dists[dists != 0.0]
+            )
+            wd = 1.0 / np.sum(np.exp(-(dists**2) / cutoff**2), axis=1)
+            w *= wd[None, :, None].astype(np.float32)
+        if normalize:
+            norm = w.sum(axis=(1, 2), keepdims=True)
+            norm[norm == 0.0] = 1.0
+            w = w / norm
+        self.weights_channels = w
+
+    # ------------------------------------------------------------------
+    def compute_cc_time_series(self, tids=None, n_corr_block: int = 131072):
+        """Run the TPU matched filter for (a subset of) the template bank.
+
+        Reference parity: BPMF/similarity_search.py:476-546 (the
+        `n_network_chunks` GPU-memory workaround is gone: the kernel blocks
+        internally and the mesh shards the template/time axes).
+        """
+        tg = self.template_group
+        if tids is None:
+            select = np.arange(tg.n_templates)
+        else:
+            select = np.asarray(tg.tindexes.loc[tids])
+        self.tids_subset = list(tg.tids[select])
+        self._weights_arr = self.weights_channels[select]
+
+        invalid = self._weights_arr.sum(axis=(1, 2)) == 0
+        run = select[~invalid]
+        self.cc = {}
+        if len(run) > 0:
+            templates = tg.waveforms_arr[run]
+            moveouts = tg.moveouts_arr[run]
+            weights = self.weights_channels[run]
+            if self.mesh is not None:
+                from ..parallel import matched_filter_sharded
+
+                cc_sums = matched_filter_sharded(
+                    templates, moveouts, weights, self.data_arr, self.mesh,
+                    step=self.step,
+                )
+            else:
+                cc_sums = matched_filter_op(
+                    templates, moveouts, weights, self.data_arr,
+                    step=self.step, n_corr_block=n_corr_block,
+                )
+            cc_sums = np.array(cc_sums)  # writable host copy
+            cc_sums[np.isnan(cc_sums)] = 0.0
+            for i, t in enumerate(run):
+                self.cc[tg.tids[t]] = cc_sums[i]
+        for t in select[invalid]:
+            self.cc[tg.tids[t]] = np.zeros(1, np.float32)
+        return self.cc
+
+    # ------------------------------------------------------------------
+    def select_cc_indexes(
+        self, cc_t: np.ndarray, threshold: np.ndarray, search_win: float
+    ) -> np.ndarray:
+        """Above-threshold peak indexes, deduped within `search_win` and
+        validated against the local CC CDF.
+
+        Reference parity: BPMF/similarity_search.py:187-286.
+        """
+        sr = self.data.sr
+        cc_idx = np.flatnonzero(cc_t > threshold)
+        cc_idx = dedup_detection_indexes(cc_idx, cc_t, search_win)
+
+        if self.anomalous_cdf_at_mean_plus_1sig > 0.0 and len(cc_idx):
+            window = int(
+                1.0 / self.cfg.min_freq_hz * self.window_for_validation_Tmax
+            )
+            cc_1sig = threshold / self.cfg.n_dev_mf_threshold
+            if self.threshold_type == "mad":
+                cc_1sig = cc_1sig * 1.48
+            valid = np.ones(len(cc_idx), dtype=bool)
+            for i, idx in enumerate(cc_idx):
+                lo = max(0, idx - window // 2)
+                hi = lo + window
+                if hi >= len(cc_t):
+                    hi = len(cc_t) - 1
+                    lo = hi - window
+                half = (hi - lo) // 2
+                cc1 = cc_t[lo : lo + half]
+                cc2 = cc_t[lo + half : hi]
+                frac = min(
+                    np.mean(cc1 < cc_1sig[idx]) if len(cc1) else 1.0,
+                    np.mean(cc2 < cc_1sig[idx]) if len(cc2) else 1.0,
+                )
+                if frac < self.anomalous_cdf_at_mean_plus_1sig:
+                    valid[i] = False
+            cc_idx = cc_idx[valid]
+
+        if self.remove_edges and len(cc_idx):
+            det = cc_idx * self.step
+            lo = int(sec_to_samp(self.cfg.data_buffer_sec, sr=sr))
+            hi = int(
+                sec_to_samp(
+                    self.data.duration + self.cfg.data_buffer_sec, sr=sr
+                )
+            )
+            keep = (det >= lo) & (det < hi)
+            cc_idx = cc_idx[keep]
+        return cc_idx
+
+    def _find_detections_t(self, tid, white_noise=None):
+        """Per-template detection extraction (reference:
+        BPMF/similarity_search.py:600-724)."""
+        tg = self.template_group
+        t = self.tids_subset.index(tid)
+        tt = int(tg.tindexes.loc[tid])
+        sr = self.data.sr
+        min_iet = int(sec_to_samp(self.minimum_interevent_time, sr=sr))
+        cc_t = self.cc[tid]
+        weights_t = self._weights_arr[t]
+
+        if not np.any(cc_t != 0.0):
+            return []
+        threshold = np.asarray(
+            time_dependent_threshold(
+                cc_t,
+                int(sec_to_samp(self.threshold_window_dur, sr=sr)),
+                self.cfg.n_dev_mf_threshold,
+                overlap=self.overlap,
+                threshold_type=self.threshold_type,
+                white_noise=white_noise,
+            )
+        )
+        threshold = np.minimum(
+            self.max_CC_threshold * weights_t.sum(), threshold
+        )
+        if self.sanity_check and scalar_kurtosis(cc_t) > self.max_kurto:
+            return []
+
+        d_mv = np.max(tg.moveouts_arr[tt], axis=-1) - np.min(
+            tg.moveouts_arr[tt], axis=-1
+        )
+        d_mv = int(np.median(d_mv)) + 1
+        search_win = min(10 * min_iet, max(d_mv, min_iet)) / self.step
+        cc_idx = self.select_cc_indexes(cc_t, threshold, search_win)
+        detection_indexes = cc_idx * self.step
+
+        template = tg.templates[tt]
+        stations = list(self.stations)
+        mv = template.moveouts.loc[stations].values
+        data_path, data_filename = os.path.split(str(self.data.where))
+        detections = []
+        for i, det_idx in enumerate(detection_indexes):
+            ot = self.data.date_epoch + det_idx / sr
+            event = Event(
+                utc_from_epoch(ot),
+                mv,
+                stations,
+                template.phases,
+                data_filename,
+                data_path,
+                sampling_rate=sr,
+                data_reader=getattr(self.data, "data_reader", None),
+            )
+            event.inherit_location(template)
+            aux = {
+                "cc": float(cc_t[cc_idx[i]]),
+                "n_threshold": float(cc_t[cc_idx[i]] / threshold[cc_idx[i]]),
+                "tid": tid,
+            }
+            aux["n_dev"] = aux["n_threshold"] * self.cfg.n_dev_mf_threshold
+            event.set_aux_data(aux)
+            detections.append(event)
+        return detections
+
+    def find_detections(
+        self,
+        minimum_interevent_time: float,
+        threshold_window_dur: float = 1800.0,
+        overlap: float = 0.25,
+        sanity_check: bool = True,
+        verbose: int = 0,
+        white_noise: Optional[np.ndarray] = None,
+    ) -> Dict:
+        """Reference parity: BPMF/similarity_search.py:548-598."""
+        self.minimum_interevent_time = minimum_interevent_time
+        self.threshold_window_dur = threshold_window_dur
+        self.overlap = overlap
+        self.sanity_check = sanity_check
+        detections = {}
+        for tid in list(self.cc.keys()):
+            detections[tid] = self._find_detections_t(
+                tid, white_noise=white_noise
+            )
+            if verbose > 0:
+                print(f"Template {tid} detected {len(detections[tid])} events.")
+        return detections
+
+    # ------------------------------------------------------------------
+    def run_matched_filter_search(
+        self,
+        minimum_interevent_time: float,
+        threshold_window_dur: float = 1800.0,
+        overlap: float = 0.25,
+        sanity_check: bool = True,
+        verbose: int = 0,
+        **kwargs,
+    ) -> Dict:
+        """Full scan with optional template chunking bounded by
+        `max_memory_gb` (reference: BPMF/similarity_search.py:726-807)."""
+        from time import time as give_time
+
+        tg = self.template_group
+        if self.max_memory_gb is not None:
+            n_chunk = max(
+                1, int(self.max_memory_gb / max(self.memory_cc_time_series_gb,
+                                                1e-9))
+            )
+        else:
+            n_chunk = tg.n_templates
+        detections: Dict = {}
+        t_mf = t_det = 0.0
+        for lo in range(0, tg.n_templates, n_chunk):
+            tids_chunk = tg.tids[lo : lo + n_chunk]
+            t0 = give_time()
+            self.compute_cc_time_series(tids=tids_chunk)
+            t_mf += give_time() - t0
+            t0 = give_time()
+            detections.update(
+                self.find_detections(
+                    minimum_interevent_time,
+                    threshold_window_dur=threshold_window_dur,
+                    overlap=overlap,
+                    sanity_check=sanity_check,
+                    verbose=verbose,
+                )
+            )
+            t_det += give_time() - t0
+        if verbose > -1:
+            print(f"Total time computing CCs: {t_mf:.2f}s")
+            print(f"Total time finding detections: {t_det:.2f}s")
+        return detections

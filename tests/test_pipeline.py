@@ -1,0 +1,186 @@
+"""End-to-end miniature pipeline test (the tutorial-shaped slice of
+SURVEY.md section 7): synthetic day -> envelope features -> beamform ->
+threshold -> detections -> template extraction -> matched filter ->
+threshold -> detection list.
+
+Events are injected at known times/sources; the test asserts both engines
+recover them.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from seismic_bpmf_tpu.config import Config
+from seismic_bpmf_tpu.data import (
+    Data,
+    Network,
+    Template,
+    TemplateGroup,
+    TravelTimes,
+    data_reader_hdf5,
+    write_hdf5_continuous,
+)
+from seismic_bpmf_tpu.data.stream import Stream, Trace
+from seismic_bpmf_tpu.detection import Beamformer, MatchedFilter
+from seismic_bpmf_tpu.ops import saturated_envelopes
+
+
+SR = 25.0
+DAY = 1200.0  # a "mini day" of 20 minutes
+N_STA = 6
+N_SRC = 16
+EVENT_TIMES = [300.0, 700.0]  # seconds into the day
+EVENT_SRC = 5
+
+
+@pytest.fixture(scope="module")
+def mini_world(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("mini")
+    rng = np.random.default_rng(7)
+    cfg = Config(data_buffer_sec=0.0, sampling_rate_hz=SR,
+                 template_len_sec=8.0, n_dev_bp_threshold=10.0,
+                 n_dev_mf_threshold=8.0, matched_filter_step_samp=1)
+
+    # network
+    md = pd.DataFrame({
+        "stations": [f"ST{i}" for i in range(N_STA)],
+        "networks": ["XX"] * N_STA,
+        "latitude": 40.0 + 0.1 * rng.random(N_STA),
+        "longitude": 30.0 + 0.1 * rng.random(N_STA),
+        "elevation_m": np.zeros(N_STA),
+    })
+    net = Network.from_dataframe(md)
+
+    # travel-time table: random but fixed moveouts (sec), P < S
+    tt_p = {f"ST{i}": rng.uniform(1.0, 6.0, N_SRC).astype(np.float32)
+            for i in range(N_STA)}
+    tt_s = {f"ST{i}": (tt_p[f"ST{i}"] * 1.7).astype(np.float32)
+            for i in range(N_STA)}
+    coords = {
+        "longitude": np.linspace(30.0, 30.1, N_SRC),
+        "latitude": np.linspace(40.0, 40.1, N_SRC),
+        "depth": np.full(N_SRC, 8.0),
+    }
+    tts_path = str(tmp / "tts.h5")
+    TravelTimes.write_table(tts_path, {"P": tt_p, "S": tt_s}, coords)
+
+    # synthetic waveforms: noise + wavelets at the arrival times of src 5
+    n_samp = int(DAY * SR)
+    t0_epoch = 1343260800.0
+    st = Stream()
+    wavelet = np.sin(2 * np.pi * 5.0 * np.arange(0, 1.0, 1 / SR)) * np.hanning(int(SR))
+    for i in range(N_STA):
+        sta = f"ST{i}"
+        for comp in "NEZ":
+            x = 0.05 * rng.normal(size=n_samp).astype(np.float32)
+            for ev_t in EVENT_TIMES:
+                tt = tt_p[sta][EVENT_SRC] if comp == "Z" else tt_s[sta][EVENT_SRC]
+                idx = int((ev_t + tt) * SR)
+                x[idx : idx + len(wavelet)] += (3.0 + rng.random()) * wavelet
+            st += Trace(x, station=sta, network="XX", channel=f"HH{comp}",
+                        sampling_rate=SR, starttime=t0_epoch)
+    day_path = str(tmp / "day.h5")
+    write_hdf5_continuous(day_path, st)
+
+    data = Data("2012-07-26", day_path, data_reader_hdf5, duration=DAY,
+                sampling_rate=SR)
+    data.read_waveforms()
+    return dict(tmp=tmp, cfg=cfg, net=net, data=data, tts_path=tts_path)
+
+
+@pytest.fixture(scope="module")
+def bp_detections(mini_world):
+    w = mini_world
+    tt = TravelTimes("tts.h5", str(w["tmp"])).read(
+        ["P", "S"], read_coords=True
+    ).convert_to_samples(SR)
+
+    bf = Beamformer(
+        data=w["data"], network=w["net"], phases=["P", "S"],
+        travel_times=tt, cfg=w["cfg"],
+    )
+    features, availability = saturated_envelopes(
+        w["data"].get_np_array(w["net"].stations)
+    )
+    features = np.asarray(features)
+    w_ph = np.zeros((N_STA, 3, 2), np.float32)
+    w_ph[:, 2, 0] = 1.0  # P on Z
+    w_ph[:, :2, 1] = 1.0  # S on horizontals
+    bf.set_weights(weights_phases=w_ph)
+    bf.set_weights_sources(method="closest_stations",
+                           num_closest_stations=N_STA, normalize=True)
+    bf.backproject(features, reduce="max", engine="onehot")
+    thr = bf.compute_detection_threshold(window_sec=200.0)
+    dets, peaks, sources = bf.find_detections(thr, minimum_interevent_time=10.0)
+    return bf, dets
+
+
+class TestBackprojectionE2E:
+    def test_detects_injected_events(self, bp_detections):
+        bf, dets = bp_detections
+        assert len(dets) >= 2
+        det_times = sorted(
+            d.origin_time_epoch - bf.data.date_epoch for d in dets
+        )
+        # the two injected events must be among the detections (+- 2 s;
+        # origin-time correction by moveout_to_tt shifts relative to first
+        # arrival)
+        for ev_t in EVENT_TIMES:
+            assert any(abs(dt - ev_t) < 5.0 for dt in det_times), (
+                f"event at {ev_t}s not detected: {det_times}"
+            )
+
+    def test_detection_metadata(self, bp_detections):
+        bf, dets = bp_detections
+        for d in dets:
+            assert d.latitude is not None
+            assert "maxbeam" in d.aux_data
+            assert len(d.stations) == N_STA
+
+
+@pytest.fixture(scope="module")
+def template_group(mini_world, bp_detections):
+    w = mini_world
+    bf, dets = bp_detections
+    # build templates from the strongest detection
+    best = max(dets, key=lambda d: d.aux_data["maxbeam"])
+    best.read_waveforms(
+        8.0,
+        offset_phase={"P": 1.0, "S": 2.0},
+        time_shifted=True,
+        data_reader=data_reader_hdf5,
+    )
+    tp = Template.init_from_event(best)
+    tp.set_aux_data({"tid": 0})
+    tp.id = "0"
+    return TemplateGroup([tp], w["net"])
+
+
+class TestMatchedFilterE2E:
+    def test_detects_both_occurrences(self, mini_world, template_group):
+        w = mini_world
+        mf = MatchedFilter(
+            template_group, min_channels=3, min_stations=2,
+            max_kurto=1e6, cfg=w["cfg"],
+        )
+        mf.set_data(w["data"])
+        mf.set_weights_channels(method="simple", normalize=True)
+        white_noise = np.random.default_rng(0).normal(size=500).astype(
+            np.float32
+        )
+        mf.compute_cc_time_series(n_corr_block=8192)
+        dets = mf.find_detections(
+            minimum_interevent_time=5.0,
+            threshold_window_dur=200.0,
+            white_noise=white_noise,
+        )
+        assert "0" in dets or 0 in dets
+        key = "0" if "0" in dets else 0
+        det_times = sorted(
+            d.origin_time_epoch - w["data"].date_epoch for d in dets[key]
+        )
+        assert len(det_times) >= 2
+        # both injected occurrences detected (the template itself + repeat)
+        cc_vals = [d.aux_data["cc"] for d in dets[key]]
+        assert max(cc_vals) > 0.9  # self-detection
