@@ -19,7 +19,7 @@ from ..config import Config, DEFAULT_CONFIG
 from ..ops import matched_filter as matched_filter_op
 from ..ops import time_dependent_threshold
 from ..ops.cf import scalar_kurtosis
-from ..ops.reference import dedup_detection_indexes
+from ..ops.host_ops import dedup_detection_indexes
 from ..utils.time import sec_to_samp, utc_from_epoch
 from ..data.events import Event
 

@@ -1,0 +1,263 @@
+"""Pallas TPU kernel for shift-and-stack beamforming.
+
+MXU formulation of `ops.reference.beamform` (replaces `beampower`'s CUDA
+gather loop).  Grid (time blocks, source blocks), source dim fastest, so the
+output block for a time block stays resident in VMEM while the running
+max/argmax accumulates across source blocks.  Per grid step:
+
+  if g_s == 0: DMA the folded features g[sp, t0 : t0 + B + M] into VMEM
+  for each station-phase sp:                 (fori, n_sp iterations)
+    H128[r, :] = g[sp, t0 + r : ...]         (128 *static* shifted copies)
+    for q in range(M / 128):
+      Wq[r, i]  = w_src[i, sp] * (mv[i, sp] == 128 q + r)  (one-hot compare)
+      beam     += Wq contracted with H128[:, 128 q : 128 q + B]   (MXU)
+  strict mask; fake-source rows -> -inf; fold running (max, argmax) with
+  first-max (smallest source index) tie-breaking, or write the beam block.
+
+The one-hot matmul turns the gather-bound shift-and-stack into a
+matmul-bound problem — the idiomatic TPU mapping of beamforming.  All lane
+offsets are either static or provably 128-aligned, so no dynamic cross-lane
+shifts are emitted.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .beamform import _flatten_moveouts, fold_components
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _make_bp_kernel(*, B, M, S, n_sp, n_src, n_samp, strict, reduce_max):
+    neg_inf = float(-jnp.inf)
+    W = B + M
+    W128 = W - 128
+    n_q = M // 128
+
+    def kernel(
+        mv_ref,      # (n_sp, n_src_pad) int32 (VMEM)
+        w_ref,       # (n_sp, n_src_pad) f32 (VMEM)
+        lo_ref,      # (n_src_pad, 1) int32 used-mv min per source (VMEM)
+        hi_ref,      # (n_src_pad, 1) int32 used-mv max per source (VMEM)
+        g_ref,       # (n_sp_pad, ext) f32 (ANY/HBM)
+        *refs,
+    ):
+        if reduce_max:
+            (val_ref, idx_ref, win_scratch, h_scratch, dma_sem) = refs
+        else:
+            (out_ref, win_scratch, h_scratch, dma_sem) = refs
+
+        g_t = pl.program_id(0)
+        g_s = pl.program_id(1)
+        t0 = g_t * B
+        s_ofs = pl.multiple_of(g_s * S, 128)
+
+        @pl.when(g_s == 0)
+        def _():
+            dma = pltpu.make_async_copy(
+                g_ref.at[:, pl.ds(t0, W)], win_scratch, dma_sem
+            )
+            dma.start()
+            dma.wait()
+
+        r_col = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+
+        def sp_body(sp, beam):
+            # H128: 128 statically-shifted copies of the sp data window
+            for r in range(128):
+                h_scratch[r : r + 1, :] = win_scratch[
+                    pl.ds(sp, 1), r : r + W128
+                ]
+            mv_row = mv_ref[pl.ds(sp, 1), pl.ds(s_ofs, S)]  # (1, S)
+            w_row = w_ref[pl.ds(sp, 1), pl.ds(s_ofs, S)]    # (1, S)
+
+            def q_body(q, beam):
+                onehot = (
+                    (mv_row - q * 128) == r_col
+                ).astype(jnp.float32) * w_row  # (128, S)
+                hq = h_scratch[:, pl.ds(pl.multiple_of(q * 128, 128), B)]
+                return beam + jax.lax.dot_general(
+                    onehot,
+                    hq,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # (S, B)
+
+            return jax.lax.fori_loop(0, n_q, q_body, beam)
+
+        beam = jax.lax.fori_loop(
+            0, n_sp, sp_body, jnp.zeros((S, B), jnp.float32)
+        )
+
+        t_abs = t0 + lane  # (1, B)
+        if strict:
+            lo = lo_ref[pl.ds(s_ofs, S), :]  # (S, 1)
+            hi = hi_ref[pl.ds(s_ofs, S), :]
+            ok = (t_abs + lo >= 0) & (t_abs + hi < n_samp)
+            beam = jnp.where(ok, beam, 0.0)
+
+        if not reduce_max:
+            out_ref[...] = beam
+            return
+
+        src_ids = s_ofs + row  # (S, 1)
+        beam = jnp.where(src_ids < n_src, beam, neg_inf)
+        blk_val = jnp.max(beam, axis=0, keepdims=True)  # (1, B)
+        cand = jnp.where(beam == blk_val, src_ids, jnp.int32(2**30))
+        blk_idx = jnp.min(cand, axis=0, keepdims=True)  # (1, B)
+
+        @pl.when(g_s == 0)
+        def _():
+            val_ref[...] = jnp.broadcast_to(blk_val, val_ref.shape)
+            idx_ref[...] = jnp.broadcast_to(blk_idx, idx_ref.shape)
+
+        @pl.when(g_s > 0)
+        def _():
+            cur_val = val_ref[0:1, :]
+            cur_idx = idx_ref[0:1, :]
+            take = blk_val > cur_val
+            new_val = jnp.where(take, blk_val, cur_val)
+            new_idx = jnp.where(take, blk_idx, cur_idx)
+            val_ref[...] = jnp.broadcast_to(new_val, val_ref.shape)
+            idx_ref[...] = jnp.broadcast_to(new_idx, idx_ref.shape)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "B", "M", "S", "n_samp", "n_src", "strict", "reduce_max", "interpret",
+    ),
+)
+def _bp_pallas_call(
+    mv, w, lo, hi, g_pad,
+    *, B, M, S, n_samp, n_src, strict, reduce_max, interpret=False,
+):
+    n_sp = mv.shape[0]
+    n_src_pad = mv.shape[1]
+    n_sp_pad = g_pad.shape[0]
+    n_t_blocks = (g_pad.shape[1] - M) // B
+    n_s_blocks = n_src_pad // S
+    W = B + M
+
+    kernel = _make_bp_kernel(
+        B=B, M=M, S=S, n_sp=n_sp, n_src=n_src, n_samp=n_samp,
+        strict=strict, reduce_max=reduce_max,
+    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # mv
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # w
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # lo
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # hi
+        pl.BlockSpec(memory_space=pltpu.ANY),   # g (manual DMA)
+    ]
+    scratch = [
+        pltpu.VMEM((n_sp_pad, W), jnp.float32),
+        pltpu.VMEM((128, W - 128), jnp.float32),
+        pltpu.SemaphoreType.DMA,
+    ]
+    if reduce_max:
+        out_shape = (
+            jax.ShapeDtypeStruct((8, n_t_blocks * B), jnp.float32),
+            jax.ShapeDtypeStruct((8, n_t_blocks * B), jnp.int32),
+        )
+        out_specs = (
+            pl.BlockSpec((8, B), lambda t, s: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, B), lambda t, s: (0, t),
+                         memory_space=pltpu.VMEM),
+        )
+    else:
+        out_shape = jax.ShapeDtypeStruct(
+            (n_src_pad, n_t_blocks * B), jnp.float32
+        )
+        out_specs = pl.BlockSpec(
+            (S, B), lambda t, s: (s, t), memory_space=pltpu.VMEM
+        )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_t_blocks, n_s_blocks),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(mv, w, lo, hi, g_pad)
+
+
+def beamform_pallas(
+    features,
+    moveouts,
+    weights_phases,
+    weights_sources,
+    reduce: str = "max",
+    out_of_bounds: str = "strict",
+    time_block: int = 1024,
+    src_block: int = 512,
+    interpret: bool = False,
+):
+    """Beamform via the fused Pallas kernel.
+
+    Same semantics as `ops.reference.beamform`.  Moveouts must be >= 0
+    (true for BPMF moveouts relative to the first arrival).
+    """
+    assert reduce in ("max", "none")
+    features = np.asarray(features, np.float32)
+    n_sta, n_comp, n_samp = features.shape
+    mv_flat, w_flat, mv_lo, mv_hi = _flatten_moveouts(
+        moveouts, weights_phases, weights_sources
+    )
+    n_src, n_sp = mv_flat.shape
+    assert mv_flat.min(initial=0) >= 0, "moveouts must be non-negative"
+    max_mv = int(mv_flat.max(initial=0))
+
+    B = time_block
+    # source-block offsets must be 128-aligned for the VMEM row slices
+    S = _round_up(min(src_block, max(n_src, 1)), 128)
+    M = _round_up(max_mv + 1, 128)
+    n_src_pad = _round_up(n_src, S)
+    n_sp_pad = _round_up(n_sp, 8)
+    n_t_blocks = math.ceil(n_samp / B)
+
+    g = np.asarray(fold_components(features, weights_phases))  # (n_sp, n_samp)
+    ext = n_t_blocks * B + M
+    g_pad = np.zeros((n_sp_pad, ext), np.float32)
+    g_pad[:n_sp, :n_samp] = g
+
+    mv_in = np.zeros((n_sp, n_src_pad), np.int32)
+    mv_in[:, :n_src] = mv_flat.T
+    w_in = np.zeros((n_sp, n_src_pad), np.float32)
+    w_in[:, :n_src] = w_flat.T
+    lo_in = np.zeros((n_src_pad, 1), np.int32)
+    hi_in = np.zeros((n_src_pad, 1), np.int32)
+    lo_in[:n_src, 0] = mv_lo
+    hi_in[:n_src, 0] = mv_hi
+
+    out = _bp_pallas_call(
+        jnp.asarray(mv_in), jnp.asarray(w_in),
+        jnp.asarray(lo_in), jnp.asarray(hi_in), jnp.asarray(g_pad),
+        B=B, M=M, S=S, n_samp=n_samp, n_src=n_src,
+        strict=(out_of_bounds == "strict"), reduce_max=(reduce == "max"),
+        interpret=interpret,
+    )
+    if reduce == "max":
+        val, idx = out
+        return val[0, :n_samp], idx[0, :n_samp]
+    return out[:n_src, :n_samp]

@@ -1,0 +1,272 @@
+"""Pallas TPU kernel for the normalized matched filter.
+
+All-matmul formulation with **zero dynamic shifts** in the kernel: the
+per-(template, channel) integer moveout is folded host-side into extended
+filters of length LM = L + max_moveout —
+
+  F[t, c, mv + j]     = (w[t,c] / ||tpl||) * tpl_dm[t, c, j]   (corr filter)
+  O[t, c, mv + j]     = 1                                      (window sums)
+
+so that for output lag b,
+
+  corr_w[t, b] = sum_i F[t, c, i] * d[c, b + i]         (moveout-aligned,
+  s1[t, b]     = sum_i O[t, c, i] * d[c, b + i]          weight-folded)
+  s2[t, b]     = sum_i O[t, c, i] * d[c, b + i]^2
+  cc[t, b]    += corr_w * rsqrt(s2 - s1^2/L)             (0 if no variance)
+
+The sliding windows come from a 128-row Hankel H128[r, :] = d[c, r : r + W]
+built with 128 *static* shifted copies (Mosaic handles constant lane offsets
+natively); every filter tap block then reads H128 at 128-aligned column
+offsets, so the contraction is a sum of (n_tp, 128) x (128, B) MXU matmuls.
+Out-of-bounds lags are masked per (template, channel) from host-precomputed
+bounds.  Filters stay resident in VMEM; data blocks stream by DMA.
+
+Replaces the external `fast_matched_filter` package (reference call sites
+BPMF/similarity_search.py:526-533).  Semantics match
+`ops.reference.matched_filter(network_sum=True)`.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _mf_kernel(
+    filt_ref,    # (n_ch, n_tp_pad, LM_pad) f32 weight-folded corr filters
+    ones_ref,    # (n_ch, n_tp_pad, LM_pad) f32 window-sum filters
+    hi_ref,      # (n_ch, n_tp_pad) f32 upper lane bound (abs units)
+    lo_ref,      # (n_ch, n_tp_pad) f32 lower lane bound
+    data_ref,    # (n_ch_pad, ext) f32 (ANY/HBM)
+    out_ref,     # (n_tp_pad, B) f32 block
+    win_scratch,  # (n_ch_pad, B + LM_pad) f32
+    h_scratch,    # (128, W128) f32
+    hsq_scratch,  # (128, W128) f32
+    dma_sem,
+    *,
+    L: int,
+    LM_pad: int,
+    B: int,
+    n_ch: int,
+    n_tp_pad: int,
+    inv_l: float,
+):
+    g = pl.program_id(0)
+    ofs = g * B
+    W = B + LM_pad
+    W128 = W - 128
+    n_k = LM_pad // 128
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1).astype(
+        jnp.float32
+    )
+
+    dma = pltpu.make_async_copy(
+        data_ref.at[:, pl.ds(ofs, W)], win_scratch, dma_sem
+    )
+    dma.start()
+    dma.wait()
+
+    def channel_body(c, acc):
+        # H128: 128 statically-shifted copies of the channel's data window
+        for r in range(128):
+            row = win_scratch[pl.ds(c, 1), r : r + W128]
+            h_scratch[r : r + 1, :] = row
+            hsq_scratch[r : r + 1, :] = row * row
+
+        def k_body(k, k_carry):
+            corr, s1, s2 = k_carry
+            k128 = pl.multiple_of(k * 128, 128)
+            fk = filt_ref[c, :, pl.ds(k128, 128)]
+            ok = ones_ref[c, :, pl.ds(k128, 128)]
+            hk = h_scratch[:, pl.ds(k128, B)]
+            hk2 = hsq_scratch[:, pl.ds(k128, B)]
+            dn = (((1,), (0,)), ((), ()))
+            corr = corr + jax.lax.dot_general(
+                fk, hk, dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            s1 = s1 + jax.lax.dot_general(
+                ok, hk, dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            s2 = s2 + jax.lax.dot_general(
+                ok, hk2, dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return (corr, s1, s2)
+
+        zeros = jnp.zeros((n_tp_pad, B), jnp.float32)
+        corr, s1, s2 = jax.lax.fori_loop(
+            0, n_k, k_body, (zeros, zeros, zeros)
+        )
+        var_l = s2 - s1 * s1 * inv_l
+        y_inv = jnp.where(
+            var_l > 1e-10, jax.lax.rsqrt(jnp.abs(var_l) + 1e-30), 0.0
+        )
+        ccn = corr * y_inv
+        # per-(t, c) out-of-bounds mask: lane + ofs within [lo, hi]
+        hi_col = jnp.transpose(hi_ref[pl.ds(c, 1), :])  # (n_tp_pad, 1)
+        lo_col = jnp.transpose(lo_ref[pl.ds(c, 1), :])
+        pos = lane + jnp.float32(ofs)  # (1, B)
+        mask = (pos <= hi_col) & (pos >= lo_col)
+        return acc + jnp.where(mask, ccn, 0.0)
+
+    acc0 = jnp.zeros((n_tp_pad, B), jnp.float32)
+    out_ref[...] = jax.lax.fori_loop(0, n_ch, channel_body, acc0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "B", "LM_pad", "n_corr_pad", "n_ch", "interpret"),
+)
+def _mf_pallas_call(
+    filt, ones_f, hi, lo, data_pad,
+    *, L, B, LM_pad, n_corr_pad, n_ch, interpret=False,
+):
+    _, n_tp_pad, _ = filt.shape
+    n_blocks = n_corr_pad // B
+    W = B + LM_pad
+    kernel = functools.partial(
+        _mf_kernel,
+        L=L, LM_pad=LM_pad, B=B, n_ch=n_ch, n_tp_pad=n_tp_pad,
+        inv_l=1.0 / L,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # filt
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # ones
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # hi
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # lo
+            pl.BlockSpec(memory_space=pltpu.ANY),    # data
+        ],
+        out_specs=pl.BlockSpec(
+            (n_tp_pad, B), lambda g: (0, g), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_tp_pad, n_corr_pad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((data_pad.shape[0], W), jnp.float32),
+            pltpu.VMEM((128, W - 128), jnp.float32),
+            pltpu.VMEM((128, W - 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(filt, ones_f, hi, lo, data_pad)
+
+
+def matched_filter_pallas(
+    templates,
+    moveouts,
+    weights,
+    data,
+    step: int = 1,
+    lag_block: int = 2048,
+    template_chunk: int = 64,
+    interpret: bool = False,
+):
+    """Network-summed normalized CC via the fused all-matmul Pallas kernel.
+
+    Same semantics as `ops.reference.matched_filter(network_sum=True)`.
+    Template banks larger than `template_chunk` are processed in chunks to
+    bound the VMEM-resident filter size.
+    """
+    templates = np.asarray(templates, np.float32)
+    moveouts = np.asarray(moveouts, np.int64)
+    weights = np.asarray(weights, np.float32)
+    data = np.asarray(data, np.float32)
+
+    n_tp = templates.shape[0]
+    if n_tp > template_chunk:
+        outs = [
+            matched_filter_pallas(
+                templates[i : i + template_chunk],
+                moveouts[i : i + template_chunk],
+                weights[i : i + template_chunk],
+                data, step=step, lag_block=lag_block,
+                template_chunk=template_chunk, interpret=interpret,
+            )
+            for i in range(0, n_tp, template_chunk)
+        ]
+        return jnp.concatenate(outs, axis=0)
+
+    n_tp, n_sta, n_comp, L = templates.shape
+    n_ch = n_sta * n_comp
+    n_samp = data.shape[-1]
+    n_corr_unit = n_samp - L + 1
+
+    mv_flat = moveouts.reshape(n_tp, n_ch)
+    min_mv = int(min(0, mv_flat.min(initial=0)))
+    pad_left = -min_mv
+    mv_flat = mv_flat - min_mv  # >= 0
+    max_mv = int(mv_flat.max(initial=0))
+
+    n_tp_pad = _round_up(max(n_tp, 8), 8)
+    B = lag_block
+    LM_pad = _round_up(L + max_mv, 128)
+    n_corr_pad = _round_up(n_corr_unit, B)
+
+    tp_flat = templates.reshape(n_tp, n_ch, L)
+    tp_dm = tp_flat - tp_flat.mean(axis=-1, keepdims=True)
+    x_norm = np.sqrt((tp_dm.astype(np.float64) ** 2).sum(-1)).astype(
+        np.float32
+    )
+    w_flat = weights.reshape(n_tp, n_ch)
+    scale = np.where(x_norm > 0, w_flat / np.maximum(x_norm, 1e-30), 0.0)
+
+    filt = np.zeros((n_ch, n_tp_pad, LM_pad), np.float32)
+    ones_f = np.zeros((n_ch, n_tp_pad, LM_pad), np.float32)
+    for t in range(n_tp):
+        for c in range(n_ch):
+            mv = int(mv_flat[t, c])
+            filt[c, t, mv : mv + L] = tp_dm[t, c] * scale[t, c]
+            if scale[t, c] > 0:
+                ones_f[c, t, mv : mv + L] = 1.0
+
+    # lane-position bounds (absolute units: lane + g*B):
+    #   valid iff pad_left <= b + ofs + mv  and  b + ofs + mv + L <= n_samp_eff
+    n_samp_eff = n_samp + pad_left
+    hi = (n_samp_eff - L - mv_flat).astype(np.float32)  # (n_tp, n_ch)
+    lo = (pad_left - mv_flat).astype(np.float32)
+    hi_in = np.full((n_ch, n_tp_pad), -1.0, np.float32)
+    lo_in = np.zeros((n_ch, n_tp_pad), np.float32)
+    hi_in[:, :n_tp] = hi.T
+    lo_in[:, :n_tp] = lo.T
+
+    n_ch_pad = _round_up(n_ch, 8)
+    ext = n_corr_pad + LM_pad
+    data_pad = np.zeros((n_ch_pad, ext), np.float32)
+    hi_clip = min(ext, pad_left + n_samp)
+    data_pad[:n_ch, pad_left:hi_clip] = (
+        data.reshape(n_ch, n_samp)[:, : hi_clip - pad_left]
+    )
+
+    out = _mf_pallas_call(
+        jnp.asarray(filt),
+        jnp.asarray(ones_f),
+        jnp.asarray(hi_in),
+        jnp.asarray(lo_in),
+        jnp.asarray(data_pad),
+        L=L, B=B, LM_pad=LM_pad, n_corr_pad=n_corr_pad, n_ch=n_ch,
+        interpret=interpret,
+    )
+    out = out[:n_tp, :n_corr_unit]
+    if step > 1:
+        out = out[:, ::step][:, : (n_samp - L) // step + 1]
+    return out

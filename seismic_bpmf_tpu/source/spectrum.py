@@ -1,0 +1,456 @@
+"""Displacement spectra and moment magnitudes.
+
+Reference parity: BPMF/spectrum.py (2009 LoC).  Implements the full source-
+parameter chain:
+
+  windows -> displacement spectra (FFT or octave filter bank)
+          -> SNR gating vs a noise window
+          -> geometrical-spreading + frequency-dependent-Q corrections
+          -> masked network-average spectrum
+          -> Brune/Boatwright fit -> (M0, fc) -> Mw, stress drop
+
+Formulas cited per method (BPMF/spectrum.py:97-256 corrections,
+:1180-1287 source models and crack relations).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+
+# ---------------------------------------------------------------------------
+# source models and conversions (BPMF/spectrum.py:1180-1287)
+# ---------------------------------------------------------------------------
+
+def brune(freqs, omega0, fc, log=False):
+    """Brune (1970) displacement spectrum model."""
+    if log:
+        return np.log10(omega0) - np.log10(1.0 + (freqs / fc) ** 2)
+    return omega0 / (1.0 + (freqs / fc) ** 2)
+
+
+def boatwright(freqs, omega0, fc, log=False):
+    """Boatwright (1980) displacement spectrum model."""
+    if log:
+        return np.log10(omega0) - 0.5 * np.log10(1.0 + (freqs / fc) ** 4)
+    return omega0 / np.sqrt(1.0 + (freqs / fc) ** 4)
+
+
+def magnitude_to_moment(Mw):
+    """Mw -> M0 [N.m] (Hanks & Kanamori 1979)."""
+    return 10.0 ** (1.5 * np.asarray(Mw) + 9.1)
+
+
+def moment_to_magnitude(M0):
+    """M0 [N.m] -> Mw."""
+    return 2.0 / 3.0 * (np.log10(np.asarray(M0)) - 9.1)
+
+
+def fc_circular_crack(Mw, stress_drop_Pa=1.0e6, phase="p",
+                      vs_m_per_s=3500.0, vr_vs_ratio=0.9):
+    """Corner frequency of an Eshelby circular crack
+    (BPMF/spectrum.py:1206-1247)."""
+    phase = phase.lower()
+    assert phase in ("p", "s")
+    M0 = magnitude_to_moment(Mw)
+    radius = ((7.0 / 16.0) * (M0 / stress_drop_Pa)) ** (1.0 / 3.0)
+    constant = 2.23 if phase == "p" else 1.47
+    vr = vr_vs_ratio * vs_m_per_s
+    return (constant * vr) / (2.0 * np.pi * radius)
+
+
+def stress_drop_circular_crack(Mw, fc, phase="p", vs_m_per_s=3500.0,
+                               vr_vs_ratio=0.9):
+    """Stress drop of an Eshelby circular crack
+    (BPMF/spectrum.py:1249-1287)."""
+    phase = phase.lower()
+    assert phase in ("p", "s")
+    M0 = magnitude_to_moment(Mw)
+    constant = 2.23 if phase == "p" else 1.47
+    vr = vr_vs_ratio * vs_m_per_s
+    radius = constant * vr / (2.0 * np.pi * fc)
+    return 7.0 / 16.0 * M0 / radius**3
+
+
+# ---------------------------------------------------------------------------
+# Spectrum container
+# ---------------------------------------------------------------------------
+
+class Spectrum:
+    """Per-phase displacement spectra of one event across a network.
+
+    Spectra are stored as {phase: DataFrame(index=stations,
+    columns=frequencies)}; phases typically ('noise', 'p', 's').
+    """
+
+    def __init__(self, event=None, network=None):
+        self.event = event
+        self.network = network
+        self.spectra: Dict[str, pd.DataFrame] = {}
+        self.snr: Dict[str, pd.DataFrame] = {}
+        self.correction_flags: Dict[str, Dict[str, bool]] = {}
+
+    # ------------------------------------------------------------------
+    # spectra computation
+    # ------------------------------------------------------------------
+    def compute_spectrum(
+        self,
+        windows: Dict[str, np.ndarray],
+        stations: Sequence[str],
+        sampling_rate: float,
+        phases: Sequence[str] = ("noise", "p", "s"),
+        taper_pct: float = 5.0,
+    ):
+        """Amplitude spectra via tapered FFT.
+
+        windows[phase] : (n_stations, n_components, n_samples) displacement
+        windows.  The per-station spectrum is the vector-summed component
+        spectrum.  Reference parity: BPMF/spectrum.py:507-599.
+        """
+        from scipy.signal.windows import tukey
+
+        for phase in phases:
+            x = np.asarray(windows[phase], np.float64)
+            n = x.shape[-1]
+            taper = tukey(n, alpha=taper_pct / 100.0)
+            xf = np.fft.rfft(x * taper, axis=-1)
+            freqs = np.fft.rfftfreq(n, d=1.0 / sampling_rate)
+            # displacement amplitude spectral density
+            amp = 2.0 * np.abs(xf) / sampling_rate / n * sampling_rate
+            # vector sum over components
+            amp_sta = np.sqrt(np.sum(amp**2, axis=1))
+            self.spectra[phase] = pd.DataFrame(
+                amp_sta, index=list(stations), columns=freqs
+            )
+        self.frequencies = np.asarray(self.spectra[phases[0]].columns,
+                                      dtype=float)
+        return self.spectra
+
+    def compute_multi_band_spectrum(
+        self,
+        windows: Dict[str, np.ndarray],
+        stations: Sequence[str],
+        sampling_rate: float,
+        phases: Sequence[str] = ("noise", "p", "s"),
+        bands_per_octave: int = 2,
+        fmin: float = 0.5,
+        fmax: Optional[float] = None,
+    ):
+        """Octave-filter-bank spectra (Al-Ismail et al. 2022 approach).
+
+        More robust than the raw FFT at low SNR; reference parity:
+        BPMF/spectrum.py:387-505.
+        """
+        from scipy.signal import sosfilt, butter
+
+        if fmax is None:
+            fmax = 0.45 * sampling_rate
+        n_bands = int(np.ceil(np.log2(fmax / fmin) * bands_per_octave))
+        centers = fmin * 2.0 ** (np.arange(n_bands) / bands_per_octave)
+        centers = centers[centers < fmax]
+        for phase in phases:
+            x = np.asarray(windows[phase], np.float64)
+            n_sta = x.shape[0]
+            amp = np.zeros((n_sta, len(centers)))
+            for b, fc_band in enumerate(centers):
+                lo = fc_band / 2 ** (0.5 / bands_per_octave)
+                hi = min(fc_band * 2 ** (0.5 / bands_per_octave),
+                         0.499 * sampling_rate)
+                sos = butter(4, [lo, hi], btype="bandpass",
+                             fs=sampling_rate, output="sos")
+                xf = sosfilt(sos, x, axis=-1)
+                # peak amplitude in the band, vector over components,
+                # normalized to spectral density by the bandwidth
+                peak = np.max(np.abs(xf), axis=-1)
+                amp[:, b] = np.sqrt(np.sum(peak**2, axis=-1)) / (hi - lo)
+            self.spectra[phase] = pd.DataFrame(
+                amp, index=list(stations), columns=centers
+            )
+        self.frequencies = centers
+        return self.spectra
+
+    def compute_signal_to_noise_ratio(
+        self, phases: Sequence[str] = ("p", "s"), noise_phase: str = "noise"
+    ):
+        """Per-frequency SNR vs the noise-window spectrum
+        (BPMF/spectrum.py:601-648)."""
+        noise = self.spectra[noise_phase]
+        for phase in phases:
+            sig = self.spectra[phase]
+            self.snr[phase] = sig / noise.replace(0.0, np.nan)
+        return self.snr
+
+    # ------------------------------------------------------------------
+    # propagation corrections (BPMF/spectrum.py:97-256)
+    # ------------------------------------------------------------------
+    def set_Q_model(self, Q0: float = 300.0, n: float = 0.0,
+                    Q_phase_prefactor: Optional[Dict[str, float]] = None):
+        """Frequency-dependent attenuation Q(f) = Q0 * f**n."""
+        self.Q0 = Q0
+        self.Q_exponent = n
+        self.Q_phase_prefactor = Q_phase_prefactor or {"p": 1.0, "s": 1.0}
+
+    def _Q_of_f(self, freqs):
+        return self.Q0 * np.maximum(np.asarray(freqs, float), 1e-3) ** (
+            self.Q_exponent
+        )
+
+    def compute_correction_factor(
+        self,
+        source_receiver_dist_km: pd.Series,
+        travel_times: pd.DataFrame,
+        rho_source: float = 2700.0,
+        rho_receiver: float = 2700.0,
+        vp_source: float = 6000.0,
+        vp_receiver: float = 6000.0,
+        vs_source: float = 3500.0,
+        vs_receiver: float = 3500.0,
+        radiation_S: float = np.sqrt(2.0 / 5.0),
+        radiation_P: float = np.sqrt(4.0 / 15.0),
+    ):
+        """Geometrical-spreading factor (converts displacement spectral
+        amplitude to seismic moment) and attenuation factor per station:
+
+          corr = 4 pi sqrt(rho_r rho_s) sqrt(v_r) v_s^(5/2) r / radiation
+          att(f) = exp(pi tt f / Q(f))
+
+        Reference parity: BPMF/spectrum.py:97-200.
+        """
+        stations = list(source_receiver_dist_km.index)
+        geom = pd.DataFrame(index=stations)
+        att: Dict[str, pd.DataFrame] = {}
+        freqs = self.frequencies
+        for phase, v_s, v_r, rad in (
+            ("p", vp_source, vp_receiver, radiation_P),
+            ("s", vs_source, vs_receiver, radiation_S),
+        ):
+            corr = (
+                4.0 * np.pi
+                * np.sqrt(rho_receiver) * np.sqrt(rho_source)
+                * np.sqrt(v_r) * v_s ** 2.5
+                * (1000.0 * source_receiver_dist_km.values)
+                / rad
+            )
+            geom[f"geometry_{phase}"] = corr
+            if hasattr(self, "Q0"):
+                q = self._Q_of_f(freqs) * self.Q_phase_prefactor.get(phase, 1.0)
+                tts = travel_times[f"{phase.upper()}"].loc[stations].values
+                att[phase] = pd.DataFrame(
+                    np.exp(np.pi * tts[:, None] * freqs[None, :] / q[None, :]),
+                    index=stations, columns=freqs,
+                )
+        self.geometrical_factor = geom
+        self.attenuation_factor = att
+
+    def correct_geometrical_spreading(self, phases=("p", "s")):
+        for phase in phases:
+            flags = self.correction_flags.setdefault(phase, {})
+            if flags.get("geometry", False):
+                continue
+            g = self.geometrical_factor[f"geometry_{phase}"]
+            self.spectra[phase] = self.spectra[phase].mul(g, axis=0)
+            flags["geometry"] = True
+
+    def correct_attenuation(self, phases=("p", "s")):
+        for phase in phases:
+            flags = self.correction_flags.setdefault(phase, {})
+            if flags.get("attenuation", False):
+                continue
+            self.spectra[phase] = (
+                self.spectra[phase] * self.attenuation_factor[phase]
+            )
+            flags["attenuation"] = True
+
+    # ------------------------------------------------------------------
+    # network average + fitting
+    # ------------------------------------------------------------------
+    def compute_network_average_spectrum(
+        self, phase: str, snr_threshold: float = 3.0,
+        min_num_valid_channels: int = 3,
+    ):
+        """SNR-masked log-average spectrum (BPMF/spectrum.py:258-385)."""
+        spec = self.spectra[phase]
+        if phase in self.snr:
+            mask = self.snr[phase].values >= snr_threshold
+        else:
+            mask = np.ones(spec.shape, dtype=bool)
+        vals = np.where(mask & (spec.values > 0), spec.values, np.nan)
+        count = np.sum(~np.isnan(vals), axis=0)
+        avg = np.exp(np.nanmean(np.log(vals), axis=0))
+        avg[count < min_num_valid_channels] = np.nan
+        self.average_spectrum = pd.Series(avg, index=spec.columns)
+        return self.average_spectrum
+
+    def fit_average_spectrum(
+        self, model: str = "brune", min_fraction_valid_points: float = 0.5,
+    ):
+        """Least-squares (log-domain) fit of (omega0, fc)
+        (BPMF/spectrum.py:729-849)."""
+        from scipy.optimize import curve_fit
+
+        avg = self.average_spectrum
+        valid = ~avg.isna().values & (avg.values > 0)
+        freqs = np.asarray(avg.index, float)[valid]
+        amps = avg.values[valid]
+        if valid.sum() < max(3, min_fraction_valid_points * len(avg)):
+            self.fit_success = False
+            return None
+        model_fn = brune if model == "brune" else boatwright
+        try:
+            p0 = [np.median(amps[: max(1, len(amps) // 4)]),
+                  freqs[len(freqs) // 2]]
+            popt, pcov = curve_fit(
+                lambda f, w0, fc: model_fn(f, w0, fc, log=True),
+                freqs,
+                np.log10(amps),
+                p0=p0,
+                bounds=([0.0, freqs[0] / 10.0], [np.inf, freqs[-1] * 10.0]),
+                maxfev=10000,
+            )
+        except Exception:
+            self.fit_success = False
+            return None
+        self.M0 = float(popt[0])
+        self.fc = float(popt[1])
+        perr = np.sqrt(np.diag(pcov))
+        self.M0_err = float(perr[0])
+        self.fc_err = float(perr[1])
+        self.Mw = float(moment_to_magnitude(self.M0))
+        self.fit_success = True
+        return self.M0, self.fc
+
+
+# ---------------------------------------------------------------------------
+# workflow functions (BPMF/spectrum.py:1500-2009)
+# ---------------------------------------------------------------------------
+
+def extract_windows(
+    event,
+    phase_window_sec: Dict[str, float] = None,
+    noise_window_sec: float = 5.0,
+    integrate_to_displacement: bool = True,
+):
+    """Extract {'noise', 'p', 's'} windows from an event's traces.
+
+    Requires the event's waveforms (ground velocity) to be read; windows are
+    positioned from the event moveouts.  Returns arrays keyed by phase with
+    shape (n_stations, n_components, n_samples).
+    Reference parity: BPMF/spectrum.py:1500-1619 (simplified: instrument
+    response must already be removed by the data reader/preprocessing).
+    """
+    from ..utils.time import sec_to_samp
+
+    phase_window_sec = phase_window_sec or {"p": 3.0, "s": 5.0}
+    sr = event.sr
+    arr = event.waveforms_arr  # (n_sta, n_comp, n)
+    if integrate_to_displacement:
+        arr = np.cumsum(arr, axis=-1) / sr
+        arr = arr - arr.mean(axis=-1, keepdims=True)
+    n_noise = int(sec_to_samp(noise_window_sec, sr=sr))
+    n_win = max(
+        int(sec_to_samp(phase_window_sec[ph], sr=sr))
+        for ph in phase_window_sec
+    )
+    windows = {"noise": arr[..., :min(n_noise, arr.shape[-1])]}
+    offset_p = int(sec_to_samp(event.aux_data.get("offset_P", 1.0), sr=sr))
+    for ph in ("p", "s"):
+        start = offset_p
+        stop = min(start + n_win, arr.shape[-1])
+        windows[ph] = arr[..., start:stop]
+    n_min = min(w.shape[-1] for w in windows.values())
+    return {k: v[..., :n_min] for k, v in windows.items()}
+
+
+def compute_moment_magnitude(
+    event,
+    network,
+    windows: Optional[Dict[str, np.ndarray]] = None,
+    method: str = "regular",
+    model: str = "brune",
+    Q0: float = 300.0,
+    Q_exponent: float = 0.0,
+    rho: float = 2700.0,
+    vp: float = 6000.0,
+    vs: float = 3500.0,
+    snr_threshold: float = 3.0,
+):
+    """Full Mw workflow on one event (BPMF/spectrum.py:1622-2009).
+
+    Returns the `Spectrum` instance (with .Mw/.M0/.fc when the fit
+    succeeds) and stores Mw in the event's aux_data.
+    """
+    from ..utils.geo import compute_distances
+
+    if windows is None:
+        windows = extract_windows(event)
+    stations = list(event.stations)
+    spec = Spectrum(event=event, network=network)
+    if method == "regular":
+        spec.compute_spectrum(windows, stations, event.sr)
+    else:
+        spec.compute_multi_band_spectrum(windows, stations, event.sr)
+    spec.compute_signal_to_noise_ratio()
+    # source-receiver distances + travel times for corrections
+    sel = network.metadata.loc[stations]
+    d = compute_distances(
+        [event.longitude], [event.latitude], [event.depth],
+        sel["longitude"].values, sel["latitude"].values,
+        sel["depth_km"].values,
+    )[0]
+    dist = pd.Series(d, index=stations)
+    tts = pd.DataFrame(
+        {
+            "P": dist.values / (vp / 1000.0),
+            "S": dist.values / (vs / 1000.0),
+        },
+        index=stations,
+    )
+    spec.set_Q_model(Q0=Q0, n=Q_exponent)
+    spec.compute_correction_factor(
+        dist, tts, rho_source=rho, rho_receiver=rho,
+        vp_source=vp, vp_receiver=vp, vs_source=vs, vs_receiver=vs,
+    )
+    spec.correct_geometrical_spreading()
+    spec.correct_attenuation()
+    Mws = []
+    for phase in ("p", "s"):
+        spec.compute_network_average_spectrum(
+            phase, snr_threshold=snr_threshold
+        )
+        fit = spec.fit_average_spectrum(model=model)
+        if fit is not None:
+            Mws.append(spec.Mw)
+    if Mws:
+        Mw = float(np.mean(Mws))
+        event.set_aux_data({"Mw": Mw})
+        spec.Mw = Mw
+    return spec
+
+
+def approximate_moment_magnitude(event, network, windows=None, **kwargs):
+    """Mw* from the lowest valid frequency band without spectral fitting.
+
+    Reference parity: BPMF/spectrum.py:1341-1496 (simplified: omega0 taken
+    as the low-frequency plateau median of the corrected spectrum).
+    """
+    spec = compute_moment_magnitude.__wrapped__(
+        event, network, windows=windows, **kwargs
+    ) if hasattr(compute_moment_magnitude, "__wrapped__") else None
+    # direct plateau estimate
+    if windows is None:
+        windows = extract_windows(event)
+    s = Spectrum(event=event, network=network)
+    s.compute_spectrum(windows, list(event.stations), event.sr)
+    s.compute_signal_to_noise_ratio()
+    avg = s.compute_network_average_spectrum("s", snr_threshold=1.0)
+    valid = ~avg.isna()
+    if valid.sum() == 0:
+        return None
+    low = avg[valid].iloc[: max(1, valid.sum() // 4)]
+    M0 = float(np.median(low.values))
+    Mw = float(moment_to_magnitude(max(M0, 1e-30)))
+    event.set_aux_data({"Mw_star": Mw})
+    return Mw

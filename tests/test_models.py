@@ -1,0 +1,203 @@
+"""PhaseNet model tests + NLLoc glue + spectrum/magnitude tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+class TestPhaseNet:
+    def test_forward_shapes(self, rng):
+        import jax.numpy as jnp
+
+        from seismic_bpmf_tpu.models import PhaseNet, init_phasenet
+
+        model, variables = init_phasenet(window=3001)
+        x = jnp.asarray(rng.normal(size=(2, 3001, 3)).astype(np.float32))
+        probas = model.apply(variables, x, train=False)
+        assert probas.shape == (2, 3001, 3)
+        np.testing.assert_allclose(
+            np.asarray(probas).sum(-1), 1.0, rtol=1e-5
+        )
+
+    def test_picker_protocol(self, rng):
+        from seismic_bpmf_tpu.models import init_phasenet, make_picker
+
+        model, variables = init_phasenet(window=3001)
+        picker = make_picker(model, variables)
+        x = rng.normal(size=(2, 3, 6000)).astype(np.float32)
+        probas = picker(x)
+        assert probas.shape == (2, 2, 6000)
+        assert np.all(np.asarray(probas) >= 0.0)
+
+    def test_train_step_reduces_loss(self, rng):
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from seismic_bpmf_tpu.models import PhaseNet, make_train_step
+        from seismic_bpmf_tpu.models.phasenet import gaussian_pick_labels
+
+        window = 256
+        model = PhaseNet(depth=3, filters_root=4)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, window, 3)), train=False
+        )
+        optimizer = optax.adam(1e-2)
+        params = variables["params"]
+        opt_state = optimizer.init(params)
+        state = (params, variables["batch_stats"], opt_state)
+        step = jax.jit(make_train_step(model, optimizer))
+        x = jnp.asarray(rng.normal(size=(8, window, 3)).astype(np.float32))
+        picks = np.stack([np.full(8, 60.0), np.full(8, 180.0)], axis=1)
+        labels = jnp.asarray(gaussian_pick_labels(picks, window))
+        losses = []
+        for _ in range(5):
+            state, loss = step(state, (x, labels))
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]
+
+    def test_normalize_batch_device_matches_numpy(self, rng):
+        from seismic_bpmf_tpu.ops.picks import (
+            normalize_batch,
+            normalize_batch_np,
+        )
+
+        x = rng.normal(size=(2, 3, 5000)).astype(np.float32) * 10 + 3
+        want = normalize_batch_np(x, normalization_window_sample=1000)
+        got = np.asarray(normalize_batch(x, normalization_window_sample=1000))
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+class TestNLLocGlue:
+    def _picks(self):
+        return pd.DataFrame(
+            {
+                "P_abs_picks": [pd.Timestamp("2012-07-26T01:00:02.5"),
+                                pd.NaT],
+                "S_abs_picks": [pd.Timestamp("2012-07-26T01:00:04.25"),
+                                pd.Timestamp("2012-07-26T01:00:05.0")],
+            },
+            index=pd.Index(["ST1", "ST2"], name="stations"),
+        )
+
+    def test_obs_roundtrip_format(self, tmp_path):
+        from seismic_bpmf_tpu.location import write_nlloc_obs
+
+        write_nlloc_obs(
+            "2012-07-26T01:00:00", self._picks(), ["ST1", "ST2"],
+            "test.obs", path=str(tmp_path),
+        )
+        lines = open(tmp_path / "test.obs").read().splitlines()
+        # 2 stations x 2 phases + trailing blank
+        assert len([l for l in lines if l.strip()]) == 4
+        p_line = [l for l in lines if l.startswith("ST1\t") and "\tP\t" in l][0]
+        fields = p_line.split("\t")
+        assert fields[4] == "P" and fields[9] == "GAU"
+        assert fields[-1] == "1"  # real pick weight
+        fake = [l for l in lines if l.startswith("ST2\t") and "\tP\t" in l][0]
+        assert fake.split("\t")[-1] == "0"  # placeholder weight
+
+    def test_hyp_parsing(self, tmp_path):
+        from seismic_bpmf_tpu.location import read_nlloc_outputs
+
+        hyp = """NLLOC "loc.1" "LOCATED" "see comment"
+SIGNATURE "x"
+GEOGRAPHIC  OT 2012 07 26 01 00 2.125  Lat 40.3123 Long 30.2456 Depth 8.75
+QUALITY  Pmax 1e10 MFmin 1 MFmax 2 RMS 0.123 Nphs 8 Gap 100 Dist 10 Mamp 0 0 Mdur 0 0
+STATISTICS  ExpectX 1 Y 2 Z 3  CovXX 0.4 XY 0.01 XZ -0.02 YY 0.3 YZ 0.03 ZZ 0.6 EllAz1 0 Dip1 0 Len1 0 Az2 0 Dip2 0 Len2 0 Len3 0
+STAT_GEOG  ExpectLat 40.3125 Long 30.2458 Depth 8.70
+PHASE ID Ins Cmp On Pha  FM Date HrMn Sec Err ErrMag Coda Amp Per Prior > TTpred Res Weight StaLoc(X Y Z) SDist SAzim RAz RDip RQual Tcorr
+ST1    ?    ?    ? P      ? 20120726 0100    2.5000 GAU  4.00e-02 -1.00e+00 -1.00e+00 -1.00e+00    1.0000 >    2.3456   0.0544    1.0     1.0 2.0 -0.1    10.0  90.0  90.0  90.0  9  0.0
+ST1    ?    ?    ? S      ? 20120726 0100    4.2500 GAU  4.00e-02 -1.00e+00 -1.00e+00 -1.00e+00    1.0000 >    4.1000   0.0250    1.0     1.0 2.0 -0.1    10.0  90.0  90.0  90.0  9  0.0
+END_PHASE
+END_NLLOC
+"""
+        (tmp_path / "ev.hyp").write_text(hyp)
+        hypo, predicted = read_nlloc_outputs("ev.hyp", str(tmp_path))
+        assert hypo["success"]
+        assert hypo["latitude"] == pytest.approx(40.3123)
+        assert hypo["longitude"] == pytest.approx(30.2456)
+        assert hypo["depth"] == pytest.approx(8.75)
+        assert hypo["tt_rms"] == pytest.approx(0.123)
+        # covariance: z-flip makes XZ positive
+        assert hypo["cov_mat"][0, 2] == pytest.approx(0.02)
+        assert hypo["cov_mat"][2, 0] == pytest.approx(0.02)
+        assert hypo["cov_mat"][2, 2] == pytest.approx(0.6)
+        assert predicted.loc["ST1", "P_tt_sec"] == pytest.approx(2.3456)
+        assert predicted.loc["ST1", "S_residuals_sec"] == pytest.approx(0.025)
+
+
+class TestSpectrum:
+    def test_conversions(self):
+        from seismic_bpmf_tpu.source import (
+            magnitude_to_moment,
+            moment_to_magnitude,
+        )
+
+        assert moment_to_magnitude(magnitude_to_moment(3.5)) == pytest.approx(
+            3.5
+        )
+
+    def test_crack_relations_invert(self):
+        from seismic_bpmf_tpu.source import (
+            fc_circular_crack,
+            stress_drop_circular_crack,
+        )
+
+        fc = fc_circular_crack(3.0, stress_drop_Pa=1e6, phase="s")
+        sd = stress_drop_circular_crack(3.0, fc, phase="s")
+        assert sd == pytest.approx(1e6, rel=1e-6)
+
+    def test_brune_fit_recovers_parameters(self, rng):
+        from seismic_bpmf_tpu.source.spectrum import Spectrum, brune
+
+        freqs = np.linspace(0.5, 12.0, 40)
+        true_m0, true_fc = 1.0e13, 4.0
+        spec = Spectrum()
+        noisy = brune(freqs, true_m0, true_fc) * np.exp(
+            0.02 * rng.normal(size=len(freqs))
+        )
+        spec.average_spectrum = pd.Series(noisy, index=freqs)
+        m0, fc = spec.fit_average_spectrum(model="brune")
+        assert m0 == pytest.approx(true_m0, rel=0.1)
+        assert fc == pytest.approx(true_fc, rel=0.1)
+        assert 2.5 < spec.Mw < 3.5
+
+    def test_moment_magnitude_workflow(self, rng):
+        """A synthetic event with a known moment-rate pulse gives a finite
+        Mw through the full chain."""
+        from seismic_bpmf_tpu.data import Network
+        from seismic_bpmf_tpu.data.events import Event
+        from seismic_bpmf_tpu.data.stream import Stream, Trace
+        from seismic_bpmf_tpu.source import compute_moment_magnitude
+
+        md = pd.DataFrame({
+            "stations": ["ST1", "ST2", "ST3"],
+            "networks": ["XX"] * 3,
+            "latitude": [40.1, 40.2, 40.3],
+            "longitude": [30.1, 30.2, 30.3],
+            "elevation_m": [0.0] * 3,
+        })
+        net = Network.from_dataframe(md)
+        sr = 25.0
+        ev = Event(
+            "2012-07-26T01:00:00",
+            np.array([[1.0, 2.0], [1.2, 2.4], [1.4, 2.8]], np.float32),
+            ["ST1", "ST2", "ST3"], ["P", "S"],
+            latitude=40.2, longitude=30.2, depth=8.0, sampling_rate=sr,
+        )
+        ev.set_aux_data({"offset_P": 1.0, "offset_S": 4.0})
+        ev.traces = Stream()
+        n = 500
+        for sta in ev.stations:
+            for cp in "NEZ":
+                x = 1e-6 * rng.normal(size=n).astype(np.float32)
+                x[150:200] += 1e-4 * np.hanning(50)
+                ev.traces += Trace(x, station=sta, channel=f"HH{cp}",
+                                   sampling_rate=sr)
+        ev.duration = n / sr
+        spec = compute_moment_magnitude(ev, net, snr_threshold=1.5)
+        # fit may or may not converge on synthetic noise, but the chain must
+        # run end to end and produce finite spectra
+        assert "p" in spec.spectra and "s" in spec.spectra
+        assert np.isfinite(spec.spectra["s"].values).all()

@@ -1,0 +1,90 @@
+"""Pallas kernel parity vs NumPy oracles (interpreter mode on CPU)."""
+
+import numpy as np
+import pytest
+
+from seismic_bpmf_tpu.ops import reference as ref
+from seismic_bpmf_tpu.ops.pallas_bp import beamform_pallas
+from seismic_bpmf_tpu.ops.pallas_mf import matched_filter_pallas
+
+
+class TestPallasMatchedFilter:
+    def test_parity(self, rng):
+        n_tp, n_sta, n_comp, L, n_samp = 5, 4, 3, 40, 3000
+        data = rng.normal(size=(n_sta, n_comp, n_samp)).astype(np.float32)
+        tp = rng.normal(size=(n_tp, n_sta, n_comp, L)).astype(np.float32)
+        mv = rng.integers(0, 50, size=(n_tp, n_sta, n_comp)).astype(np.int32)
+        w = rng.uniform(0.1, 1, size=(n_tp, n_sta, n_comp)).astype(np.float32)
+        w /= w.sum(axis=(1, 2), keepdims=True)
+        want = ref.matched_filter(tp, mv, w, data, step=1)
+        got = np.asarray(
+            matched_filter_pallas(tp, mv, w, data, step=1, lag_block=512,
+                                  interpret=True)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_step(self, rng):
+        n_tp, n_sta, n_comp, L, n_samp = 3, 3, 3, 32, 2000
+        data = rng.normal(size=(n_sta, n_comp, n_samp)).astype(np.float32)
+        tp = rng.normal(size=(n_tp, n_sta, n_comp, L)).astype(np.float32)
+        mv = rng.integers(0, 30, size=(n_tp, n_sta, n_comp)).astype(np.int32)
+        w = np.full((n_tp, n_sta, n_comp), 1.0 / 9, np.float32)
+        want = ref.matched_filter(tp, mv, w, data, step=4)
+        got = np.asarray(
+            matched_filter_pallas(tp, mv, w, data, step=4, lag_block=512,
+                                  interpret=True)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_dead_channel(self, rng):
+        n_tp, n_sta, n_comp, L, n_samp = 2, 3, 3, 32, 1500
+        data = rng.normal(size=(n_sta, n_comp, n_samp)).astype(np.float32)
+        data[0, 0] = 0.0
+        tp = rng.normal(size=(n_tp, n_sta, n_comp, L)).astype(np.float32)
+        tp[:, 1, 1] = 0.0  # dead template channel
+        mv = rng.integers(0, 30, size=(n_tp, n_sta, n_comp)).astype(np.int32)
+        w = np.full((n_tp, n_sta, n_comp), 1.0 / 9, np.float32)
+        want = ref.matched_filter(tp, mv, w, data)
+        got = np.asarray(
+            matched_filter_pallas(tp, mv, w, data, lag_block=512,
+                                  interpret=True)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+class TestPallasBeamform:
+    def _problem(self, rng, n_src=29, n_samp=700, max_mv=60):
+        n_sta, n_comp, n_ph = 5, 3, 2
+        feats = rng.normal(size=(n_sta, n_comp, n_samp)).astype(np.float32)
+        mv = rng.integers(0, max_mv, size=(n_src, n_sta, n_ph)).astype(
+            np.int32
+        )
+        w_ph = np.zeros((n_sta, n_comp, n_ph), np.float32)
+        w_ph[:, 2, 0] = 1.0
+        w_ph[:, :2, 1] = 1.0
+        w_src = rng.uniform(0.2, 1.0, size=(n_src, n_sta)).astype(np.float32)
+        return feats, mv, w_ph, w_src
+
+    @pytest.mark.parametrize("oob", ["strict", "flexible"])
+    def test_reduce_none(self, rng, oob):
+        feats, mv, w_ph, w_src = self._problem(rng)
+        want = ref.beamform(feats, mv, w_ph, w_src, reduce="none",
+                            out_of_bounds=oob)
+        got = np.asarray(
+            beamform_pallas(feats, mv, w_ph, w_src, reduce="none",
+                            out_of_bounds=oob, time_block=256, src_block=16,
+                            interpret=True)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_reduce_max(self, rng):
+        feats, mv, w_ph, w_src = self._problem(rng)
+        want_v, want_i = ref.beamform(feats, mv, w_ph, w_src, reduce="max")
+        got_v, got_i = beamform_pallas(
+            feats, mv, w_ph, w_src, reduce="max", time_block=256,
+            src_block=16, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_v), want_v, rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_array_equal(np.asarray(got_i), want_i)
