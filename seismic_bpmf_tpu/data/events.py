@@ -875,6 +875,65 @@ class Template(Event):
         super().write(db_filename, db_path=db_path,
                       save_waveforms=save_waveforms, **kwargs)
 
+    # ------------------------------------------------------------------
+    # per-template detection database (reference:
+    # BPMF/dataset.py:3703-3892)
+    # ------------------------------------------------------------------
+    def read_catalog(
+        self,
+        filename: Optional[str] = None,
+        db_path: str = "",
+        extra_attributes=("cc", "n_dev"),
+    ):
+        """Read this template's detection file into a Catalog.
+
+        The detection file holds one HDF5 group per detected event (written
+        by `write_detections`).  Reference parity: BPMF/dataset.py:3703-3850.
+        """
+        from .catalog import Catalog
+
+        filename = filename or f"detections_tp{self.tid}.h5"
+        return Catalog.read_from_detection_file(
+            filename, db_path=db_path,
+            extra_attributes=tuple(extra_attributes) + ("tid",),
+        )
+
+    def write_detections(self, detections, filename=None, db_path=""):
+        """Write this template's detections, one group per event."""
+        import h5py
+
+        filename = filename or f"detections_tp{self.tid}.h5"
+        with h5py.File(os.path.join(db_path, filename), "a") as f:
+            for ev in detections:
+                ev.write(filename, db_path=db_path, gid=ev.id, hdf5_file=f)
+
+    def write_summary(self, summary: Dict, filename=None, db_path=""):
+        """Cache summary arrays (e.g. recurrence times, cc histories).
+
+        Reference parity: BPMF/dataset.py:3852-3892.
+        """
+        import h5py
+
+        filename = filename or f"summary_template{self.tid}.h5"
+        with h5py.File(os.path.join(db_path, filename), "a") as f:
+            for key, value in summary.items():
+                if key in f:
+                    del f[key]
+                f.create_dataset(key, data=value)
+
+    def read_summary(self, filename=None, db_path="") -> Dict:
+        import h5py
+
+        filename = filename or f"summary_template{self.tid}.h5"
+        path = os.path.join(db_path, filename)
+        if not os.path.isfile(path):
+            return {}
+        out = {}
+        with h5py.File(path, "r") as f:
+            for key in f.keys():
+                out[key] = f[key][()]
+        return out
+
     def __repr__(self):
         return (
             f"Template(tid={self.tid}, ot={self.origin_time}, "

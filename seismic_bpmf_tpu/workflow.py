@@ -1,0 +1,254 @@
+"""High-level workflow API.
+
+The reference has no CLI or top-level functions — its public API is the
+sequence of 11 tutorial notebooks (SURVEY.md section 1, L10).  This module
+packages that workflow as functions so a day scan is a few calls:
+
+  backproject_day(...)   notebooks 5-6: features -> beamform -> detections
+  build_templates(...)   notebook 7: detections -> template database
+  matched_filter_day(...) notebook 8: template scan -> new detections
+  assemble_catalog(...)  notebook 9: per-template catalogs -> deduped catalog
+  compute_magnitudes(...) notebook 10
+
+Each stage writes/reads the same HDF5 artifacts as the reference, so any
+stage can be rerun from the previous stage's files (the reference's
+checkpoint/resume model, SURVEY.md section 5).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .config import Config, DEFAULT_CONFIG
+from .data import Catalog, Data, Network, Template, TemplateGroup, TravelTimes
+from .detection import Beamformer, MatchedFilter
+from .ops import saturated_envelopes
+from .utils.observe import GLOBAL_TIMER, logger
+
+
+def default_weights_phases(n_stations: int, n_components: int = 3,
+                           n_phases: int = 2) -> np.ndarray:
+    """P on the vertical, S on the horizontals (tutorial convention,
+    5_backprojection.ipynb)."""
+    w = np.zeros((n_stations, n_components, n_phases), np.float32)
+    w[:, 2, 0] = 1.0
+    w[:, :2, 1] = 1.0
+    return w
+
+
+def backproject_day(
+    data: Data,
+    network: Network,
+    travel_times: TravelTimes,
+    cfg: Config = DEFAULT_CONFIG,
+    feature_fn: Optional[Callable] = None,
+    phases: Sequence[str] = ("P", "S"),
+    num_closest_stations: int = 10,
+    minimum_interevent_time: float = 10.0,
+    threshold_window_sec: float = 3600.0,
+    n_max_stations: Optional[int] = None,
+    engine: str = "onehot",
+    mesh=None,
+    output_file: Optional[str] = None,
+):
+    """One-day backprojection scan -> list of detected Events.
+
+    feature_fn(data_arr) -> (features, availability); defaults to
+    MAD-standardized envelopes.  With a PhaseNet picker use
+    `phasenet_feature_fn`.
+    """
+    with GLOBAL_TIMER.stage("bp_features"):
+        arr = data.get_np_array(network.stations)
+        if feature_fn is None:
+            features, _ = saturated_envelopes(arr)
+            features = np.asarray(features)
+        else:
+            features = np.asarray(feature_fn(arr))
+    bf = Beamformer(
+        data=data, network=network, phases=list(phases),
+        travel_times=travel_times, cfg=cfg, engine=engine, mesh=mesh,
+    )
+    bf.set_weights(
+        weights_phases=default_weights_phases(
+            network.n_stations, network.n_components, len(phases)
+        )
+    )
+    bf.set_weights_sources(
+        method="closest_stations",
+        num_closest_stations=num_closest_stations,
+        normalize=True,
+    )
+    with GLOBAL_TIMER.stage("bp_backproject"):
+        bf.backproject(features, reduce="max")
+        GLOBAL_TIMER.add("beam_points", float(bf.n_sources) * features.shape[-1])
+    with GLOBAL_TIMER.stage("bp_detect"):
+        thr = bf.compute_detection_threshold(window_sec=threshold_window_sec)
+        detections, peaks, sources = bf.find_detections(
+            thr, minimum_interevent_time, n_max_stations=n_max_stations
+        )
+    logger.info("backprojection: %d detections", len(detections))
+    if output_file is not None:
+        import h5py
+
+        with h5py.File(output_file, "a") as f:
+            for i, ev in enumerate(detections):
+                ev.write(os.path.basename(output_file), gid=str(i),
+                         hdf5_file=f)
+    return bf, detections
+
+
+def phasenet_feature_fn(model=None, variables=None, **kwargs):
+    """Build a feature_fn that runs the Flax PhaseNet over the day and
+    returns (n_sta, 2, n_samp) P/S probabilities as beamforming features."""
+    from .models import init_phasenet, make_picker
+
+    if model is None:
+        model, variables = init_phasenet()
+    picker = make_picker(model, variables, **kwargs)
+
+    def feature_fn(data_arr):
+        return picker(data_arr)
+
+    return feature_fn
+
+
+def build_templates(
+    detections,
+    network: Network,
+    cfg: Config = DEFAULT_CONFIG,
+    data_reader: Optional[Callable] = None,
+    offset_phase: Dict[str, float] = None,
+    dedup_distance_km: float = 1.0,
+    dedup_similarity: float = 0.9,
+    db_path: Optional[str] = None,
+) -> TemplateGroup:
+    """Detections -> template database with redundancy removal
+    (notebook 7 / BPMF/dataset.py:4690-4932)."""
+    offset_phase = offset_phase or {"P": 1.0, "S": 4.0}
+    templates = []
+    for i, ev in enumerate(detections):
+        if not hasattr(ev, "traces"):
+            ev.read_waveforms(
+                cfg.template_len_sec,
+                offset_phase=offset_phase,
+                time_shifted=True,
+                data_reader=data_reader,
+            )
+        tp = Template.init_from_event(ev)
+        tp.set_aux_data({"tid": i})
+        tp.id = str(i)
+        templates.append(tp)
+    tg = TemplateGroup(templates, network)
+    if len(templates) > 1:
+        cc = tg.compute_intertemplate_cc(
+            distance_threshold=max(dedup_distance_km * 5, 5.0)
+        )
+        keep = np.ones(len(templates), bool)
+        for i in range(len(templates)):
+            if not keep[i]:
+                continue
+            for j in range(i + 1, len(templates)):
+                if keep[j] and cc.values[i, j] >= dedup_similarity:
+                    keep[j] = False
+        tg = TemplateGroup(
+            [t for t, k in zip(templates, keep) if k], network
+        )
+        logger.info(
+            "template dedup: %d -> %d", len(templates), tg.n_templates
+        )
+    if db_path is not None:
+        os.makedirs(db_path, exist_ok=True)
+        for tp in tg.templates:
+            tp.write(f"template{tp.tid}.h5", db_path=db_path)
+    return tg
+
+
+def matched_filter_day(
+    template_group: TemplateGroup,
+    data: Data,
+    cfg: Config = DEFAULT_CONFIG,
+    minimum_interevent_time: float = 5.0,
+    threshold_window_dur: float = 1800.0,
+    weights_method: str = "simple",
+    mesh=None,
+    db_path: Optional[str] = None,
+    **mf_kwargs,
+) -> Dict:
+    """One-day matched-filter scan -> {tid: [Events]} (notebook 8)."""
+    mf = MatchedFilter(template_group, cfg=cfg, mesh=mesh, **mf_kwargs)
+    mf.set_data(data)
+    mf.set_weights_channels(method=weights_method, normalize=True)
+    with GLOBAL_TIMER.stage("mf_scan"):
+        detections = mf.run_matched_filter_search(
+            minimum_interevent_time,
+            threshold_window_dur=threshold_window_dur,
+        )
+        GLOBAL_TIMER.add(
+            "cc_samples",
+            float(template_group.n_templates)
+            * template_group.waveforms_arr.shape[-1]
+            * data.n_samples,
+        )
+    if db_path is not None:
+        os.makedirs(db_path, exist_ok=True)
+        for tid, evs in detections.items():
+            if evs:
+                tp = template_group.templates[
+                    int(template_group.tindexes.loc[tid])
+                ]
+                tp.write_detections(evs, db_path=db_path)
+    return detections
+
+
+def assemble_catalog(
+    detections: Dict,
+    template_group: TemplateGroup,
+    dt_criterion: float = 3.0,
+    distance_criterion: float = 5.0,
+    similarity_criterion: float = 0.33,
+) -> Catalog:
+    """Merge per-template detections, flag multiples, return the catalog
+    (notebook 9 / BPMF/dataset.py:5065-5295)."""
+    import pandas as pd
+
+    all_events = [ev for evs in detections.values() for ev in evs]
+    if not all_events:
+        return Catalog([], [], [], [])
+    cat = Catalog.read_from_events(
+        all_events, extra_attributes=["cc", "tid"]
+    )
+    df = cat.catalog.copy()
+    df["origin_time_epoch"] = df["origin_time"].values.astype("int64") / 1e9
+    flagged = template_group.remove_multiples(
+        pd.DataFrame(
+            {
+                "origin_time": df["origin_time_epoch"],
+                "tid": df["tid"].astype(str),
+                "cc": df["cc"],
+            }
+        ),
+        dt_criterion=dt_criterion,
+        distance_criterion=distance_criterion,
+        similarity_criterion=similarity_criterion,
+    )
+    df = df.sort_values("origin_time_epoch").reset_index(drop=True)
+    df["unique_event"] = flagged["unique_event"].values
+    return Catalog.read_from_dataframe(df.drop(columns=["origin_time_epoch"]))
+
+
+def compute_magnitudes(events, network: Network, **kwargs):
+    """Per-event Mw (notebook 10)."""
+    from .source import compute_moment_magnitude
+
+    out = []
+    for ev in events:
+        try:
+            spec = compute_moment_magnitude(ev, network, **kwargs)
+            out.append(getattr(spec, "Mw", None))
+        except Exception as e:
+            logger.warning("Mw failed for %s: %s", ev.id, e)
+            out.append(None)
+    return out

@@ -1,0 +1,106 @@
+"""Workflow-level test: the full staged pipeline API on the synthetic
+mini-dataset (backproject -> templates -> matched filter -> catalog)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from seismic_bpmf_tpu import workflow
+from seismic_bpmf_tpu.config import Config
+from seismic_bpmf_tpu.data import (
+    Data,
+    Network,
+    TravelTimes,
+    data_reader_hdf5,
+    write_hdf5_continuous,
+)
+from seismic_bpmf_tpu.data.stream import Stream, Trace
+
+SR = 25.0
+DAY = 900.0
+N_STA = 5
+N_SRC = 9
+EVENT_TIMES = [200.0, 600.0]
+EVENT_SRC = 3
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("wf")
+    rng = np.random.default_rng(11)
+    cfg = Config(data_buffer_sec=0.0, sampling_rate_hz=SR,
+                 template_len_sec=8.0, n_dev_bp_threshold=10.0,
+                 n_dev_mf_threshold=8.0)
+    md = pd.DataFrame({
+        "stations": [f"S{i}" for i in range(N_STA)],
+        "networks": ["XX"] * N_STA,
+        "latitude": 40.0 + 0.05 * np.arange(N_STA),
+        "longitude": 30.0 + 0.05 * np.arange(N_STA),
+        "elevation_m": np.zeros(N_STA),
+    })
+    net = Network.from_dataframe(md)
+    tt_p = {f"S{i}": rng.uniform(1.0, 5.0, N_SRC).astype(np.float32)
+            for i in range(N_STA)}
+    tt_s = {k: (v * 1.7).astype(np.float32) for k, v in tt_p.items()}
+    TravelTimes.write_table(
+        str(tmp / "tts.h5"), {"P": tt_p, "S": tt_s},
+        {"longitude": np.linspace(30, 30.2, N_SRC),
+         "latitude": np.linspace(40, 40.2, N_SRC),
+         "depth": np.full(N_SRC, 8.0)},
+    )
+    n = int(DAY * SR)
+    n_w = int(1.5 * SR)
+    wavelet = (np.sin(2 * np.pi * 4.0 * np.arange(n_w) / SR)
+               * np.hanning(n_w))
+    st = Stream()
+    for i in range(N_STA):
+        sta = f"S{i}"
+        for comp in "NEZ":
+            x = 0.05 * rng.normal(size=n).astype(np.float32)
+            for ev_t in EVENT_TIMES:
+                tt = tt_p[sta][EVENT_SRC] if comp == "Z" else tt_s[sta][EVENT_SRC]
+                k = int((ev_t + tt) * SR)
+                x[k : k + len(wavelet)] += 4.0 * wavelet
+            st += Trace(x, station=sta, network="XX", channel=f"HH{comp}",
+                        sampling_rate=SR, starttime=1343260800.0)
+    write_hdf5_continuous(str(tmp / "day.h5"), st)
+    data = Data("2012-07-26", str(tmp / "day.h5"), data_reader_hdf5,
+                duration=DAY, sampling_rate=SR).read_waveforms()
+    tts = TravelTimes("tts.h5", str(tmp)).read(
+        ["P", "S"], read_coords=True).convert_to_samples(SR)
+    return dict(cfg=cfg, net=net, data=data, tts=tts)
+
+
+def test_full_workflow(world):
+    w = world
+    bf, detections = workflow.backproject_day(
+        w["data"], w["net"], w["tts"], cfg=w["cfg"],
+        minimum_interevent_time=10.0, threshold_window_sec=150.0,
+        num_closest_stations=N_STA,
+    )
+    assert len(detections) >= 2
+
+    tg = workflow.build_templates(
+        detections, w["net"], cfg=w["cfg"], data_reader=data_reader_hdf5,
+        dedup_similarity=0.95,
+    )
+    assert tg.n_templates >= 1
+
+    dets = workflow.matched_filter_day(
+        tg, w["data"], cfg=w["cfg"], minimum_interevent_time=5.0,
+        threshold_window_dur=150.0, min_channels=3, min_stations=2,
+        max_kurto=1e6,
+    )
+    n_total = sum(len(v) for v in dets.values())
+    assert n_total >= 2  # both injected occurrences found
+
+    cat = workflow.assemble_catalog(dets, tg)
+    assert cat.n_events == n_total
+    assert "unique_event" in cat.catalog.columns
+    uniq = cat.catalog[cat.catalog["unique_event"]]
+    # the two physical events remain after dedup
+    assert len(uniq) >= 2
+    from seismic_bpmf_tpu.utils.observe import GLOBAL_TIMER
+
+    rep = GLOBAL_TIMER.report()
+    assert "bp_backproject" in rep["stages"]
