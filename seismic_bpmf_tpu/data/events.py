@@ -364,12 +364,13 @@ class Event:
     def pick_PS_phases(
         self,
         duration: float,
-        picker: Callable,
+        picker: Optional[Callable] = None,
         threshold_P: float = 0.60,
         threshold_S: float = 0.60,
         offset_ot: float = 20.0,
         picker_sampling_rate: float = 100.0,
         component_order: str = "ZNE",
+        waveform_transform=None,
         **reader_kwargs,
     ):
         """Pick P/S arrivals with an ML phase picker.
@@ -379,6 +380,11 @@ class Event:
         (n_sta, 3, n_t)) with channel order `component_order` at
         `picker_sampling_rate`; output phases ordered (P, S).
 
+        Alternatively pass `waveform_transform` (a `WaveformTransform`
+        holding day-long P/S probability series with components ('P', 'S'))
+        to reuse precomputed picker outputs instead of re-running the model
+        (reference: BPMF/dataset.py:1833-1852).
+
         Populates `self.picks` with columns {P,S}_{picks,probas,unc,abs_picks}.
         Reference parity: BPMF/dataset.py:1706-1927 (core path).
         """
@@ -386,22 +392,37 @@ class Event:
 
         from ..ops.picks import find_picks, get_picks
 
-        if not hasattr(self, "traces"):
-            self.read_waveforms(
-                duration, time_shifted=False, offset_ot=offset_ot,
-                **reader_kwargs,
+        if waveform_transform is not None:
+            start = utc_from_epoch(self.origin_time_epoch - offset_ot)
+            sub = waveform_transform.slice(
+                start, duration=duration, stations=list(self.stations),
+                components=["P", "S"],
             )
-        arr = self.waveforms_arr  # (n_sta, n_comp(NEZ), n)
-        # reorder to the picker's component order
-        comp_idx = {c: i for i, c in enumerate(self.components)}
-        order = [comp_idx[c] for c in component_order if c in comp_idx]
-        x = arr[:, order, :]
-        if self.sr != picker_sampling_rate:
-            up = int(round(picker_sampling_rate))
-            down = int(round(self.sr))
-            x = resample_poly(x, up, down, axis=-1)
-        probas = np.asarray(picker(x))  # (n_sta, 2, n_t)
-        sr_p = picker_sampling_rate
+            probas = sub.transform_arr  # (n_sta, 2, n_t)
+            sr_p = waveform_transform.sr
+            if self.sampling_rate is None:
+                self.sampling_rate = sr_p
+        else:
+            if picker is None:
+                raise ValueError(
+                    "provide `picker` or `waveform_transform`"
+                )
+            if not hasattr(self, "traces"):
+                self.read_waveforms(
+                    duration, time_shifted=False, offset_ot=offset_ot,
+                    **reader_kwargs,
+                )
+            arr = self.waveforms_arr  # (n_sta, n_comp(NEZ), n)
+            # reorder to the picker's component order
+            comp_idx = {c: i for i, c in enumerate(self.components)}
+            order = [comp_idx[c] for c in component_order if c in comp_idx]
+            x = arr[:, order, :]
+            if self.sr != picker_sampling_rate:
+                up = int(round(picker_sampling_rate))
+                down = int(round(self.sr))
+                x = resample_poly(x, up, down, axis=-1)
+            probas = np.asarray(picker(x))  # (n_sta, 2, n_t)
+            sr_p = picker_sampling_rate
         rows = {}
         for s, sta in enumerate(self.stations):
             row = {}

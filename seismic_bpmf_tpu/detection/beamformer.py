@@ -32,7 +32,7 @@ class Beamformer:
         travel_times=None,
         moveouts_relative_to_first: bool = True,
         cfg: Config = DEFAULT_CONFIG,
-        engine: str = "onehot",
+        engine: str = "auto",
         mesh=None,
     ):
         self.data = data
@@ -190,7 +190,33 @@ class Beamformer:
             raise RuntimeError("set weights_phases first (set_weights)")
         if not hasattr(self, "weights_sources"):
             raise RuntimeError("set weights_sources first")
-        kwargs.setdefault("engine", self.engine)
+        engine = kwargs.pop("engine", self.engine)
+        if engine == "auto":
+            import jax
+
+            engine = (
+                "pallas" if jax.default_backend() not in ("cpu",)
+                else "onehot"
+            )
+        if engine == "pallas" and self.mesh is None:
+            from ..ops.pallas_bp import beamform_pallas
+
+            out = beamform_pallas(
+                waveform_features,
+                self.moveouts,
+                self.weights_phases,
+                self.weights_sources,
+                reduce=reduce,
+                out_of_bounds=out_of_bounds,
+                **kwargs,
+            )
+            if reduce == "max":
+                self.maxbeam = np.asarray(out[0])
+                self.maxbeam_sources = np.asarray(out[1])
+                return self.maxbeam, self.maxbeam_sources
+            self.beam = np.asarray(out)
+            return self.beam
+        kwargs.setdefault("engine", engine if engine != "pallas" else "onehot")
         if self.mesh is not None:
             from ..parallel import beamform_sharded
 

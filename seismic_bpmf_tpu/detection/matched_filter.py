@@ -43,6 +43,7 @@ class MatchedFilter:
         window_for_validation_Tmax: float = 100.0,
         cfg: Config = DEFAULT_CONFIG,
         mesh=None,
+        engine: str = "auto",
     ):
         self.template_group = template_group
         self.min_channels = min_channels
@@ -58,6 +59,18 @@ class MatchedFilter:
         self.window_for_validation_Tmax = window_for_validation_Tmax
         self.cfg = cfg
         self.mesh = mesh
+        self.engine = engine
+
+    def _use_pallas(self) -> bool:
+        """The fused Pallas kernel is the default on accelerators; the
+        blocked XLA path serves CPU runs and as a cross-check."""
+        if self.engine == "pallas":
+            return True
+        if self.engine == "auto":
+            import jax
+
+            return jax.default_backend() not in ("cpu",)
+        return False
 
     # ------------------------------------------------------------------
     @property
@@ -217,6 +230,13 @@ class MatchedFilter:
 
                 cc_sums = matched_filter_sharded(
                     templates, moveouts, weights, self.data_arr, self.mesh,
+                    step=self.step,
+                )
+            elif self._use_pallas():
+                from ..ops.pallas_mf import matched_filter_pallas
+
+                cc_sums = matched_filter_pallas(
+                    templates, moveouts, weights, self.data_arr,
                     step=self.step,
                 )
             else:

@@ -171,6 +171,103 @@ def _mf_pallas_call(
     )(filt, ones_f, hi, lo, data_pad)
 
 
+class PallasMatchedFilterPlan:
+    """Device-resident matched-filter plan: filters built and transferred
+    once, then applied to any number of (device-resident) data windows.
+
+    Keeping the templates AND the data on device is what makes repeated
+    day scans fast — host<->device transfers dominate otherwise.
+    """
+
+    def __init__(self, templates, moveouts, weights, n_samp: int,
+                 lag_block: int = 2048, interpret: bool = False):
+        templates = np.asarray(templates, np.float32)
+        moveouts = np.asarray(moveouts, np.int64)
+        weights = np.asarray(weights, np.float32)
+        n_tp, n_sta, n_comp, L = templates.shape
+        n_ch = n_sta * n_comp
+        self.n_tp, self.n_ch, self.L = n_tp, n_ch, L
+        self.n_samp = n_samp
+        self.interpret = interpret
+        n_corr_unit = n_samp - L + 1
+
+        mv_flat = moveouts.reshape(n_tp, n_ch)
+        min_mv = int(min(0, mv_flat.min(initial=0)))
+        self.pad_left = pad_left = -min_mv
+        mv_flat = mv_flat - min_mv  # >= 0
+        max_mv = int(mv_flat.max(initial=0))
+
+        self.n_tp_pad = n_tp_pad = _round_up(max(n_tp, 8), 8)
+        self.B = B = lag_block
+        self.LM_pad = LM_pad = _round_up(L + max_mv, 128)
+        self.n_corr_unit = n_corr_unit
+        self.n_corr_pad = _round_up(n_corr_unit, B)
+
+        tp_flat = templates.reshape(n_tp, n_ch, L)
+        tp_dm = tp_flat - tp_flat.mean(axis=-1, keepdims=True)
+        x_norm = np.sqrt((tp_dm.astype(np.float64) ** 2).sum(-1)).astype(
+            np.float32
+        )
+        w_flat = weights.reshape(n_tp, n_ch)
+        scale = np.where(x_norm > 0, w_flat / np.maximum(x_norm, 1e-30), 0.0)
+
+        # vectorized banded filter build: place tpl/ones rows at offset mv
+        filt = np.zeros((n_tp, n_ch, LM_pad), np.float32)
+        ones_f = np.zeros((n_tp, n_ch, LM_pad), np.float32)
+        idx = mv_flat[:, :, None] + np.arange(L)[None, None, :]
+        np.put_along_axis(filt, idx, tp_dm * scale[:, :, None], axis=-1)
+        np.put_along_axis(
+            ones_f, idx,
+            np.broadcast_to((scale > 0)[:, :, None].astype(np.float32),
+                            idx.shape),
+            axis=-1,
+        )
+        filt = np.ascontiguousarray(np.transpose(filt, (1, 0, 2)))
+        ones_f = np.ascontiguousarray(np.transpose(ones_f, (1, 0, 2)))
+        if n_tp_pad > n_tp:
+            pad = ((0, 0), (0, n_tp_pad - n_tp), (0, 0))
+            filt = np.pad(filt, pad)
+            ones_f = np.pad(ones_f, pad)
+
+        n_samp_eff = n_samp + pad_left
+        hi = (n_samp_eff - L - mv_flat).astype(np.float32)
+        lo = (pad_left - mv_flat).astype(np.float32)
+        hi_in = np.full((n_ch, n_tp_pad), -1.0, np.float32)
+        lo_in = np.zeros((n_ch, n_tp_pad), np.float32)
+        hi_in[:, :n_tp] = hi.T
+        lo_in[:, :n_tp] = lo.T
+
+        self.filt = jnp.asarray(filt)
+        self.ones_f = jnp.asarray(ones_f)
+        self.hi = jnp.asarray(hi_in)
+        self.lo = jnp.asarray(lo_in)
+
+    @property
+    def ext(self) -> int:
+        return self.n_corr_pad + self.LM_pad
+
+    def pad_data(self, data) -> jnp.ndarray:
+        """Host data (n_sta, n_comp, n_samp) -> padded device layout."""
+        data = np.asarray(data, np.float32).reshape(self.n_ch, self.n_samp)
+        n_ch_pad = _round_up(self.n_ch, 8)
+        data_pad = np.zeros((n_ch_pad, self.ext), np.float32)
+        hi_clip = min(self.ext, self.pad_left + self.n_samp)
+        data_pad[: self.n_ch, self.pad_left : hi_clip] = (
+            data[:, : hi_clip - self.pad_left]
+        )
+        return jnp.asarray(data_pad)
+
+    def __call__(self, data_pad: jnp.ndarray) -> jnp.ndarray:
+        """(padded, device-resident) data -> (n_tp, n_corr) device CC."""
+        out = _mf_pallas_call(
+            self.filt, self.ones_f, self.hi, self.lo, data_pad,
+            L=self.L, B=self.B, LM_pad=self.LM_pad,
+            n_corr_pad=self.n_corr_pad, n_ch=self.n_ch,
+            interpret=self.interpret,
+        )
+        return out[: self.n_tp, : self.n_corr_unit]
+
+
 def matched_filter_pallas(
     templates,
     moveouts,
@@ -185,7 +282,8 @@ def matched_filter_pallas(
 
     Same semantics as `ops.reference.matched_filter(network_sum=True)`.
     Template banks larger than `template_chunk` are processed in chunks to
-    bound the VMEM-resident filter size.
+    bound the VMEM-resident filter size.  For repeated scans build a
+    `PallasMatchedFilterPlan` once and keep the data device-resident.
     """
     templates = np.asarray(templates, np.float32)
     moveouts = np.asarray(moveouts, np.int64)
@@ -193,80 +291,18 @@ def matched_filter_pallas(
     data = np.asarray(data, np.float32)
 
     n_tp = templates.shape[0]
-    if n_tp > template_chunk:
-        outs = [
-            matched_filter_pallas(
-                templates[i : i + template_chunk],
-                moveouts[i : i + template_chunk],
-                weights[i : i + template_chunk],
-                data, step=step, lag_block=lag_block,
-                template_chunk=template_chunk, interpret=interpret,
-            )
-            for i in range(0, n_tp, template_chunk)
-        ]
-        return jnp.concatenate(outs, axis=0)
-
-    n_tp, n_sta, n_comp, L = templates.shape
-    n_ch = n_sta * n_comp
     n_samp = data.shape[-1]
-    n_corr_unit = n_samp - L + 1
-
-    mv_flat = moveouts.reshape(n_tp, n_ch)
-    min_mv = int(min(0, mv_flat.min(initial=0)))
-    pad_left = -min_mv
-    mv_flat = mv_flat - min_mv  # >= 0
-    max_mv = int(mv_flat.max(initial=0))
-
-    n_tp_pad = _round_up(max(n_tp, 8), 8)
-    B = lag_block
-    LM_pad = _round_up(L + max_mv, 128)
-    n_corr_pad = _round_up(n_corr_unit, B)
-
-    tp_flat = templates.reshape(n_tp, n_ch, L)
-    tp_dm = tp_flat - tp_flat.mean(axis=-1, keepdims=True)
-    x_norm = np.sqrt((tp_dm.astype(np.float64) ** 2).sum(-1)).astype(
-        np.float32
-    )
-    w_flat = weights.reshape(n_tp, n_ch)
-    scale = np.where(x_norm > 0, w_flat / np.maximum(x_norm, 1e-30), 0.0)
-
-    filt = np.zeros((n_ch, n_tp_pad, LM_pad), np.float32)
-    ones_f = np.zeros((n_ch, n_tp_pad, LM_pad), np.float32)
-    for t in range(n_tp):
-        for c in range(n_ch):
-            mv = int(mv_flat[t, c])
-            filt[c, t, mv : mv + L] = tp_dm[t, c] * scale[t, c]
-            if scale[t, c] > 0:
-                ones_f[c, t, mv : mv + L] = 1.0
-
-    # lane-position bounds (absolute units: lane + g*B):
-    #   valid iff pad_left <= b + ofs + mv  and  b + ofs + mv + L <= n_samp_eff
-    n_samp_eff = n_samp + pad_left
-    hi = (n_samp_eff - L - mv_flat).astype(np.float32)  # (n_tp, n_ch)
-    lo = (pad_left - mv_flat).astype(np.float32)
-    hi_in = np.full((n_ch, n_tp_pad), -1.0, np.float32)
-    lo_in = np.zeros((n_ch, n_tp_pad), np.float32)
-    hi_in[:, :n_tp] = hi.T
-    lo_in[:, :n_tp] = lo.T
-
-    n_ch_pad = _round_up(n_ch, 8)
-    ext = n_corr_pad + LM_pad
-    data_pad = np.zeros((n_ch_pad, ext), np.float32)
-    hi_clip = min(ext, pad_left + n_samp)
-    data_pad[:n_ch, pad_left:hi_clip] = (
-        data.reshape(n_ch, n_samp)[:, : hi_clip - pad_left]
-    )
-
-    out = _mf_pallas_call(
-        jnp.asarray(filt),
-        jnp.asarray(ones_f),
-        jnp.asarray(hi_in),
-        jnp.asarray(lo_in),
-        jnp.asarray(data_pad),
-        L=L, B=B, LM_pad=LM_pad, n_corr_pad=n_corr_pad, n_ch=n_ch,
-        interpret=interpret,
-    )
-    out = out[:n_tp, :n_corr_unit]
+    outs = []
+    for i in range(0, n_tp, template_chunk):
+        plan = PallasMatchedFilterPlan(
+            templates[i : i + template_chunk],
+            moveouts[i : i + template_chunk],
+            weights[i : i + template_chunk],
+            n_samp, lag_block=lag_block, interpret=interpret,
+        )
+        outs.append(plan(plan.pad_data(data)))
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     if step > 1:
+        L = templates.shape[-1]
         out = out[:, ::step][:, : (n_samp - L) // step + 1]
     return out
