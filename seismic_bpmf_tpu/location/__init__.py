@@ -1,5 +1,10 @@
-"""Earthquake location: NLLoc glue and beam relocation."""
+"""Earthquake location: NLLoc glue, beam relocation, eikonal travel times."""
 
+from .eikonal import (
+    build_travel_time_tables,
+    layered_velocity_grid,
+    travel_time_grid,
+)
 from .nlloc import (
     read_nlloc_outputs,
     relocate_nlloc,
@@ -9,6 +14,9 @@ from .nlloc import (
 )
 
 __all__ = [
+    "build_travel_time_tables",
+    "layered_velocity_grid",
+    "travel_time_grid",
     "read_nlloc_outputs",
     "relocate_nlloc",
     "write_nlloc_control",
