@@ -173,6 +173,68 @@ class Stack(Event):
                 )
         self.duration = waveforms.shape[-1] / sampling_rate
 
+    def pick_PS_phases_family_mode(
+        self,
+        duration: float,
+        picker,
+        threshold_P: float = 0.60,
+        threshold_S: float = 0.60,
+        **kwargs,
+    ):
+        """Pick each family member's waveforms and combine the picks.
+
+        Runs the picker on every member event attached via
+        `EventGroup.SVDWF_stack` and keeps, per station/phase, the
+        probability-weighted mean pick with the spread across members as
+        uncertainty.  Reference parity: BPMF/dataset.py:5524-5677.
+        """
+        import pandas as pd
+
+        if not hasattr(self, "events"):
+            raise RuntimeError("no member events attached to this Stack")
+        member_picks = []
+        for ev in self.events:
+            try:
+                p = ev.pick_PS_phases(
+                    duration, picker, threshold_P=threshold_P,
+                    threshold_S=threshold_S, **kwargs,
+                )
+                member_picks.append(p)
+            except Exception:
+                continue
+        if not member_picks:
+            return None
+        stations = list(self.stations)
+        out = pd.DataFrame(index=pd.Index(stations, name="stations"))
+        for ph in ("P", "S"):
+            means, uncs, probas = [], [], []
+            for sta in stations:
+                vals, ws = [], []
+                for p in member_picks:
+                    if sta in p.index and not pd.isnull(
+                        p.loc[sta, f"{ph}_picks"]
+                    ):
+                        vals.append(float(p.loc[sta, f"{ph}_picks"]))
+                        ws.append(float(p.loc[sta, f"{ph}_probas"]))
+                if vals:
+                    vals, ws = np.asarray(vals), np.asarray(ws)
+                    m = float(np.sum(vals * ws) / ws.sum())
+                    means.append(m)
+                    uncs.append(
+                        float(np.sqrt(np.sum(ws * (vals - m) ** 2)
+                                      / ws.sum()))
+                    )
+                    probas.append(float(ws.max()))
+                else:
+                    means.append(np.nan)
+                    uncs.append(np.nan)
+                    probas.append(np.nan)
+            out[f"{ph}_picks"] = means
+            out[f"{ph}_unc"] = uncs
+            out[f"{ph}_probas"] = probas
+        self.picks = out
+        return out
+
 
 class TemplateGroup:
     """The matched-filter-side fleet container.

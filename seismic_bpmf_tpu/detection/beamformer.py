@@ -340,6 +340,50 @@ class Beamformer:
         return detections, peak_indexes, source_indexes
 
     # ------------------------------------------------------------------
+    # maxbeam post-processing (reference: template_search.py:675-701,
+    # 951-969, 1402-1415)
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _baseline(x: np.ndarray, window: int) -> np.ndarray:
+        """Piecewise-linear curve through windowed minima."""
+        from scipy.interpolate import interp1d
+
+        n_windows = int(np.ceil(x.size / window))
+        minima = np.zeros(n_windows, dtype=x.dtype)
+        minima_args = np.zeros(n_windows, dtype=np.int64)
+        for i in range(n_windows):
+            seg = x[i * window : (i + 1) * window]
+            minima_args[i] = i * window + int(np.argmin(seg))
+            minima[i] = x[minima_args[i]]
+        interpolator = interp1d(
+            minima_args, minima, kind="linear", fill_value="extrapolate"
+        )
+        return interpolator(np.arange(x.size))
+
+    def remove_baseline(self, window_sec: float, attribute: str = "maxbeam"):
+        """Subtract the local-minima baseline (a crude high-pass)."""
+        window = int(sec_to_samp(window_sec, sr=self.data.sr))
+        x = getattr(self, attribute)
+        setattr(self, attribute, x - self._baseline(x, window))
+
+    def smooth_maxbeam(self, window_sec: float):
+        """Gaussian smoothing of the max beam."""
+        from scipy.ndimage import gaussian_filter1d
+
+        window = int(sec_to_samp(window_sec, sr=self.data.sr))
+        self.smoothed = gaussian_filter1d(self.maxbeam, window)
+        return self.smoothed
+
+    def return_pd_series(self, attribute: str = "maxbeam"):
+        """Attribute as a time-indexed pandas Series."""
+        x = getattr(self, attribute)
+        index = pd.date_range(
+            start=str(self.data.date),
+            freq=pd.Timedelta(seconds=1.0 / self.data.sr),
+            periods=len(x),
+        )
+        return pd.Series(data=x, index=index)
+
     @staticmethod
     def _likelihood(beam_volume: np.ndarray) -> np.ndarray:
         """Min-max normalized beam (reference:

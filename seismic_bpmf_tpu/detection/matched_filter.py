@@ -342,6 +342,7 @@ class MatchedFilter:
         template = tg.templates[tt]
         stations = list(self.stations)
         mv = template.moveouts.loc[stations].values
+        mv_arr = tg.moveouts_arr[tt]  # (n_sta, n_comp) samples
         data_path, data_filename = os.path.split(str(self.data.where))
         detections = []
         for i, det_idx in enumerate(detection_indexes):
@@ -363,9 +364,39 @@ class MatchedFilter:
                 "tid": tid,
             }
             aux["n_dev"] = aux["n_threshold"] * self.cfg.n_dev_mf_threshold
+            if getattr(self, "extract_peak_amplitudes", False):
+                aux["peak_amplitudes"] = self._peak_amplitudes(
+                    int(det_idx), mv_arr
+                )
             event.set_aux_data(aux)
             detections.append(event)
         return detections
+
+    def _peak_amplitudes(
+        self, detection_index: int, mv_arr: np.ndarray,
+        offset_sec: float = 1.0, duration_sec: float = 3.0,
+    ) -> np.ndarray:
+        """Peak absolute amplitude per channel in a window around each
+        phase arrival (de-normalized to physical units).
+
+        Reference parity: BPMF/similarity_search.py:695-714.
+        """
+        sr = self.data.sr
+        n_off = int(sec_to_samp(offset_sec, sr=sr))
+        n_dur = int(sec_to_samp(duration_sec, sr=sr))
+        n_sta, n_comp = mv_arr.shape
+        peaks = np.zeros((n_sta, n_comp), np.float32)
+        for s in range(n_sta):
+            for c in range(n_comp):
+                i0 = detection_index + int(mv_arr[s, c]) - n_off
+                i1 = i0 + n_dur
+                win = self.data_arr[s, c, max(0, i0) : max(0, i1)]
+                if win.size:
+                    peak = float(np.abs(win).max())
+                    if self.normalize and hasattr(self, "data_norm"):
+                        peak *= float(self.data_norm[s, c])
+                    peaks[s, c] = peak
+        return peaks
 
     def find_detections(
         self,
@@ -397,12 +428,15 @@ class MatchedFilter:
         threshold_window_dur: float = 1800.0,
         overlap: float = 0.25,
         sanity_check: bool = True,
+        extract_peak_amplitudes: bool = False,
         verbose: int = 0,
         **kwargs,
     ) -> Dict:
         """Full scan with optional template chunking bounded by
         `max_memory_gb` (reference: BPMF/similarity_search.py:726-807)."""
         from time import time as give_time
+
+        self.extract_peak_amplitudes = extract_peak_amplitudes
 
         tg = self.template_group
         if self.max_memory_gb is not None:
