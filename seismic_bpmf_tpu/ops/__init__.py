@@ -2,6 +2,8 @@
 
 from . import reference
 from .beamform import beamform, fold_components
+from .pallas_bp import beamform_pallas
+from .pallas_mf import PallasMatchedFilterPlan, matched_filter_pallas
 from .cf import envelope, kurtosis, saturated_envelopes, scalar_kurtosis
 from .matched_filter import matched_filter
 from .thresholds import bp_detection_threshold, time_dependent_threshold
@@ -9,6 +11,9 @@ from .thresholds import bp_detection_threshold, time_dependent_threshold
 __all__ = [
     "reference",
     "beamform",
+    "beamform_pallas",
+    "matched_filter_pallas",
+    "PallasMatchedFilterPlan",
     "fold_components",
     "matched_filter",
     "envelope",

@@ -60,6 +60,7 @@ def _mf_kernel(
     n_ch: int,
     n_tp_pad: int,
     inv_l: float,
+    precision=jax.lax.Precision.HIGHEST,
 ):
     g = pl.program_id(0)
     ofs = g * B
@@ -94,17 +95,17 @@ def _mf_kernel(
             corr = corr + jax.lax.dot_general(
                 fk, hk, dimension_numbers=dn,
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=precision,
             )
             s1 = s1 + jax.lax.dot_general(
                 ok, hk, dimension_numbers=dn,
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=precision,
             )
             s2 = s2 + jax.lax.dot_general(
                 ok, hk2, dimension_numbers=dn,
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=precision,
             )
             return (corr, s1, s2)
 
@@ -130,11 +131,13 @@ def _mf_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("L", "B", "LM_pad", "n_corr_pad", "n_ch", "interpret"),
+    static_argnames=("L", "B", "LM_pad", "n_corr_pad", "n_ch", "interpret",
+                     "precision"),
 )
 def _mf_pallas_call(
     filt, ones_f, hi, lo, data_pad,
     *, L, B, LM_pad, n_corr_pad, n_ch, interpret=False,
+    precision=jax.lax.Precision.HIGHEST,
 ):
     _, n_tp_pad, _ = filt.shape
     n_blocks = n_corr_pad // B
@@ -142,7 +145,7 @@ def _mf_pallas_call(
     kernel = functools.partial(
         _mf_kernel,
         L=L, LM_pad=LM_pad, B=B, n_ch=n_ch, n_tp_pad=n_tp_pad,
-        inv_l=1.0 / L,
+        inv_l=1.0 / L, precision=precision,
     )
     return pl.pallas_call(
         kernel,
@@ -180,7 +183,8 @@ class PallasMatchedFilterPlan:
     """
 
     def __init__(self, templates, moveouts, weights, n_samp: int,
-                 lag_block: int = 2048, interpret: bool = False):
+                 lag_block: int = 2048, interpret: bool = False,
+                 precision: str = "highest"):
         templates = np.asarray(templates, np.float32)
         moveouts = np.asarray(moveouts, np.int64)
         weights = np.asarray(weights, np.float32)
@@ -189,6 +193,12 @@ class PallasMatchedFilterPlan:
         self.n_tp, self.n_ch, self.L = n_tp, n_ch, L
         self.n_samp = n_samp
         self.interpret = interpret
+        # 'highest' = 6-pass f32 MXU (bit-parity with the NumPy oracle);
+        # 'default' = bf16 passes (~2x faster, ~1e-3 relative CC error)
+        self.precision = (
+            jax.lax.Precision.HIGHEST if precision == "highest"
+            else jax.lax.Precision.DEFAULT
+        )
         n_corr_unit = n_samp - L + 1
 
         mv_flat = moveouts.reshape(n_tp, n_ch)
@@ -263,7 +273,7 @@ class PallasMatchedFilterPlan:
             self.filt, self.ones_f, self.hi, self.lo, data_pad,
             L=self.L, B=self.B, LM_pad=self.LM_pad,
             n_corr_pad=self.n_corr_pad, n_ch=self.n_ch,
-            interpret=self.interpret,
+            interpret=self.interpret, precision=self.precision,
         )
         return out[: self.n_tp, : self.n_corr_unit]
 

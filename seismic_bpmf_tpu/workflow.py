@@ -252,3 +252,49 @@ def compute_magnitudes(events, network: Network, **kwargs):
             logger.warning("Mw failed for %s: %s", ev.id, e)
             out.append(None)
     return out
+
+
+def scan_days(
+    dates: Sequence,
+    make_data: Callable,
+    template_group: TemplateGroup,
+    cfg: Config = DEFAULT_CONFIG,
+    state_file: Optional[str] = None,
+    db_path: Optional[str] = None,
+    **mf_kwargs,
+) -> Dict:
+    """Multi-day matched-filter campaign with checkpoint/resume.
+
+    The reference runs one POSIX process per day with lock-file-synchronized
+    writers (SURVEY.md section 2.4 P6); here days run sequentially on the
+    chip (or sharded over a mesh via `mesh=` in mf_kwargs) and progress is
+    checkpointed to a JSON state file so an interrupted campaign resumes at
+    the first unfinished day.
+
+    make_data(date) -> a `Data` instance with waveforms read.
+    Returns {date: {tid: [events]}}.
+    """
+    import json
+
+    done = {}
+    if state_file is not None and os.path.isfile(state_file):
+        with open(state_file) as f:
+            done = json.load(f)
+        logger.info("resuming campaign: %d days already done", len(done))
+    results: Dict = {}
+    for date in dates:
+        key = str(date)
+        if key in done:
+            continue
+        data = make_data(date)
+        detections = matched_filter_day(
+            template_group, data, cfg=cfg, db_path=db_path, **mf_kwargs
+        )
+        results[key] = detections
+        n = sum(len(v) for v in detections.values())
+        done[key] = {"n_detections": n}
+        if state_file is not None:
+            with open(state_file, "w") as f:
+                json.dump(done, f)
+        logger.info("day %s: %d detections", key, n)
+    return results
