@@ -43,6 +43,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _mf_kernel(
+    base_ref,    # (1, 1) f32 (SMEM): absolute lag of this shard's first lag
     filt_ref,    # (n_ch, n_tp_pad, LM_pad) f32 weight-folded corr filters
     ones_ref,    # (n_ch, n_tp_pad, LM_pad) f32 window-sum filters
     hi_ref,      # (n_ch, n_tp_pad) f32 upper lane bound (abs units)
@@ -121,7 +122,7 @@ def _mf_kernel(
         # per-(t, c) out-of-bounds mask: lane + ofs within [lo, hi]
         hi_col = jnp.transpose(hi_ref[pl.ds(c, 1), :])  # (n_tp_pad, 1)
         lo_col = jnp.transpose(lo_ref[pl.ds(c, 1), :])
-        pos = lane + jnp.float32(ofs)  # (1, B)
+        pos = lane + jnp.float32(ofs) + base_ref[0, 0]  # (1, B)
         mask = (pos <= hi_col) & (pos >= lo_col)
         return acc + jnp.where(mask, ccn, 0.0)
 
@@ -135,10 +136,12 @@ def _mf_kernel(
                      "precision"),
 )
 def _mf_pallas_call(
-    filt, ones_f, hi, lo, data_pad,
+    filt, ones_f, hi, lo, data_pad, base=None,
     *, L, B, LM_pad, n_corr_pad, n_ch, interpret=False,
     precision=jax.lax.Precision.HIGHEST,
 ):
+    if base is None:
+        base = jnp.zeros((1, 1), jnp.float32)
     _, n_tp_pad, _ = filt.shape
     n_blocks = n_corr_pad // B
     W = B + LM_pad
@@ -151,6 +154,7 @@ def _mf_pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # base
             pl.BlockSpec(memory_space=pltpu.VMEM),   # filt
             pl.BlockSpec(memory_space=pltpu.VMEM),   # ones
             pl.BlockSpec(memory_space=pltpu.VMEM),   # hi
@@ -171,7 +175,7 @@ def _mf_pallas_call(
             vmem_limit_bytes=110 * 1024 * 1024
         ),
         interpret=interpret,
-    )(filt, ones_f, hi, lo, data_pad)
+    )(base, filt, ones_f, hi, lo, data_pad)
 
 
 class PallasMatchedFilterPlan:

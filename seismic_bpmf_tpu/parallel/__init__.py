@@ -1,6 +1,15 @@
 """Mesh construction and sharded detection kernels."""
 
 from .mesh import make_mesh
-from .sharded import beamform_sharded, matched_filter_sharded
+from .sharded import (
+    beamform_sharded,
+    matched_filter_sharded,
+    matched_filter_sharded_pallas,
+)
 
-__all__ = ["make_mesh", "beamform_sharded", "matched_filter_sharded"]
+__all__ = [
+    "make_mesh",
+    "beamform_sharded",
+    "matched_filter_sharded",
+    "matched_filter_sharded_pallas",
+]

@@ -302,3 +302,116 @@ def beamform_sharded(
     if reduce == "max":
         return out[0][:n_samp], out[1][:n_samp]
     return out[:n_src, :n_samp]
+
+
+def matched_filter_sharded_pallas(
+    templates,
+    moveouts,
+    weights,
+    data,
+    mesh: Mesh,
+    step: int = 1,
+    lag_block: int = 2048,
+    tp_axis: str = "tp",
+    time_axis: str = "time",
+    interpret: bool = False,
+):
+    """Production multi-chip matched filter: the fused Pallas kernel runs
+    per shard with the template bank sharded over `tp_axis` and the
+    continuous data sharded over `time_axis` (right-halo ppermute sized
+    template_len + max_moveout).
+
+    Matches `ops.pallas_mf.matched_filter_pallas` (and the oracle) exactly:
+    each lag's windows are masked against the *global* data bounds via the
+    kernel's per-shard base offset, so sharded == unsharded.
+    """
+    import importlib
+
+    pmf = importlib.import_module("seismic_bpmf_tpu.ops.pallas_mf")
+
+    templates = np.asarray(templates, np.float32)
+    moveouts = np.asarray(moveouts, np.int64)
+    weights = np.asarray(weights, np.float32)
+    data = np.asarray(data, np.float32)
+    n_tp, n_sta, n_comp, L = templates.shape
+    n_samp = data.shape[-1]
+
+    n_tp_dev = mesh.shape.get(tp_axis, 1)
+    n_t_dev = mesh.shape.get(time_axis, 1)
+
+    # pad the template axis so each shard holds an 8-multiple
+    per_dev = -(-n_tp // n_tp_dev)
+    per_dev = ((per_dev + 7) // 8) * 8
+    n_tp_pad_total = per_dev * n_tp_dev
+    pad_tp = n_tp_pad_total - n_tp
+    if pad_tp:
+        templates = np.pad(templates, ((0, pad_tp),) + ((0, 0),) * 3)
+        moveouts = np.pad(moveouts, ((0, pad_tp),) + ((0, 0),) * 2)
+        weights = np.pad(weights, ((0, pad_tp),) + ((0, 0),) * 2)
+
+    plan = pmf.PallasMatchedFilterPlan(
+        templates, moveouts, weights, n_samp,
+        lag_block=lag_block, interpret=interpret,
+    )
+    B, LM_pad = plan.B, plan.LM_pad
+    # sharded lag region: cover all real data so the last shard's halo is
+    # genuinely zero, and divide evenly into B-multiples per time shard
+    quantum = B * n_t_dev
+    n_corr_shard = -(-max(plan.n_corr_unit, plan.pad_left + n_samp) // quantum)
+    n_corr_shard *= quantum
+    chunk = n_corr_shard // n_t_dev
+    if n_t_dev > 1 and chunk < LM_pad:
+        raise ValueError(
+            f"time chunk ({chunk}) smaller than halo ({LM_pad}); "
+            f"use fewer time shards or a larger lag_block"
+        )
+
+    # padded data covering the sharded region + one halo
+    n_ch_pad = data.shape[0] * data.shape[1]
+    n_ch_pad = ((n_ch_pad + 7) // 8) * 8
+    ext = n_corr_shard + LM_pad
+    data_pad = np.zeros((n_ch_pad, ext), np.float32)
+    hi_clip = min(ext, plan.pad_left + n_samp)
+    data_pad[: plan.n_ch, plan.pad_left : hi_clip] = (
+        data.reshape(plan.n_ch, n_samp)[:, : hi_clip - plan.pad_left]
+    )
+
+    tp_spec = tp_axis if tp_axis in mesh.shape else None
+    t_spec = time_axis if time_axis in mesh.shape else None
+
+    def body(filt_l, ones_l, hi_l, lo_l, data_l):
+        t_idx = (
+            jax.lax.axis_index(time_axis) if t_spec is not None
+            else jnp.int32(0)
+        )
+        data_ext = (
+            _right_halo(data_l, time_axis, LM_pad) if n_t_dev > 1
+            else jnp.pad(data_l, ((0, 0), (0, LM_pad)))
+        )
+        base = jnp.full((1, 1), t_idx * chunk, jnp.float32)
+        out = pmf._mf_pallas_call(
+            filt_l, ones_l, hi_l, lo_l, data_ext, base,
+            L=plan.L, B=B, LM_pad=LM_pad, n_corr_pad=chunk,
+            n_ch=plan.n_ch, interpret=interpret,
+            precision=plan.precision,
+        )
+        return out
+
+    out = jax.shard_map(
+        body,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(
+            P(None, tp_spec, None),
+            P(None, tp_spec, None),
+            P(None, tp_spec),
+            P(None, tp_spec),
+            P(None, t_spec),
+        ),
+        out_specs=P(tp_spec, t_spec),
+    )(plan.filt, plan.ones_f, plan.hi, plan.lo,
+      jnp.asarray(data_pad[:, :n_corr_shard]))
+    out = out[:n_tp, : plan.n_corr_unit]
+    if step > 1:
+        out = out[:, ::step][:, : (n_samp - L) // step + 1]
+    return out

@@ -104,3 +104,27 @@ class TestBeamformSharded:
                              out_of_bounds=oob, time_block=64, src_block=4)
         )
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+class TestMatchedFilterShardedPallas:
+    @pytest.mark.parametrize(
+        "mesh_shape", [{"tp": 2, "time": 4}, {"tp": 1, "time": 8},
+                       {"tp": 8, "time": 1}]
+    )
+    def test_matches_unsharded_pallas(self, rng, mesh_shape):
+        from seismic_bpmf_tpu.ops.pallas_mf import matched_filter_pallas
+        from seismic_bpmf_tpu.parallel import matched_filter_sharded_pallas
+
+        tp, mv, w, data = _mf_problem(rng, n_samp=2048)
+        mesh = make_mesh(mesh_shape)
+        want = np.asarray(
+            matched_filter_pallas(tp, mv, w, data, lag_block=128,
+                                  interpret=True)
+        )
+        got = np.asarray(
+            matched_filter_sharded_pallas(
+                tp, mv, w, data, mesh, lag_block=128, interpret=True
+            )
+        )
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
