@@ -45,6 +45,7 @@ def _make_bp_kernel(*, B, M, S, n_sp, n_src, n_samp, strict, reduce_max):
     n_q = M // 128
 
     def kernel(
+        base_ref,    # (1, 2) int32 (SMEM): [abs time ofs, abs src ofs]
         mv_ref,      # (n_sp, n_src_pad) int32 (VMEM)
         w_ref,       # (n_sp, n_src_pad) f32 (VMEM)
         lo_ref,      # (n_src_pad, 1) int32 used-mv min per source (VMEM)
@@ -102,7 +103,7 @@ def _make_bp_kernel(*, B, M, S, n_sp, n_src, n_samp, strict, reduce_max):
             0, n_sp, sp_body, jnp.zeros((S, B), jnp.float32)
         )
 
-        t_abs = t0 + lane  # (1, B)
+        t_abs = base_ref[0, 0] + t0 + lane  # (1, B)
         if strict:
             lo = lo_ref[pl.ds(s_ofs, S), :]  # (S, 1)
             hi = hi_ref[pl.ds(s_ofs, S), :]
@@ -113,7 +114,7 @@ def _make_bp_kernel(*, B, M, S, n_sp, n_src, n_samp, strict, reduce_max):
             out_ref[...] = beam
             return
 
-        src_ids = s_ofs + row  # (S, 1)
+        src_ids = base_ref[0, 1] + s_ofs + row  # (S, 1) global ids
         beam = jnp.where(src_ids < n_src, beam, neg_inf)
         blk_val = jnp.max(beam, axis=0, keepdims=True)  # (1, B)
         cand = jnp.where(beam == blk_val, src_ids, jnp.int32(2**30))
@@ -144,9 +145,11 @@ def _make_bp_kernel(*, B, M, S, n_sp, n_src, n_samp, strict, reduce_max):
     ),
 )
 def _bp_pallas_call(
-    mv, w, lo, hi, g_pad,
+    mv, w, lo, hi, g_pad, base=None,
     *, B, M, S, n_samp, n_src, strict, reduce_max, interpret=False,
 ):
+    if base is None:
+        base = jnp.zeros((1, 2), jnp.int32)
     n_sp = mv.shape[0]
     n_src_pad = mv.shape[1]
     n_sp_pad = g_pad.shape[0]
@@ -159,6 +162,7 @@ def _bp_pallas_call(
         strict=strict, reduce_max=reduce_max,
     )
     in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # base
         pl.BlockSpec(memory_space=pltpu.VMEM),  # mv
         pl.BlockSpec(memory_space=pltpu.VMEM),  # w
         pl.BlockSpec(memory_space=pltpu.VMEM),  # lo
@@ -199,7 +203,7 @@ def _bp_pallas_call(
             vmem_limit_bytes=110 * 1024 * 1024
         ),
         interpret=interpret,
-    )(mv, w, lo, hi, g_pad)
+    )(base, mv, w, lo, hi, g_pad)
 
 
 def beamform_pallas(

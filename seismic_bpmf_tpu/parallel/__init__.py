@@ -3,6 +3,7 @@
 from .mesh import make_mesh
 from .sharded import (
     beamform_sharded,
+    beamform_sharded_pallas,
     matched_filter_sharded,
     matched_filter_sharded_pallas,
 )
@@ -10,6 +11,7 @@ from .sharded import (
 __all__ = [
     "make_mesh",
     "beamform_sharded",
+    "beamform_sharded_pallas",
     "matched_filter_sharded",
     "matched_filter_sharded_pallas",
 ]

@@ -415,3 +415,137 @@ def matched_filter_sharded_pallas(
     if step > 1:
         out = out[:, ::step][:, : (n_samp - L) // step + 1]
     return out
+
+
+def beamform_sharded_pallas(
+    features,
+    moveouts,
+    weights_phases,
+    weights_sources,
+    mesh: Mesh,
+    reduce: str = "max",
+    out_of_bounds: str = "strict",
+    time_block: int = 1024,
+    src_block: int = 512,
+    src_axis: str = "src",
+    time_axis: str = "time",
+    interpret: bool = False,
+):
+    """Production multi-chip beamformer: the fused Pallas kernel runs per
+    shard with the source grid sharded over `src_axis` and the folded
+    features sharded over `time_axis` (right-halo ppermute sized
+    max(moveout)).  The global max/argmax over sources is a pmax followed by
+    a pmin over tying global indices (first-max semantics).
+
+    Matches `ops.pallas_bp.beamform_pallas` exactly.
+    """
+    import importlib
+
+    pbp = importlib.import_module("seismic_bpmf_tpu.ops.pallas_bp")
+
+    assert reduce in ("max", "none")
+    features = np.asarray(features, np.float32)
+    n_sta, n_comp, n_samp = features.shape
+    mv_flat, w_flat, mv_lo, mv_hi = _bp._flatten_moveouts(
+        moveouts, weights_phases, weights_sources
+    )
+    n_src, n_sp = mv_flat.shape
+    assert mv_flat.min(initial=0) >= 0, "moveouts must be non-negative"
+    max_mv = int(mv_flat.max(initial=0))
+
+    n_s_dev = mesh.shape.get(src_axis, 1)
+    n_t_dev = mesh.shape.get(time_axis, 1)
+
+    B = time_block
+    S = pbp._round_up(
+        min(src_block, max(-(-n_src // n_s_dev), 1)), 128
+    )
+    M = pbp._round_up(max_mv + 1, 128)
+    # per-shard source count: multiple of S
+    s_local = pbp._round_up(-(-n_src // n_s_dev), S)
+    n_src_pad = s_local * n_s_dev
+    n_sp_pad = pbp._round_up(n_sp, 8)
+
+    # per-shard time chunk: multiple of B, sharded region covers all data
+    quantum = B * n_t_dev
+    n_shard_cols = -(-n_samp // quantum) * quantum
+    chunk = n_shard_cols // n_t_dev
+    if n_t_dev > 1 and chunk < M:
+        raise ValueError(
+            f"time chunk ({chunk}) smaller than halo ({M}); use fewer "
+            f"time shards or a larger time_block"
+        )
+
+    g = np.asarray(_bp.fold_components(features, weights_phases))
+    g_pad = np.zeros((n_sp_pad, n_shard_cols), np.float32)
+    g_pad[:n_sp, :n_samp] = g
+
+    mv_in = np.zeros((n_sp, n_src_pad), np.int32)
+    mv_in[:, :n_src] = mv_flat.T
+    w_in = np.zeros((n_sp, n_src_pad), np.float32)
+    w_in[:, :n_src] = w_flat.T
+    lo_in = np.zeros((n_src_pad, 1), np.int32)
+    hi_in = np.zeros((n_src_pad, 1), np.int32)
+    lo_in[:n_src, 0] = mv_lo
+    hi_in[:n_src, 0] = mv_hi
+
+    s_spec = src_axis if src_axis in mesh.shape else None
+    t_spec = time_axis if time_axis in mesh.shape else None
+    reduce_max = reduce == "max"
+
+    def body(mv_l, w_l, lo_l, hi_l, g_l):
+        t_idx = (
+            jax.lax.axis_index(time_axis) if t_spec is not None
+            else jnp.int32(0)
+        )
+        s_idx = (
+            jax.lax.axis_index(src_axis) if s_spec is not None
+            else jnp.int32(0)
+        )
+        g_ext = (
+            _right_halo(g_l, time_axis, M) if n_t_dev > 1
+            else jnp.pad(g_l, ((0, 0), (0, M)))
+        )
+        base = jnp.stack(
+            [t_idx * chunk, s_idx * s_local]
+        ).reshape(1, 2).astype(jnp.int32)
+        out = pbp._bp_pallas_call(
+            mv_l, w_l, lo_l, hi_l, g_ext, base,
+            B=B, M=M, S=S, n_samp=n_samp, n_src=n_src,
+            strict=(out_of_bounds == "strict"), reduce_max=reduce_max,
+            interpret=interpret,
+        )
+        if not reduce_max:
+            return out
+        val, idx = out[0][0:1, :], out[1][0:1, :]
+        if s_spec is not None and n_s_dev > 1:
+            vmax = jax.lax.pmax(val, src_axis)
+            idx_c = jnp.where(val == vmax, idx, jnp.int32(2**30))
+            idx = jax.lax.pmin(idx_c, src_axis)
+            val = vmax
+        return val, idx
+
+    in_specs = (
+        P(None, s_spec),
+        P(None, s_spec),
+        P(s_spec, None),
+        P(s_spec, None),
+        P(None, t_spec),
+    )
+    if reduce_max:
+        out_specs = (P(None, t_spec), P(None, t_spec))
+    else:
+        out_specs = P(s_spec, t_spec)
+    out = jax.shard_map(
+        body,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=in_specs,
+        out_specs=out_specs,
+    )(
+        jnp.asarray(mv_in), jnp.asarray(w_in),
+        jnp.asarray(lo_in), jnp.asarray(hi_in), jnp.asarray(g_pad),
+    )
+    if reduce_max:
+        return out[0][0, :n_samp], out[1][0, :n_samp]
+    return out[:n_src, :n_samp]

@@ -128,3 +128,45 @@ class TestMatchedFilterShardedPallas:
         )
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+class TestBeamformShardedPallas:
+    @pytest.mark.parametrize(
+        "mesh_shape", [{"src": 2, "time": 4}, {"src": 1, "time": 8},
+                       {"src": 4, "time": 2}]
+    )
+    def test_reduce_max_matches_unsharded(self, rng, mesh_shape):
+        from seismic_bpmf_tpu.ops.pallas_bp import beamform_pallas
+        from seismic_bpmf_tpu.parallel import beamform_sharded_pallas
+
+        feats, mv, w_ph, w_src = _bp_problem(rng, n_samp=2048)
+        mesh = make_mesh(mesh_shape)
+        want_v, want_i = beamform_pallas(
+            feats, mv, w_ph, w_src, reduce="max", time_block=256,
+            src_block=128, interpret=True,
+        )
+        got_v, got_i = beamform_sharded_pallas(
+            feats, mv, w_ph, w_src, mesh, reduce="max", time_block=256,
+            src_block=128, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_v), np.asarray(want_v), rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+    def test_reduce_none_matches_unsharded(self, rng):
+        from seismic_bpmf_tpu.ops.pallas_bp import beamform_pallas
+        from seismic_bpmf_tpu.parallel import beamform_sharded_pallas
+
+        feats, mv, w_ph, w_src = _bp_problem(rng, n_src=17, n_samp=2048)
+        mesh = make_mesh({"src": 2, "time": 4})
+        want = np.asarray(
+            beamform_pallas(feats, mv, w_ph, w_src, reduce="none",
+                            time_block=256, src_block=128, interpret=True)
+        )
+        got = np.asarray(
+            beamform_sharded_pallas(feats, mv, w_ph, w_src, mesh,
+                                    reduce="none", time_block=256,
+                                    src_block=128, interpret=True)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
