@@ -2,8 +2,9 @@
 
 from . import reference
 from .beamform import beamform, fold_components
-from .pallas_bp import beamform_pallas
+from .pallas_bp import PallasBeamformPlan, beamform_pallas
 from .pallas_mf import PallasMatchedFilterPlan, matched_filter_pallas
+from .signal import bandpass_zerophase, preprocess_batch, resample_fourier
 from .cf import envelope, kurtosis, saturated_envelopes, scalar_kurtosis
 from .matched_filter import matched_filter
 from .thresholds import bp_detection_threshold, time_dependent_threshold
@@ -14,6 +15,10 @@ __all__ = [
     "beamform_pallas",
     "matched_filter_pallas",
     "PallasMatchedFilterPlan",
+    "PallasBeamformPlan",
+    "bandpass_zerophase",
+    "preprocess_batch",
+    "resample_fourier",
     "fold_components",
     "matched_filter",
     "envelope",

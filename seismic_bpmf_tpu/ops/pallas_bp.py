@@ -265,3 +265,84 @@ def beamform_pallas(
         val, idx = out
         return val[0, :n_samp], idx[0, :n_samp]
     return out[:n_src, :n_samp]
+
+
+class PallasBeamformPlan:
+    """Device-resident beamforming plan: moveouts/weights transferred once,
+    then applied to any number of feature sets (e.g. consecutive days).
+
+    The features themselves can be passed as device arrays (e.g. PhaseNet
+    probabilities already on device) so nothing but the raw day transfers.
+    """
+
+    def __init__(
+        self,
+        moveouts,
+        weights_phases,
+        weights_sources,
+        n_samp: int,
+        reduce: str = "max",
+        out_of_bounds: str = "strict",
+        time_block: int = 1024,
+        src_block: int = 512,
+        interpret: bool = False,
+    ):
+        assert reduce in ("max", "none")
+        mv_flat, w_flat, mv_lo, mv_hi = _flatten_moveouts(
+            moveouts, weights_phases, weights_sources
+        )
+        assert mv_flat.min(initial=0) >= 0, "moveouts must be non-negative"
+        self.weights_phases = jnp.asarray(weights_phases, jnp.float32)
+        self.n_samp = n_samp
+        self.reduce = reduce
+        self.strict = out_of_bounds == "strict"
+        self.interpret = interpret
+        n_src, n_sp = mv_flat.shape
+        self.n_src, self.n_sp = n_src, n_sp
+        max_mv = int(mv_flat.max(initial=0))
+        self.B = time_block
+        self.S = _round_up(min(src_block, max(n_src, 1)), 128)
+        self.M = _round_up(max_mv + 1, 128)
+        self.n_src_pad = _round_up(n_src, self.S)
+        self.n_sp_pad = _round_up(n_sp, 8)
+        self.n_t_blocks = math.ceil(n_samp / self.B)
+        self.ext = self.n_t_blocks * self.B + self.M
+
+        mv_in = np.zeros((n_sp, self.n_src_pad), np.int32)
+        mv_in[:, :n_src] = mv_flat.T
+        w_in = np.zeros((n_sp, self.n_src_pad), np.float32)
+        w_in[:, :n_src] = w_flat.T
+        lo_in = np.zeros((self.n_src_pad, 1), np.int32)
+        hi_in = np.zeros((self.n_src_pad, 1), np.int32)
+        lo_in[:n_src, 0] = mv_lo
+        hi_in[:n_src, 0] = mv_hi
+        self.mv = jnp.asarray(mv_in)
+        self.w = jnp.asarray(w_in)
+        self.lo = jnp.asarray(lo_in)
+        self.hi = jnp.asarray(hi_in)
+
+    def fold_and_pad(self, features) -> jnp.ndarray:
+        """(n_sta, n_comp, n_samp) features -> padded folded (n_sp_pad, ext).
+
+        Accepts host or device arrays; all arithmetic runs on device.
+        """
+        g = fold_components(jnp.asarray(features, jnp.float32),
+                            self.weights_phases)
+        return jnp.pad(
+            g,
+            ((0, self.n_sp_pad - g.shape[0]),
+             (0, self.ext - g.shape[1])),
+        )
+
+    def __call__(self, features):
+        g_pad = self.fold_and_pad(features)
+        out = _bp_pallas_call(
+            self.mv, self.w, self.lo, self.hi, g_pad,
+            B=self.B, M=self.M, S=self.S,
+            n_samp=self.n_samp, n_src=self.n_src,
+            strict=self.strict, reduce_max=(self.reduce == "max"),
+            interpret=self.interpret,
+        )
+        if self.reduce == "max":
+            return out[0][0, : self.n_samp], out[1][0, : self.n_samp]
+        return out[: self.n_src, : self.n_samp]
