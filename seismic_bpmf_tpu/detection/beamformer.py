@@ -199,17 +199,23 @@ class Beamformer:
                 else "onehot"
             )
         if engine == "pallas" and self.mesh is None:
-            from ..ops.pallas_bp import beamform_pallas
+            from ..ops.pallas_bp import PallasBeamformPlan
 
-            out = beamform_pallas(
-                waveform_features,
-                self.moveouts,
-                self.weights_phases,
-                self.weights_sources,
-                reduce=reduce,
-                out_of_bounds=out_of_bounds,
-                **kwargs,
-            )
+            n_samp = np.asarray(waveform_features).shape[-1]
+            key = (reduce, out_of_bounds, n_samp)
+            plans = getattr(self, "_pallas_plans", {})
+            if key not in plans:
+                plans[key] = PallasBeamformPlan(
+                    self.moveouts,
+                    self.weights_phases,
+                    self.weights_sources,
+                    n_samp,
+                    reduce=reduce,
+                    out_of_bounds=out_of_bounds,
+                    **kwargs,
+                )
+                self._pallas_plans = plans
+            out = plans[key](waveform_features)
             if reduce == "max":
                 self.maxbeam = np.asarray(out[0])
                 self.maxbeam_sources = np.asarray(out[1])

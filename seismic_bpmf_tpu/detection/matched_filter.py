@@ -61,6 +61,40 @@ class MatchedFilter:
         self.mesh = mesh
         self.engine = engine
 
+    def _pallas_scan(self, run, templates, moveouts, weights,
+                     template_chunk: int = 64):
+        """Run the fused Pallas kernel with per-template-chunk plans cached
+        across days (the filter build + transfer happens once per template
+        set; only the day's data moves)."""
+        import jax.numpy as jnp
+
+        from ..ops.pallas_mf import PallasMatchedFilterPlan
+
+        n_samp = self.data_arr.shape[-1]
+        key = (tuple(run.tolist()), n_samp, self.step)
+        plans = getattr(self, "_pallas_plans", {})
+        if key not in plans:
+            plans[key] = [
+                PallasMatchedFilterPlan(
+                    templates[i : i + template_chunk],
+                    moveouts[i : i + template_chunk],
+                    weights[i : i + template_chunk],
+                    n_samp,
+                )
+                for i in range(0, len(templates), template_chunk)
+            ]
+            self._pallas_plans = plans
+        outs = []
+        for plan in plans[key]:
+            out = plan(plan.pad_data(self.data_arr))
+            if self.step > 1:
+                L = templates.shape[-1]
+                out = out[:, :: self.step][
+                    :, : (n_samp - L) // self.step + 1
+                ]
+            outs.append(out)
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
     def _use_pallas(self) -> bool:
         """The fused Pallas kernel is the default on accelerators; the
         blocked XLA path serves CPU runs and as a cross-check."""
@@ -233,12 +267,8 @@ class MatchedFilter:
                     step=self.step,
                 )
             elif self._use_pallas():
-                from ..ops.pallas_mf import matched_filter_pallas
-
-                cc_sums = matched_filter_pallas(
-                    templates, moveouts, weights, self.data_arr,
-                    step=self.step,
-                )
+                cc_sums = self._pallas_scan(run, templates, moveouts,
+                                            weights)
             else:
                 cc_sums = matched_filter_op(
                     templates, moveouts, weights, self.data_arr,
