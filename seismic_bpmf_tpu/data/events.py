@@ -604,17 +604,25 @@ class Event:
                 if v is None:
                     continue
                 f.create_dataset(k, data=v)
+            def _h5safe(v):
+                """numpy unicode -> bytes (h5py has no '<U' conversion)."""
+                if isinstance(v, pd.Series):
+                    v = v.values
+                if isinstance(v, np.ndarray) and v.dtype.kind == "U":
+                    return v.astype("S")
+                if isinstance(v, np.str_):
+                    return str(v)
+                return v
+
             if self.aux_data:
                 g = f.create_group("aux_data")
                 for k, v in self.aux_data.items():
                     if isinstance(v, dict):
                         gg = g.create_group(k)
                         for k2, v2 in v.items():
-                            gg.create_dataset(k2, data=v2)
-                    elif isinstance(v, pd.Series):
-                        g.create_dataset(k, data=v.values)
+                            gg.create_dataset(k2, data=_h5safe(v2))
                     else:
-                        g.create_dataset(k, data=v)
+                        g.create_dataset(k, data=_h5safe(v))
             for table_name in ("picks", "arrival_times"):
                 if not hasattr(self, table_name):
                     continue
