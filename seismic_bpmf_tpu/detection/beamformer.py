@@ -222,6 +222,25 @@ class Beamformer:
                 return self.maxbeam, self.maxbeam_sources
             self.beam = np.asarray(out)
             return self.beam
+        if engine == "pallas" and self.mesh is not None:
+            from ..parallel import beamform_sharded_pallas
+
+            out = beamform_sharded_pallas(
+                waveform_features,
+                self.moveouts,
+                self.weights_phases,
+                self.weights_sources,
+                self.mesh,
+                reduce=reduce,
+                out_of_bounds=out_of_bounds,
+                **kwargs,
+            )
+            if reduce == "max":
+                self.maxbeam = np.asarray(out[0])
+                self.maxbeam_sources = np.asarray(out[1])
+                return self.maxbeam, self.maxbeam_sources
+            self.beam = np.asarray(out)
+            return self.beam
         kwargs.setdefault("engine", engine if engine != "pallas" else "onehot")
         if self.mesh is not None:
             from ..parallel import beamform_sharded

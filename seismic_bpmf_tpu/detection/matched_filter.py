@@ -260,12 +260,20 @@ class MatchedFilter:
             moveouts = tg.moveouts_arr[run]
             weights = self.weights_channels[run]
             if self.mesh is not None:
-                from ..parallel import matched_filter_sharded
+                if self._use_pallas():
+                    from ..parallel import matched_filter_sharded_pallas
 
-                cc_sums = matched_filter_sharded(
-                    templates, moveouts, weights, self.data_arr, self.mesh,
-                    step=self.step,
-                )
+                    cc_sums = matched_filter_sharded_pallas(
+                        templates, moveouts, weights, self.data_arr,
+                        self.mesh, step=self.step,
+                    )
+                else:
+                    from ..parallel import matched_filter_sharded
+
+                    cc_sums = matched_filter_sharded(
+                        templates, moveouts, weights, self.data_arr,
+                        self.mesh, step=self.step,
+                    )
             elif self._use_pallas():
                 cc_sums = self._pallas_scan(run, templates, moveouts,
                                             weights)

@@ -38,7 +38,8 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _make_bp_kernel(*, B, M, S, n_sp, n_src, n_samp, strict, reduce_max):
+def _make_bp_kernel(*, B, M, S, n_sp, n_src, n_samp, strict, reduce_max,
+                    precision=jax.lax.Precision.HIGHEST):
     neg_inf = float(-jnp.inf)
     W = B + M
     W128 = W - 128
@@ -94,7 +95,7 @@ def _make_bp_kernel(*, B, M, S, n_sp, n_src, n_samp, strict, reduce_max):
                     hq,
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=precision,
                 )  # (S, B)
 
             return jax.lax.fori_loop(0, n_q, q_body, beam)
@@ -142,11 +143,13 @@ def _make_bp_kernel(*, B, M, S, n_sp, n_src, n_samp, strict, reduce_max):
     jax.jit,
     static_argnames=(
         "B", "M", "S", "n_samp", "n_src", "strict", "reduce_max", "interpret",
+        "precision",
     ),
 )
 def _bp_pallas_call(
     mv, w, lo, hi, g_pad, base=None,
     *, B, M, S, n_samp, n_src, strict, reduce_max, interpret=False,
+    precision=jax.lax.Precision.HIGHEST,
 ):
     if base is None:
         base = jnp.zeros((1, 2), jnp.int32)
@@ -159,7 +162,7 @@ def _bp_pallas_call(
 
     kernel = _make_bp_kernel(
         B=B, M=M, S=S, n_sp=n_sp, n_src=n_src, n_samp=n_samp,
-        strict=strict, reduce_max=reduce_max,
+        strict=strict, reduce_max=reduce_max, precision=precision,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # base
@@ -286,8 +289,13 @@ class PallasBeamformPlan:
         time_block: int = 1024,
         src_block: int = 512,
         interpret: bool = False,
+        precision: str = "highest",
     ):
         assert reduce in ("max", "none")
+        self.precision = (
+            jax.lax.Precision.HIGHEST if precision == "highest"
+            else jax.lax.Precision.DEFAULT
+        )
         mv_flat, w_flat, mv_lo, mv_hi = _flatten_moveouts(
             moveouts, weights_phases, weights_sources
         )
@@ -341,7 +349,7 @@ class PallasBeamformPlan:
             B=self.B, M=self.M, S=self.S,
             n_samp=self.n_samp, n_src=self.n_src,
             strict=self.strict, reduce_max=(self.reduce == "max"),
-            interpret=self.interpret,
+            interpret=self.interpret, precision=self.precision,
         )
         if self.reduce == "max":
             return out[0][0, : self.n_samp], out[1][0, : self.n_samp]

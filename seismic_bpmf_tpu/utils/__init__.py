@@ -17,3 +17,24 @@ __all__ = [
     "utc_from_epoch",
     "epoch_from_utc",
 ]
+
+
+def linear_regression(x, y):
+    """Ordinary least squares slope/intercept with errors.
+
+    Reference parity: BPMF/utils.py:1312-1360.  Returns
+    (slope, intercept, slope_err, intercept_err).
+    """
+    import numpy as np
+
+    x = np.asarray(x, float)
+    y = np.asarray(y, float)
+    n = len(x)
+    A = np.vstack([x, np.ones(n)]).T
+    coef, res, *_ = np.linalg.lstsq(A, y, rcond=None)
+    slope, intercept = coef
+    if n > 2 and len(res):
+        s2 = res[0] / (n - 2)
+        cov = s2 * np.linalg.inv(A.T @ A)
+        return slope, intercept, np.sqrt(cov[0, 0]), np.sqrt(cov[1, 1])
+    return slope, intercept, np.nan, np.nan
