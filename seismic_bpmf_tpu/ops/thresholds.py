@@ -23,15 +23,22 @@ from .reference import GAUSSIAN_SAMPLE_LEN
 
 
 def _window_sums(x, win, shift):
-    """Sums of x over windows [i*shift, i*shift + win)."""
-    return jax.lax.reduce_window(
-        x,
-        jnp.float32(0.0),
-        jax.lax.add,
-        window_dimensions=(win,),
+    """Sums of x over windows [i*shift, i*shift + win).
+
+    Implemented as a strided ones-kernel convolution: TPU lowers
+    `lax.reduce_window` with large windows into a scoped-memory-hungry
+    scalar loop, whereas the conv hits the MXU/VPU windowed-reduction path.
+    """
+    out = jax.lax.conv_general_dilated(
+        x[None, None, :],
+        jnp.ones((1, 1, win), jnp.float32),
         window_strides=(shift,),
         padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
     )
+    return out[0, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("win", "shift", "n_win"))
