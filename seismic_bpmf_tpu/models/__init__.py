@@ -1,5 +1,6 @@
 """Neural models (Flax): the PhaseNet phase picker."""
 
+from .training import train_phasenet, windows_from_events
 from .phasenet import (
     PhaseNet,
     convert_seisbench_weights,
@@ -11,6 +12,8 @@ from .phasenet import (
 
 __all__ = [
     "PhaseNet",
+    "train_phasenet",
+    "windows_from_events",
     "convert_seisbench_weights",
     "init_phasenet",
     "make_picker",

@@ -201,3 +201,47 @@ class TestSpectrum:
         # run end to end and produce finite spectra
         assert "p" in spec.spectra and "s" in spec.spectra
         assert np.isfinite(spec.spectra["s"].values).all()
+
+
+class TestTraining:
+    def test_train_phasenet_on_synthetic(self, rng):
+        from seismic_bpmf_tpu.models import PhaseNet, train_phasenet
+        from seismic_bpmf_tpu.models.training import windows_from_events
+
+        # direct array training path (tiny model, tiny windows)
+        n, window = 16, 256
+        x = rng.normal(size=(n, window, 3)).astype(np.float32)
+        picks = np.stack(
+            [rng.uniform(40, 80, n), rng.uniform(120, 200, n)], axis=1
+        ).astype(np.float32)
+        model, variables, losses = train_phasenet(
+            x, picks, n_epochs=3, batch_size=8,
+            model=PhaseNet(depth=3, filters_root=4), verbose=False,
+        )
+        assert losses[-1] < losses[0]
+
+    def test_windows_from_events(self, rng):
+        from seismic_bpmf_tpu.data.events import Event
+        from seismic_bpmf_tpu.data.stream import Stream, Trace
+        from seismic_bpmf_tpu.models.training import windows_from_events
+
+        ev = Event(
+            "2012-07-26T01:00:00",
+            np.array([[1.0, 2.0]], np.float32),
+            ["ST1"], ["P", "S"], sampling_rate=100.0,
+        )
+        ev.traces = Stream()
+        for cp in "NEZ":
+            ev.traces += Trace(rng.normal(size=6000).astype(np.float32),
+                               station="ST1", channel=f"HH{cp}",
+                               sampling_rate=100.0)
+        ev.duration = 60.0
+        ev.picks = pd.DataFrame(
+            {"P_picks": [1500.0], "S_picks": [2500.0]},
+            index=pd.Index(["ST1"], name="stations"),
+        )
+        x, picks = windows_from_events([ev], window=3001)
+        assert x.shape == (1, 3001, 3)
+        assert picks.shape == (1, 2)
+        # picks fall inside the window
+        assert 0 <= picks[0, 0] < 3001
