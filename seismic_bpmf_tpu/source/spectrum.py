@@ -430,26 +430,57 @@ def compute_moment_magnitude(
     return spec
 
 
-def approximate_moment_magnitude(event, network, windows=None, **kwargs):
-    """Mw* from the lowest valid frequency band without spectral fitting.
+def approximate_moment_magnitude(
+    event,
+    network,
+    windows: Optional[Dict[str, np.ndarray]] = None,
+    snr_threshold: float = 2.0,
+    Q0: float = 300.0,
+    Q_exponent: float = 0.0,
+    rho: float = 2700.0,
+    vp: float = 6000.0,
+    vs: float = 3500.0,
+):
+    """Mw* from the low-frequency plateau without spectral fitting.
 
-    Reference parity: BPMF/spectrum.py:1341-1496 (simplified: omega0 taken
-    as the low-frequency plateau median of the corrected spectrum).
+    Applies the same propagation corrections as the full chain, then takes
+    the seismic moment as the median of the lowest valid quarter of the
+    corrected network-average S spectrum.  Reference parity:
+    BPMF/spectrum.py:1341-1496 (the SNR/distance-weighted lowest-band Mw*).
     """
-    spec = compute_moment_magnitude.__wrapped__(
-        event, network, windows=windows, **kwargs
-    ) if hasattr(compute_moment_magnitude, "__wrapped__") else None
-    # direct plateau estimate
+    from ..utils.geo import compute_distances
+
     if windows is None:
         windows = extract_windows(event)
+    stations = list(event.stations)
     s = Spectrum(event=event, network=network)
-    s.compute_spectrum(windows, list(event.stations), event.sr)
+    s.compute_spectrum(windows, stations, event.sr)
     s.compute_signal_to_noise_ratio()
-    avg = s.compute_network_average_spectrum("s", snr_threshold=1.0)
-    valid = ~avg.isna()
+    sel = network.metadata.loc[stations]
+    d = compute_distances(
+        [event.longitude], [event.latitude], [event.depth],
+        sel["longitude"].values, sel["latitude"].values,
+        sel["depth_km"].values,
+    )[0]
+    dist = pd.Series(d, index=stations)
+    tts = pd.DataFrame(
+        {"P": dist.values / (vp / 1000.0), "S": dist.values / (vs / 1000.0)},
+        index=stations,
+    )
+    s.set_Q_model(Q0=Q0, n=Q_exponent)
+    s.compute_correction_factor(
+        dist, tts, rho_source=rho, rho_receiver=rho,
+        vp_source=vp, vp_receiver=vp, vs_source=vs, vs_receiver=vs,
+    )
+    s.correct_geometrical_spreading()
+    s.correct_attenuation()
+    avg = s.compute_network_average_spectrum(
+        "s", snr_threshold=snr_threshold, min_num_valid_channels=1
+    )
+    valid = ~avg.isna() & (avg.values > 0)
     if valid.sum() == 0:
         return None
-    low = avg[valid].iloc[: max(1, valid.sum() // 4)]
+    low = avg[valid].iloc[: max(1, int(valid.sum()) // 4)]
     M0 = float(np.median(low.values))
     Mw = float(moment_to_magnitude(max(M0, 1e-30)))
     event.set_aux_data({"Mw_star": Mw})

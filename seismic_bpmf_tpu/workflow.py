@@ -239,15 +239,19 @@ def assemble_catalog(
     return Catalog.read_from_dataframe(df.drop(columns=["origin_time_epoch"]))
 
 
-def compute_magnitudes(events, network: Network, **kwargs):
-    """Per-event Mw (notebook 10)."""
-    from .source import compute_moment_magnitude
+def compute_magnitudes(events, network: Network, fallback_mw_star=True,
+                       **kwargs):
+    """Per-event Mw with Mw* fallback when the fit fails (notebook 10)."""
+    from .source import approximate_moment_magnitude, compute_moment_magnitude
 
     out = []
     for ev in events:
         try:
             spec = compute_moment_magnitude(ev, network, **kwargs)
-            out.append(getattr(spec, "Mw", None))
+            mw = getattr(spec, "Mw", None)
+            if mw is None and fallback_mw_star:
+                mw = approximate_moment_magnitude(ev, network)
+            out.append(mw)
         except Exception as e:
             logger.warning("Mw failed for %s: %s", ev.id, e)
             out.append(None)
