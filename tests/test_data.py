@@ -316,3 +316,33 @@ class TestTravelTimes:
         tt.read(["P"], source_indexes=np.array([2, 5, 7]), read_coords=True)
         assert tt.n_sources == 3
         np.testing.assert_allclose(tt.travel_times.loc["ST1", "P"], [2, 5, 7])
+
+
+class TestHostOps:
+    def test_flag_multiples_native(self):
+        from seismic_bpmf_tpu.ops import host_ops
+
+        if not host_ops.available():
+            pytest.skip("libhost_ops.so not built")
+        times = np.array([0.0, 1.0, 2.0, 50.0, 51.0], np.float64)
+        tid_idx = np.array([0, 1, 0, 1, 1], np.int64)
+        metric = np.array([0.9, 0.5, 0.7, 0.3, 0.8], np.float32)
+        dist = np.zeros((2, 2), np.float32)  # all templates co-located
+        uniq = host_ops.flag_multiples(
+            times, tid_idx, metric, dist=dist,
+            dt_criterion=3.0, dist_criterion=5.0,
+        )
+        # group {0,1,2} -> keep idx 0 (metric .9); group {3,4} -> keep idx 4
+        assert list(uniq) == [True, False, False, False, True]
+
+    def test_dedup_large_series_native_matches_oracle(self, rng):
+        from seismic_bpmf_tpu.ops import host_ops
+        from seismic_bpmf_tpu.ops import reference as ref
+
+        if not host_ops.available():
+            pytest.skip("libhost_ops.so not built")
+        cc = rng.random(200000).astype(np.float32)
+        thr = np.full(200000, 0.999, np.float32)
+        want = ref.select_cc_indexes(cc, thr, 50)
+        got = host_ops.select_cc_indexes(cc, thr, 50)
+        np.testing.assert_array_equal(got, want)

@@ -184,3 +184,23 @@ class TestMatchedFilterE2E:
         # both injected occurrences detected (the template itself + repeat)
         cc_vals = [d.aux_data["cc"] for d in dets[key]]
         assert max(cc_vals) > 0.9  # self-detection
+
+
+class TestBeamRelocation:
+    def test_relocate_beam_moves_to_true_source(self, mini_world,
+                                                bp_detections):
+        w = mini_world
+        bf, dets = bp_detections
+        ev = max(dets, key=lambda d: d.aux_data["maxbeam"])
+        # fine-grid relocation on the same grid, full beam
+        env, _ = __import__("seismic_bpmf_tpu.ops", fromlist=["x"]).saturated_envelopes(
+            w["data"].get_np_array(w["net"].stations)
+        )
+        import numpy as np
+
+        true_lon = bf.source_coordinates["longitude"].iloc[EVENT_SRC]
+        true_lat = bf.source_coordinates["latitude"].iloc[EVENT_SRC]
+        ev2 = ev.relocate(bf, np.asarray(env), routine="beam")
+        assert abs(ev2.longitude - true_lon) < 0.05
+        assert abs(ev2.latitude - true_lat) < 0.05
+        assert "hmax_unc" in ev2.aux_data
