@@ -44,13 +44,15 @@ def _round_up(x: int, m: int) -> int:
 
 def _mf_kernel(
     base_ref,    # (1, 1) f32 (SMEM): absolute lag of this shard's first lag
-    filt_ref,    # (n_ch, n_tp_pad, LM_pad) f32 weight-folded corr filters
-    ones_ref,    # (n_ch, n_tp_pad, LM_pad) f32 window-sum filters
+    filt_ref,    # (n_ch, 2*n_tp_pad, LM_pad) f32: stacked [corr filters;
+                 #  window-sum filters] per channel (weight-folded)
+    ones_ref,    # (n_ch, n_tp_pad, LM_pad) f32 window-sum filters (for s2)
     hi_ref,      # (n_ch, n_tp_pad) f32 upper lane bound (abs units)
     lo_ref,      # (n_ch, n_tp_pad) f32 lower lane bound
     data_ref,    # (n_ch_pad, ext) f32 (ANY/HBM)
     out_ref,     # (n_tp_pad, B) f32 block
     win_scratch,  # (n_ch_pad, B + LM_pad) f32
+    winsq_scratch,  # (n_ch_pad, B + LM_pad) f32
     h_scratch,    # (128, W128) f32
     hsq_scratch,  # (128, W128) f32
     dma_sem,
@@ -77,29 +79,28 @@ def _mf_kernel(
     )
     dma.start()
     dma.wait()
+    winsq_scratch[...] = win_scratch[...] * win_scratch[...]
 
     def channel_body(c, acc):
         # H128: 128 statically-shifted copies of the channel's data window
         for r in range(128):
-            row = win_scratch[pl.ds(c, 1), r : r + W128]
-            h_scratch[r : r + 1, :] = row
-            hsq_scratch[r : r + 1, :] = row * row
+            h_scratch[r : r + 1, :] = win_scratch[pl.ds(c, 1), r : r + W128]
+            hsq_scratch[r : r + 1, :] = winsq_scratch[
+                pl.ds(c, 1), r : r + W128
+            ]
 
-        def k_body(k, k_carry):
-            corr, s1, s2 = k_carry
-            k128 = pl.multiple_of(k * 128, 128)
-            fk = filt_ref[c, :, pl.ds(k128, 128)]
-            ok = ones_ref[c, :, pl.ds(k128, 128)]
-            hk = h_scratch[:, pl.ds(k128, B)]
-            hk2 = hsq_scratch[:, pl.ds(k128, B)]
-            dn = (((1,), (0,)), ((), ()))
-            corr = corr + jax.lax.dot_general(
-                fk, hk, dimension_numbers=dn,
-                preferred_element_type=jnp.float32,
-                precision=precision,
-            )
-            s1 = s1 + jax.lax.dot_general(
-                ok, hk, dimension_numbers=dn,
+        # k loop unrolled at trace time: ~10x faster Mosaic compiles and
+        # lets the scheduler software-pipeline the matmul chain
+        dn = (((1,), (0,)), ((), ()))
+        cs = jnp.zeros((2 * n_tp_pad, B), jnp.float32)
+        s2 = jnp.zeros((n_tp_pad, B), jnp.float32)
+        for k in range(n_k):
+            fo = filt_ref[c, :, 128 * k : 128 * (k + 1)]
+            ok = ones_ref[c, :, 128 * k : 128 * (k + 1)]
+            hk = h_scratch[:, 128 * k : 128 * k + B]
+            hk2 = hsq_scratch[:, 128 * k : 128 * k + B]
+            cs = cs + jax.lax.dot_general(
+                fo, hk, dimension_numbers=dn,
                 preferred_element_type=jnp.float32,
                 precision=precision,
             )
@@ -108,12 +109,7 @@ def _mf_kernel(
                 preferred_element_type=jnp.float32,
                 precision=precision,
             )
-            return (corr, s1, s2)
-
-        zeros = jnp.zeros((n_tp_pad, B), jnp.float32)
-        corr, s1, s2 = jax.lax.fori_loop(
-            0, n_k, k_body, (zeros, zeros, zeros)
-        )
+        corr, s1 = cs[:n_tp_pad], cs[n_tp_pad:]
         var_l = s2 - s1 * s1 * inv_l
         y_inv = jnp.where(
             var_l > 1e-10, jax.lax.rsqrt(jnp.abs(var_l) + 1e-30), 0.0
@@ -142,7 +138,7 @@ def _mf_pallas_call(
 ):
     if base is None:
         base = jnp.zeros((1, 1), jnp.float32)
-    _, n_tp_pad, _ = filt.shape
+    n_tp_pad = filt.shape[1] // 2
     n_blocks = n_corr_pad // B
     W = B + LM_pad
     kernel = functools.partial(
@@ -167,6 +163,7 @@ def _mf_pallas_call(
         out_shape=jax.ShapeDtypeStruct((n_tp_pad, n_corr_pad), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((data_pad.shape[0], W), jnp.float32),
+            pltpu.VMEM((data_pad.shape[0], W), jnp.float32),
             pltpu.VMEM((128, W - 128), jnp.float32),
             pltpu.VMEM((128, W - 128), jnp.float32),
             pltpu.SemaphoreType.DMA,
@@ -189,6 +186,7 @@ class PallasMatchedFilterPlan:
     def __init__(self, templates, moveouts, weights, n_samp: int,
                  lag_block: int = 2048, interpret: bool = False,
                  precision: str = "highest"):
+        # note: template_chunk=128 in callers balances VMEM vs MXU occupancy
         templates = np.asarray(templates, np.float32)
         moveouts = np.asarray(moveouts, np.int64)
         weights = np.asarray(weights, np.float32)
@@ -242,6 +240,9 @@ class PallasMatchedFilterPlan:
             pad = ((0, 0), (0, n_tp_pad - n_tp), (0, 0))
             filt = np.pad(filt, pad)
             ones_f = np.pad(ones_f, pad)
+        # kernel consumes the corr and window-sum filters stacked on the
+        # template axis so both reduce in one matmul per 128-tap block
+        filt = np.concatenate([filt, ones_f], axis=1)
 
         n_samp_eff = n_samp + pad_left
         hi = (n_samp_eff - L - mv_flat).astype(np.float32)
@@ -289,7 +290,7 @@ def matched_filter_pallas(
     data,
     step: int = 1,
     lag_block: int = 2048,
-    template_chunk: int = 64,
+    template_chunk: int = 128,
     interpret: bool = False,
 ):
     """Network-summed normalized CC via the fused all-matmul Pallas kernel.
