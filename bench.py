@@ -39,8 +39,8 @@ def main():
     mv = rng.integers(0, 400, size=(n_tp, n_sta, n_comp)).astype(np.int32)
     w = np.full((n_tp, n_sta, n_comp), 1.0 / (n_sta * n_comp), np.float32)
 
-    # two 64-template plans (VMEM-bounded chunks), data transferred once
-    chunk = 64
+    # single 128-template plan (VMEM-bounded chunk), data transferred once
+    chunk = 128
     plans = [
         PallasMatchedFilterPlan(
             tp[i : i + chunk], mv[i : i + chunk], w[i : i + chunk], n_samp
