@@ -39,7 +39,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _make_bp_kernel(*, B, M, S, n_sp, n_src, n_samp, strict, reduce_max,
-                    precision=jax.lax.Precision.HIGHEST):
+                    hoist_hankel, precision=jax.lax.Precision.HIGHEST):
     neg_inf = float(-jnp.inf)
     W = B + M
     W128 = W - 128
@@ -71,17 +71,32 @@ def _make_bp_kernel(*, B, M, S, n_sp, n_src, n_samp, strict, reduce_max,
             )
             dma.start()
             dma.wait()
+            if hoist_hankel:
+                # build the Hankels of every station-phase once per time
+                # block (reused across the whole source sweep)
+                def build_sp(sp, _):
+                    for r in range(128):
+                        h_scratch[pl.ds(sp * 128 + r, 1), :] = win_scratch[
+                            pl.ds(sp, 1), r : r + W128
+                        ]
+                    return 0
+
+                jax.lax.fori_loop(0, n_sp, build_sp, 0)
 
         r_col = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
         row = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
 
         def sp_body(sp, beam):
-            # H128: 128 statically-shifted copies of the sp data window
-            for r in range(128):
-                h_scratch[r : r + 1, :] = win_scratch[
-                    pl.ds(sp, 1), r : r + W128
-                ]
+            if hoist_hankel:
+                h_base = sp * 128
+            else:
+                h_base = 0
+                # per-(time, source)-block rebuild (large-M fallback)
+                for r in range(128):
+                    h_scratch[r : r + 1, :] = win_scratch[
+                        pl.ds(sp, 1), r : r + W128
+                    ]
             mv_row = mv_ref[pl.ds(sp, 1), pl.ds(s_ofs, S)]  # (1, S)
             w_row = w_ref[pl.ds(sp, 1), pl.ds(s_ofs, S)]    # (1, S)
 
@@ -89,7 +104,10 @@ def _make_bp_kernel(*, B, M, S, n_sp, n_src, n_samp, strict, reduce_max,
                 onehot = (
                     (mv_row - q * 128) == r_col
                 ).astype(jnp.float32) * w_row  # (128, S)
-                hq = h_scratch[:, pl.ds(pl.multiple_of(q * 128, 128), B)]
+                hq = h_scratch[
+                    pl.ds(h_base, 128),
+                    pl.ds(pl.multiple_of(q * 128, 128), B),
+                ]
                 return beam + jax.lax.dot_general(
                     onehot,
                     hq,
@@ -143,17 +161,20 @@ def _make_bp_kernel(*, B, M, S, n_sp, n_src, n_samp, strict, reduce_max,
     jax.jit,
     static_argnames=(
         "B", "M", "S", "n_samp", "n_src", "strict", "reduce_max", "interpret",
-        "precision",
+        "precision", "hoist_hankel",
     ),
 )
 def _bp_pallas_call(
     mv, w, lo, hi, g_pad, base=None,
     *, B, M, S, n_samp, n_src, strict, reduce_max, interpret=False,
-    precision=jax.lax.Precision.HIGHEST,
+    precision=jax.lax.Precision.HIGHEST, hoist_hankel=None,
 ):
     if base is None:
         base = jnp.zeros((1, 2), jnp.int32)
     n_sp = mv.shape[0]
+    if hoist_hankel is None:
+        # hoist when the all-sp Hankel fits a conservative VMEM budget
+        hoist_hankel = n_sp * 128 * (B + M - 128) * 4 <= 48 * 1024 * 1024
     n_src_pad = mv.shape[1]
     n_sp_pad = g_pad.shape[0]
     n_t_blocks = (g_pad.shape[1] - M) // B
@@ -163,6 +184,7 @@ def _bp_pallas_call(
     kernel = _make_bp_kernel(
         B=B, M=M, S=S, n_sp=n_sp, n_src=n_src, n_samp=n_samp,
         strict=strict, reduce_max=reduce_max, precision=precision,
+        hoist_hankel=hoist_hankel,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # base
@@ -174,7 +196,8 @@ def _bp_pallas_call(
     ]
     scratch = [
         pltpu.VMEM((n_sp_pad, W), jnp.float32),
-        pltpu.VMEM((128, W - 128), jnp.float32),
+        pltpu.VMEM((n_sp * 128 if hoist_hankel else 128, W - 128),
+                   jnp.float32),
         pltpu.SemaphoreType.DMA,
     ]
     if reduce_max:
