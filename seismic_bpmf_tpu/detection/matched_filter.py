@@ -18,6 +18,7 @@ import pandas as pd
 from ..config import Config, DEFAULT_CONFIG
 from ..ops import matched_filter as matched_filter_op
 from ..ops import time_dependent_threshold
+from ..ops.thresholds import detect_candidates
 from ..ops.cf import scalar_kurtosis
 from ..ops.host_ops import dedup_detection_indexes
 from ..utils.time import sec_to_samp, utc_from_epoch
@@ -70,7 +71,10 @@ class MatchedFilter:
 
         from ..ops.pallas_mf import PallasMatchedFilterPlan
 
+        import jax
+
         n_samp = self.data_arr.shape[-1]
+        interpret = jax.default_backend() == "cpu"
         key = (tuple(run.tolist()), n_samp, self.step)
         plans = getattr(self, "_pallas_plans", {})
         if key not in plans:
@@ -80,6 +84,7 @@ class MatchedFilter:
                     moveouts[i : i + template_chunk],
                     weights[i : i + template_chunk],
                     n_samp,
+                    interpret=interpret,
                 )
                 for i in range(0, len(templates), template_chunk)
             ]
@@ -282,10 +287,19 @@ class MatchedFilter:
                     templates, moveouts, weights, self.data_arr,
                     step=self.step, n_corr_block=n_corr_block,
                 )
-            cc_sums = np.array(cc_sums)  # writable host copy
-            cc_sums[np.isnan(cc_sums)] = 0.0
-            for i, t in enumerate(run):
-                self.cc[tg.tids[t]] = cc_sums[i]
+            if self._use_pallas():
+                import jax.numpy as jnp
+
+                cc_sums = jnp.nan_to_num(jnp.asarray(cc_sums))
+                for i, t in enumerate(run):
+                    # rows stay device-resident; detection extraction pulls
+                    # only top-k candidates to the host
+                    self.cc[tg.tids[t]] = cc_sums[i]
+            else:
+                cc_sums = np.array(cc_sums)  # writable host copy
+                cc_sums[np.isnan(cc_sums)] = 0.0
+                for i, t in enumerate(run):
+                    self.cc[tg.tids[t]] = cc_sums[i]
         for t in select[invalid]:
             self.cc[tg.tids[t]] = np.zeros(1, np.float32)
         return self.cc
@@ -340,6 +354,49 @@ class MatchedFilter:
             cc_idx = cc_idx[keep]
         return cc_idx
 
+    @staticmethod
+    def _dedup_sparse(cand, vals, search_win):
+        """Sequential nearest-pair dedup on sparse candidates (same
+        semantics as `ops.reference.dedup_detection_indexes`)."""
+        keep = list(range(len(cand)))
+        i = 1
+        while i < len(keep):
+            a, b = keep[i - 1], keep[i]
+            if cand[b] - cand[a] < search_win:
+                del keep[i - 1 if vals[b] > vals[a] else i]
+            else:
+                i += 1
+        return np.asarray(keep, dtype=np.int64)
+
+    def _candidates_device(self, tid, cc_dev, weights_t, white_noise,
+                           max_candidates=4096):
+        """Device-side threshold + top-k candidate extraction: only O(k)
+        values cross to the host.  Returns (cand_idx, cc_vals, thr_vals,
+        kurto) with candidates sorted by lag, or None to request the host
+        fallback (candidate overflow)."""
+        import jax.numpy as jnp
+
+        sr = self.data.sr
+        thr = time_dependent_threshold(
+            cc_dev,
+            int(sec_to_samp(self.threshold_window_dur, sr=sr)),
+            self.cfg.n_dev_mf_threshold,
+            overlap=self.overlap,
+            threshold_type=self.threshold_type,
+            white_noise=white_noise,
+        )
+        thr = jnp.minimum(
+            jnp.float32(self.max_CC_threshold * weights_t.sum()), thr
+        )
+        idx, cc_vals, thr_vals, n_above, kurto = detect_candidates(
+            cc_dev, thr, k=max_candidates
+        )
+        if n_above > len(idx):
+            return None
+        order = np.argsort(idx[:n_above], kind="stable")
+        return (idx[:n_above][order], cc_vals[:n_above][order],
+                thr_vals[:n_above][order], kurto)
+
     def _find_detections_t(self, tid, white_noise=None):
         """Per-template detection extraction (reference:
         BPMF/similarity_search.py:600-724)."""
@@ -351,6 +408,43 @@ class MatchedFilter:
         cc_t = self.cc[tid]
         weights_t = self._weights_arr[t]
 
+        device_path = (
+            not isinstance(cc_t, np.ndarray)
+            and self.threshold_type == "rms"
+            and self.anomalous_cdf_at_mean_plus_1sig <= 0.0
+        )
+        if device_path:
+            out = self._candidates_device(tid, cc_t, weights_t, white_noise)
+            if out is not None:
+                cand, cc_vals, thr_vals, kurto = out
+                if self.sanity_check and kurto > self.max_kurto:
+                    return []
+                d_mv = np.max(tg.moveouts_arr[tt], axis=-1) - np.min(
+                    tg.moveouts_arr[tt], axis=-1
+                )
+                d_mv = int(np.median(d_mv)) + 1
+                search_win = min(
+                    10 * min_iet, max(d_mv, min_iet)
+                ) / self.step
+                keep = self._dedup_sparse(cand, cc_vals, search_win)
+                cand, cc_vals, thr_vals = (
+                    cand[keep], cc_vals[keep], thr_vals[keep]
+                )
+                if self.remove_edges and len(cand):
+                    det = cand * self.step
+                    lo = int(sec_to_samp(self.cfg.data_buffer_sec, sr=sr))
+                    hi = int(sec_to_samp(
+                        self.data.duration + self.cfg.data_buffer_sec, sr=sr
+                    ))
+                    m = (det >= lo) & (det < hi)
+                    cand, cc_vals, thr_vals = cand[m], cc_vals[m], thr_vals[m]
+                return self._build_events(
+                    tid, tt, cand, cc_vals, thr_vals
+                )
+            # overflow: fall through to the host path on a fetched series
+            cc_t = np.asarray(cc_t)
+
+        cc_t = np.asarray(cc_t)
         if not np.any(cc_t != 0.0):
             return []
         threshold = np.asarray(
@@ -364,7 +458,7 @@ class MatchedFilter:
             )
         )
         threshold = np.minimum(
-            self.max_CC_threshold * weights_t.sum(), threshold
+            self.max_CC_threshold * weights_t.sum(), np.asarray(threshold)
         )
         if self.sanity_check and scalar_kurtosis(cc_t) > self.max_kurto:
             return []
@@ -375,15 +469,23 @@ class MatchedFilter:
         d_mv = int(np.median(d_mv)) + 1
         search_win = min(10 * min_iet, max(d_mv, min_iet)) / self.step
         cc_idx = self.select_cc_indexes(cc_t, threshold, search_win)
-        detection_indexes = cc_idx * self.step
 
+        return self._build_events(
+            tid, tt, cc_idx, cc_t[cc_idx], threshold[cc_idx]
+        )
+
+    def _build_events(self, tid, tt, cc_idx, cc_vals, thr_vals):
+        """Instantiate detection Events from selected CC indexes."""
+        tg = self.template_group
+        sr = self.data.sr
         template = tg.templates[tt]
         stations = list(self.stations)
         mv = template.moveouts.loc[stations].values
         mv_arr = tg.moveouts_arr[tt]  # (n_sta, n_comp) samples
         data_path, data_filename = os.path.split(str(self.data.where))
         detections = []
-        for i, det_idx in enumerate(detection_indexes):
+        for i, idx in enumerate(cc_idx):
+            det_idx = int(idx) * self.step
             ot = self.data.date_epoch + det_idx / sr
             event = Event(
                 utc_from_epoch(ot),
@@ -397,14 +499,14 @@ class MatchedFilter:
             )
             event.inherit_location(template)
             aux = {
-                "cc": float(cc_t[cc_idx[i]]),
-                "n_threshold": float(cc_t[cc_idx[i]] / threshold[cc_idx[i]]),
+                "cc": float(cc_vals[i]),
+                "n_threshold": float(cc_vals[i] / thr_vals[i]),
                 "tid": tid,
             }
             aux["n_dev"] = aux["n_threshold"] * self.cfg.n_dev_mf_threshold
             if getattr(self, "extract_peak_amplitudes", False):
                 aux["peak_amplitudes"] = self._peak_amplitudes(
-                    int(det_idx), mv_arr
+                    det_idx, mv_arr
                 )
             event.set_aux_data(aux)
             detections.append(event)

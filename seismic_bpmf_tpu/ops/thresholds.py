@@ -186,3 +186,43 @@ def bp_detection_threshold(
     return _bp_threshold_kernel(
         x, jnp.float32(num_dev), window=window, shift=shift, n_windows=n_windows
     )
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _candidate_extract_kernel(cc, thr, k: int):
+    excess = cc - thr
+    vals, idx = jax.lax.top_k(excess, k)
+    n_above = jnp.sum(excess > 0.0)
+    cc_vals = cc[idx]
+    thr_vals = thr[idx]
+    # 4th-moment stats for the kurtosis sanity check
+    mu = jnp.mean(cc)
+    d = cc - mu
+    m2 = jnp.mean(d * d)
+    m4 = jnp.mean(d**4)
+    kurto = jnp.where(m2 > 0, m4 / (m2 * m2) - 3.0, 0.0)
+    return idx, cc_vals, thr_vals, n_above, kurto
+
+
+def detect_candidates(cc, threshold, k: int = 2048):
+    """Device-side detection candidate extraction.
+
+    Computes, on device, the top-k lags by threshold excess and summary
+    statistics, so only O(k) values cross to the host instead of the full
+    multi-million-sample CC series.  Returns
+    (indices (k,), cc values (k,), threshold values (k,), n_above, kurtosis)
+    as host arrays/scalars; entries beyond `n_above` are below threshold.
+    """
+    cc = jnp.asarray(cc, jnp.float32)
+    threshold = jnp.asarray(threshold, jnp.float32)
+    k = min(k, cc.shape[0])
+    idx, cc_vals, thr_vals, n_above, kurto = _candidate_extract_kernel(
+        cc, threshold, k
+    )
+    return (
+        np.asarray(idx),
+        np.asarray(cc_vals),
+        np.asarray(thr_vals),
+        int(n_above),
+        float(kurto),
+    )

@@ -204,3 +204,40 @@ class TestBeamRelocation:
         assert abs(ev2.longitude - true_lon) < 0.05
         assert abs(ev2.latitude - true_lat) < 0.05
         assert "hmax_unc" in ev2.aux_data
+
+
+class TestDeviceDetectionPath:
+    def test_pallas_engine_matches_host_path(self, mini_world,
+                                             template_group):
+        """The device-resident detection path (Pallas CC + on-device
+        threshold/top-k extraction) must yield the same detections as the
+        host path."""
+        w = mini_world
+        white_noise = np.random.default_rng(0).normal(size=500).astype(
+            np.float32
+        )
+
+        def run(engine):
+            mf = MatchedFilter(
+                template_group, min_channels=3, min_stations=2,
+                max_kurto=1e6, cfg=w["cfg"], engine=engine,
+            )
+            mf.set_data(w["data"])
+            mf.set_weights_channels(method="simple", normalize=True)
+            mf.compute_cc_time_series(n_corr_block=8192)
+            dets = mf.find_detections(
+                minimum_interevent_time=5.0, threshold_window_dur=200.0,
+                white_noise=white_noise,
+            )
+            key = list(dets.keys())[0]
+            return sorted(
+                (d.origin_time_epoch, round(d.aux_data["cc"], 4))
+                for d in dets[key]
+            )
+
+        host = run("xla")
+        device = run("pallas")
+        assert len(device) == len(host) and len(device) >= 2
+        for (t1, c1), (t2, c2) in zip(host, device):
+            assert abs(t1 - t2) < 1e-6
+            assert abs(c1 - c2) < 2e-3
