@@ -650,6 +650,38 @@ class Event:
             if close:
                 f0.close()
 
+    def update_aux_data_database(
+        self, keys=None, filename: Optional[str] = None, db_path: str = "",
+        gid: Optional[str] = None,
+    ):
+        """Update (a subset of) this event's aux_data in an existing HDF5
+        database in place.
+
+        Reference parity: BPMF/dataset.py:2813-2866 — minus the spin-wait
+        lock files: the framework's distribution model has a single writer
+        per database file (results are gathered via collectives, not
+        concurrent processes), so plain writes are safe by construction.
+        """
+        import h5py
+
+        filename = filename or os.path.basename(
+            getattr(self, "path_database", self.where)
+        )
+        gid = gid if gid is not None else getattr(self, "hdf5_gid", None)
+        keys = list(keys) if keys is not None else list(self.aux_data.keys())
+        with h5py.File(os.path.join(db_path, filename), "a") as f0:
+            f = f0[str(gid)] if gid is not None else f0
+            g = f.require_group("aux_data")
+            for k in keys:
+                if k in g:
+                    del g[k]
+                v = self.aux_data[k]
+                if isinstance(v, pd.Series):
+                    v = v.values
+                if isinstance(v, np.ndarray) and v.dtype.kind == "U":
+                    v = v.astype("S")
+                g.create_dataset(k, data=v)
+
     @classmethod
     def read_from_file(
         cls,
@@ -743,6 +775,8 @@ class Event:
                 event.duration = float(aux_data["n_samples"]) / float(sr)
         if gid is not None:
             event.hdf5_gid = str(gid)
+        if filename is not None:
+            event.path_database = os.path.join(db_path, filename)
         return event
 
     def __repr__(self):

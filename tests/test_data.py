@@ -346,3 +346,16 @@ class TestHostOps:
         want = ref.select_cc_indexes(cc, thr, 50)
         got = host_ops.select_cc_indexes(cc, thr, 50)
         np.testing.assert_array_equal(got, want)
+
+
+class TestAuxDatabase:
+    def test_update_aux_data_in_place(self, rng, tmp_path):
+        ev = _make_event(rng)
+        ev.write("db.h5", db_path=str(tmp_path), gid="3")
+        ev2 = Event.read_from_file("db.h5", db_path=str(tmp_path), gid="3")
+        ev2.set_aux_data({"Mw": 3.2, "cc": 0.99})
+        ev2.update_aux_data_database(db_path=str(tmp_path))
+        ev3 = Event.read_from_file("db.h5", db_path=str(tmp_path), gid="3")
+        assert ev3.aux_data["Mw"] == pytest.approx(3.2)
+        assert ev3.aux_data["cc"] == pytest.approx(0.99)
+        assert ev3.aux_data["n_dev"] == pytest.approx(12.3)  # untouched
