@@ -172,3 +172,32 @@ def uncertainty_ellipse(event, ax=None, n_points: int = 100, **kwargs):
         **{"color": "C3", "lw": 1.0, **kwargs},
     )
     return ax
+
+
+def load_topography(path: str, map_longitudes, map_latitudes):
+    """Load a topography grid for map backgrounds.
+
+    Reference parity: BPMF/plotting_utils.py `load_topography` (netCDF
+    grids).  Requires the optional `netCDF4` package; returns
+    (longitudes, latitudes, elevation 2-D array) cropped to the map extent.
+    """
+    try:
+        import netCDF4
+    except ImportError as e:
+        raise ImportError(
+            "load_topography requires the optional netCDF4 package"
+        ) from e
+
+    with netCDF4.Dataset(path) as ds:
+        names = list(ds.variables)
+        lon_name = next(n for n in ("lon", "longitude", "x") if n in names)
+        lat_name = next(n for n in ("lat", "latitude", "y") if n in names)
+        z_name = next(
+            n for n in ("z", "elevation", "Band1") if n in names
+        )
+        lon = ds.variables[lon_name][:]
+        lat = ds.variables[lat_name][:]
+        sel_lon = (lon >= map_longitudes[0]) & (lon <= map_longitudes[1])
+        sel_lat = (lat >= map_latitudes[0]) & (lat <= map_latitudes[1])
+        z = ds.variables[z_name][sel_lat, :][:, sel_lon]
+        return lon[sel_lon], lat[sel_lat], np.asarray(z)

@@ -88,3 +88,22 @@ class TestPallasBeamform:
             np.asarray(got_v), want_v, rtol=1e-4, atol=1e-5
         )
         np.testing.assert_array_equal(np.asarray(got_i), want_i)
+
+
+class TestPallasNegativeMoveouts:
+    def test_negative_moveouts_parity(self, rng):
+        """Inter-template CC uses relative moveouts that can be negative;
+        the wrapper's pad_left path must keep oracle parity."""
+        n_tp, n_sta, n_comp, L, n_samp = 3, 3, 3, 24, 1200
+        data = rng.normal(size=(n_sta, n_comp, n_samp)).astype(np.float32)
+        tp = rng.normal(size=(n_tp, n_sta, n_comp, L)).astype(np.float32)
+        mv = rng.integers(-40, 40, size=(n_tp, n_sta, n_comp)).astype(
+            np.int32
+        )
+        w = np.full((n_tp, n_sta, n_comp), 1.0 / 9, np.float32)
+        want = ref.matched_filter(tp, mv, w, data)
+        got = np.asarray(
+            matched_filter_pallas(tp, mv, w, data, lag_block=256,
+                                  interpret=True)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

@@ -104,3 +104,36 @@ def test_full_workflow(world):
 
     rep = GLOBAL_TIMER.report()
     assert "bp_backproject" in rep["stages"]
+
+
+def test_scan_days_resume(world, tmp_path):
+    """Two-'day' campaign with checkpoint/resume."""
+    w = world
+    bf, detections = workflow.backproject_day(
+        w["data"], w["net"], w["tts"], cfg=w["cfg"],
+        minimum_interevent_time=10.0, threshold_window_sec=150.0,
+        num_closest_stations=N_STA,
+    )
+    tg = workflow.build_templates(
+        detections, w["net"], cfg=w["cfg"], data_reader=data_reader_hdf5,
+    )
+    state = str(tmp_path / "campaign.json")
+    calls = []
+
+    def make_data(date):
+        calls.append(date)
+        return w["data"]
+
+    r1 = workflow.scan_days(
+        ["d1", "d2"], make_data, tg, cfg=w["cfg"], state_file=state,
+        minimum_interevent_time=5.0, threshold_window_dur=150.0,
+        min_channels=3, min_stations=2, max_kurto=1e6,
+    )
+    assert set(r1.keys()) == {"d1", "d2"} and len(calls) == 2
+    # resume: nothing re-run
+    r2 = workflow.scan_days(
+        ["d1", "d2"], make_data, tg, cfg=w["cfg"], state_file=state,
+        minimum_interevent_time=5.0, threshold_window_dur=150.0,
+        min_channels=3, min_stations=2, max_kurto=1e6,
+    )
+    assert r2 == {} and len(calls) == 2
