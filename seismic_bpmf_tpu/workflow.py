@@ -50,7 +50,7 @@ def backproject_day(
     minimum_interevent_time: float = 10.0,
     threshold_window_sec: float = 3600.0,
     n_max_stations: Optional[int] = None,
-    engine: str = "onehot",
+    engine: str = "auto",
     mesh=None,
     output_file: Optional[str] = None,
 ):
