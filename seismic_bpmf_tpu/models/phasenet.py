@@ -21,7 +21,7 @@ the pipeline:
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

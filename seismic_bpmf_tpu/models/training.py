@@ -13,14 +13,13 @@ a noise class.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
 from .phasenet import (
     PhaseNet,
     WINDOW,
-    cross_entropy_loss,
     gaussian_pick_labels,
     make_train_step,
 )

@@ -29,7 +29,6 @@ BPMF/similarity_search.py:526-533).  Semantics match
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

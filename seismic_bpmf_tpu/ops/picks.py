@@ -28,8 +28,6 @@ def normalize_batch_np(
     padding, the endpoint window copies and the linear interpolation of the
     window statistics).
     """
-    from scipy.interpolate import interp1d  # noqa: F401  (parity note)
-
     shift = int((1.0 - overlap) * normalization_window_sample)
     num_stations, num_channels, num_time_samples = seismogram.shape
     seis_pad = np.pad(

@@ -17,7 +17,6 @@ All wrappers assert sharded == unsharded in the test suite.
 
 from __future__ import annotations
 
-import functools
 import math
 
 import jax

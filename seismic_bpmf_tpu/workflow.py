@@ -18,7 +18,7 @@ checkpoint/resume model, SURVEY.md section 5).
 from __future__ import annotations
 
 import os
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Callable, Dict, Optional, Sequence
 
 import numpy as np
 
