@@ -1,5 +1,11 @@
 """Neural models (Flax): the PhaseNet phase picker."""
 
+from .checkpoint import (
+    load_train_state,
+    load_variables,
+    save_train_state,
+    save_variables,
+)
 from .training import train_phasenet, windows_from_events
 from .phasenet import (
     PhaseNet,
@@ -19,4 +25,8 @@ __all__ = [
     "make_picker",
     "make_train_step",
     "sliding_window_probas",
+    "save_variables",
+    "load_variables",
+    "save_train_state",
+    "load_train_state",
 ]

@@ -245,3 +245,53 @@ class TestTraining:
         assert picks.shape == (1, 2)
         # picks fall inside the window
         assert 0 <= picks[0, 0] < 3001
+
+
+class TestCheckpoint:
+    def test_variables_roundtrip(self, tmp_path):
+        import jax.numpy as jnp
+        from seismic_bpmf_tpu.models import (
+            init_phasenet, save_variables, load_variables,
+        )
+
+        model, variables = init_phasenet(window=401)
+        path = save_variables(str(tmp_path / "ckpt"), variables)
+        restored = load_variables(path, target=variables)
+        x = jnp.ones((2, 401, 3), jnp.float32)
+        a = model.apply(variables, x, train=False)
+        b = model.apply(restored, x, train=False)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0)
+
+    def test_train_state_roundtrip(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+        import optax
+        from seismic_bpmf_tpu.models import (
+            init_phasenet, save_train_state, load_train_state,
+        )
+
+        model, variables = init_phasenet(window=401)
+        opt = optax.adam(1e-3)
+        opt_state = opt.init(variables["params"])
+        path = save_train_state(
+            str(tmp_path / "state"), variables["params"],
+            variables["batch_stats"], opt_state, step=7,
+        )
+        target = {
+            "params": variables["params"],
+            "batch_stats": variables["batch_stats"],
+            "opt_state": opt_state,
+            "step": np.int64(0),
+        }
+        params, stats, opt_state2, step = load_train_state(path, target=target)
+        assert step == 7
+        chex_eq = jax.tree_util.tree_all(
+            jax.tree_util.tree_map(
+                lambda a, b: bool(jnp.array_equal(a, b)),
+                variables["params"], params,
+            )
+        )
+        assert chex_eq
+        leaves1 = jax.tree_util.tree_leaves(opt_state)
+        leaves2 = jax.tree_util.tree_leaves(opt_state2)
+        assert len(leaves1) == len(leaves2)
