@@ -106,8 +106,9 @@ def time_dependent_threshold(
     threshold_type = threshold_type.lower()
 
     if threshold_type == "rms":
+        sliding_window_samp = min(int(sliding_window_samp), int(n))
         half_win = sliding_window_samp // 2
-        shift = int((1.0 - overlap) * sliding_window_samp)
+        shift = max(int((1.0 - overlap) * sliding_window_samp), 1)
         win = 2 * half_win
         n_win = (n - (win - shift)) // shift
         if white_noise is None:
@@ -181,8 +182,9 @@ def bp_detection_threshold(
     Matches `ops.reference.bp_detection_threshold`.
     """
     x = jnp.asarray(maxbeam, jnp.float32)
-    shift = int((1.0 - overlap) * window)
-    n_windows = int((x.shape[0] - window) // shift) + 1
+    window = min(int(window), int(x.shape[0]))
+    shift = max(int((1.0 - overlap) * window), 1)
+    n_windows = max(int((x.shape[0] - window) // shift) + 1, 1)
     return _bp_threshold_kernel(
         x, jnp.float32(num_dev), window=window, shift=shift, n_windows=n_windows
     )
