@@ -18,7 +18,7 @@ import pandas as pd
 from ..config import Config, DEFAULT_CONFIG
 from ..ops import matched_filter as matched_filter_op
 from ..ops import time_dependent_threshold
-from ..ops.thresholds import detect_candidates
+from ..ops.thresholds import batch_candidates, detect_candidates
 from ..ops.cf import scalar_kurtosis
 from ..ops.host_ops import dedup_detection_indexes
 from ..utils.time import sec_to_samp, utc_from_epoch
@@ -368,29 +368,85 @@ class MatchedFilter:
                 i += 1
         return np.asarray(keep, dtype=np.int64)
 
+    def _batch_extract(self, white_noise, max_candidates=4096):
+        """Threshold + top-k candidate extraction for every device-resident
+        CC row of the current chunk in ONE device program and one host
+        fetch (the per-template path costs a device->host round trip per
+        template, which dominates over a remote/tunneled accelerator).
+
+        Populates `self._cand_cache[tid]`; returns the white-noise fill
+        actually used (so any host fallback sees the same thresholds)."""
+        self._cand_cache = {}
+        if (self.threshold_type != "rms"
+                or self.anomalous_cdf_at_mean_plus_1sig > 0.0):
+            return white_noise
+        dev_tids = [
+            tid for tid, cc in self.cc.items()
+            if not isinstance(cc, np.ndarray) and cc.ndim == 1
+            and cc.shape[0] > 1
+        ]
+        if len(dev_tids) < 2:
+            return white_noise
+        import jax.numpy as jnp
+
+        if white_noise is None:
+            white_noise = np.random.normal(size=500).astype(np.float32)
+        sr = self.data.sr
+        caps = np.array(
+            [
+                self.max_CC_threshold
+                * self._weights_arr[self.tids_subset.index(tid)].sum()
+                for tid in dev_tids
+            ],
+            np.float32,
+        )
+        idx, cc_vals, thr_vals, n_above, kurto = batch_candidates(
+            jnp.stack([self.cc[tid] for tid in dev_tids]),
+            caps,
+            int(sec_to_samp(self.threshold_window_dur, sr=sr)),
+            self.cfg.n_dev_mf_threshold,
+            overlap=self.overlap,
+            white_noise=white_noise,
+            k=max_candidates,
+        )
+        idx, cc_vals, thr_vals, n_above, kurto = (
+            np.asarray(idx), np.asarray(cc_vals), np.asarray(thr_vals),
+            np.asarray(n_above), np.asarray(kurto),
+        )
+        for j, tid in enumerate(dev_tids):
+            self._cand_cache[tid] = (
+                idx[j], cc_vals[j], thr_vals[j], int(n_above[j]),
+                float(kurto[j]),
+            )
+        return white_noise
+
     def _candidates_device(self, tid, cc_dev, weights_t, white_noise,
                            max_candidates=4096):
         """Device-side threshold + top-k candidate extraction: only O(k)
         values cross to the host.  Returns (cand_idx, cc_vals, thr_vals,
         kurto) with candidates sorted by lag, or None to request the host
         fallback (candidate overflow)."""
-        import jax.numpy as jnp
+        cached = getattr(self, "_cand_cache", {}).pop(tid, None)
+        if cached is not None:
+            idx, cc_vals, thr_vals, n_above, kurto = cached
+        else:
+            import jax.numpy as jnp
 
-        sr = self.data.sr
-        thr = time_dependent_threshold(
-            cc_dev,
-            int(sec_to_samp(self.threshold_window_dur, sr=sr)),
-            self.cfg.n_dev_mf_threshold,
-            overlap=self.overlap,
-            threshold_type=self.threshold_type,
-            white_noise=white_noise,
-        )
-        thr = jnp.minimum(
-            jnp.float32(self.max_CC_threshold * weights_t.sum()), thr
-        )
-        idx, cc_vals, thr_vals, n_above, kurto = detect_candidates(
-            cc_dev, thr, k=max_candidates
-        )
+            sr = self.data.sr
+            thr = time_dependent_threshold(
+                cc_dev,
+                int(sec_to_samp(self.threshold_window_dur, sr=sr)),
+                self.cfg.n_dev_mf_threshold,
+                overlap=self.overlap,
+                threshold_type=self.threshold_type,
+                white_noise=white_noise,
+            )
+            thr = jnp.minimum(
+                jnp.float32(self.max_CC_threshold * weights_t.sum()), thr
+            )
+            idx, cc_vals, thr_vals, n_above, kurto = detect_candidates(
+                cc_dev, thr, k=max_candidates
+            )
         if n_above > len(idx):
             return None
         order = np.argsort(idx[:n_above], kind="stable")
@@ -552,6 +608,7 @@ class MatchedFilter:
         self.threshold_window_dur = threshold_window_dur
         self.overlap = overlap
         self.sanity_check = sanity_check
+        white_noise = self._batch_extract(white_noise)
         detections = {}
         for tid in list(self.cc.keys()):
             detections[tid] = self._find_detections_t(

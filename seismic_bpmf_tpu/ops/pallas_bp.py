@@ -192,7 +192,7 @@ def _bp_pallas_call(
         pl.BlockSpec(memory_space=pltpu.VMEM),  # w
         pl.BlockSpec(memory_space=pltpu.VMEM),  # lo
         pl.BlockSpec(memory_space=pltpu.VMEM),  # hi
-        pl.BlockSpec(memory_space=pltpu.ANY),   # g (manual DMA)
+        pl.BlockSpec(memory_space=pl.ANY),   # g (manual DMA)
     ]
     scratch = [
         pltpu.VMEM((n_sp_pad, W), jnp.float32),

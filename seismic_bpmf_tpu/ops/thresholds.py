@@ -190,6 +190,57 @@ def bp_detection_threshold(
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("win", "shift", "n_win", "k")
+)
+def _batch_candidates_kernel(ts, gauss, num_dev, caps, *, win, shift,
+                             n_win, k):
+    def one(x, cap):
+        thr = _tdt_rms_kernel(
+            x, gauss, num_dev, win=win, shift=shift, n_win=n_win
+        )
+        thr = jnp.minimum(thr, cap)
+        return _candidate_extract_kernel(x, thr, k)
+
+    return jax.vmap(one)(ts, caps)
+
+
+def batch_candidates(
+    cc,
+    caps,
+    sliding_window_samp: int,
+    num_dev: float,
+    overlap: float = 0.66,
+    white_noise=None,
+    k: int = 4096,
+):
+    """Thresholds + top-k candidate extraction for a whole template chunk
+    in ONE device program and one host fetch.
+
+    cc : (n_templates, n_corr) device CC stack; caps: per-template absolute
+    CC ceiling.  Returns (idx, cc_vals, thr_vals, n_above, kurto), each with
+    a leading template axis.  Semantics per row match
+    `time_dependent_threshold(threshold_type='rms')` + `detect_candidates`.
+    """
+    ts = jnp.asarray(cc, jnp.float32)
+    n = ts.shape[-1]
+    swin = min(int(sliding_window_samp), int(n))
+    half_win = swin // 2
+    shift = max(int((1.0 - overlap) * swin), 1)
+    win = 2 * half_win
+    n_win = (n - (win - shift)) // shift
+    if white_noise is None:
+        white_noise = np.random.normal(size=GAUSSIAN_SAMPLE_LEN).astype(
+            np.float32
+        )
+    gauss = jnp.asarray(white_noise, jnp.float32)[:GAUSSIAN_SAMPLE_LEN]
+    return _batch_candidates_kernel(
+        ts, gauss, jnp.float32(num_dev),
+        jnp.asarray(caps, jnp.float32),
+        win=win, shift=shift, n_win=n_win, k=k,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def _candidate_extract_kernel(cc, thr, k: int):
     excess = cc - thr

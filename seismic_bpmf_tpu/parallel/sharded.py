@@ -378,7 +378,7 @@ def matched_filter_sharded_pallas(
     tp_spec = tp_axis if tp_axis in mesh.shape else None
     t_spec = time_axis if time_axis in mesh.shape else None
 
-    def body(filt_l, ones_l, hi_l, lo_l, data_l):
+    def body(filt_l, sel_l, hi_l, lo_l, data_l):
         t_idx = (
             jax.lax.axis_index(time_axis) if t_spec is not None
             else jnp.int32(0)
@@ -388,34 +388,27 @@ def matched_filter_sharded_pallas(
             else jnp.pad(data_l, ((0, 0), (0, LM_pad)))
         )
         base = jnp.full((1, 1), t_idx * chunk, jnp.float32)
-        # restore the local [F; O] stacked layout from the shardable 4-D view
-        n_ch_, two, t_local, lm = filt_l.shape
-        filt_stacked = filt_l.reshape(n_ch_, two * t_local, lm)
         out = pmf._mf_pallas_call(
-            filt_stacked, ones_l, hi_l, lo_l, data_ext, base,
+            filt_l, sel_l, hi_l, lo_l, data_ext, base,
             L=plan.L, B=B, LM_pad=LM_pad, n_corr_pad=chunk,
             n_ch=plan.n_ch, interpret=interpret,
             precision=plan.precision,
         )
         return out
 
-    # the plan's filt stacks [F; O] on the template axis; expose the stack
-    # as its own dimension so the template axis shards correctly
-    n_tp_pad_plan = plan.filt.shape[1] // 2
-    filt_4d = plan.filt.reshape(plan.n_ch, 2, n_tp_pad_plan, plan.LM_pad)
     out = jax.shard_map(
         body,
         mesh=mesh,
         check_vma=False,
         in_specs=(
-            P(None, None, tp_spec, None),
+            P(None, tp_spec, None),
             P(None, tp_spec, None),
             P(None, tp_spec),
             P(None, tp_spec),
             P(None, t_spec),
         ),
         out_specs=P(tp_spec, t_spec),
-    )(filt_4d, plan.ones_f, plan.hi, plan.lo,
+    )(plan.filt, plan.sel, plan.hi, plan.lo,
       jnp.asarray(data_pad[:, :n_corr_shard]))
     out = out[:n_tp, : plan.n_corr_unit]
     if step > 1:
