@@ -38,16 +38,22 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _make_bp_kernel(*, B, M, S, n_sp, n_src, n_samp, strict, reduce_max,
+def _make_bp_kernel(*, B, M, S, n_sp, n_src, n_samp, n_q, strict, reduce_max,
                     hoist_hankel, precision=jax.lax.Precision.HIGHEST):
     neg_inf = float(-jnp.inf)
     W = B + M
     W128 = W - 128
-    n_q = M // 128
 
     def kernel(
         base_ref,    # (1, 2) int32 (SMEM): [abs time ofs, abs src ofs]
-        mv_ref,      # (n_sp, n_src_pad) int32 (VMEM)
+        qbase_ref,   # (n_sp, n_s_blocks) int32 (SMEM): per-(sp, src block)
+                     #  128-aligned moveout base — the q sweep only covers
+                     #  the block's LOCAL moveout range (big win on smooth,
+                     #  spatially-ordered travel-time grids)
+        nq_ref,      # (n_sp, n_s_blocks) int32 (SMEM): per-(sp, src block)
+                     #  number of live q blocks (predicates the unrolled
+                     #  sweep; blocks above it have all-zero one-hots)
+        mv_ref,      # (n_sp, n_src_pad) int32 (VMEM), LOCAL to qbase
         w_ref,       # (n_sp, n_src_pad) f32 (VMEM)
         lo_ref,      # (n_src_pad, 1) int32 used-mv min per source (VMEM)
         hi_ref,      # (n_src_pad, 1) int32 used-mv max per source (VMEM)
@@ -55,9 +61,10 @@ def _make_bp_kernel(*, B, M, S, n_sp, n_src, n_samp, strict, reduce_max,
         *refs,
     ):
         if reduce_max:
-            (val_ref, idx_ref, win_scratch, h_scratch, dma_sem) = refs
+            (val_ref, idx_ref, win_scratch, h_scratch, beam_scratch,
+             dma_sem) = refs
         else:
-            (out_ref, win_scratch, h_scratch, dma_sem) = refs
+            (out_ref, win_scratch, h_scratch, beam_scratch, dma_sem) = refs
 
         g_t = pl.program_id(0)
         g_s = pl.program_id(1)
@@ -87,7 +94,9 @@ def _make_bp_kernel(*, B, M, S, n_sp, n_src, n_samp, strict, reduce_max,
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
         row = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
 
-        def sp_body(sp, beam):
+        beam_scratch[...] = jnp.zeros((S, B), jnp.float32)
+
+        def sp_body(sp, carry):
             if hoist_hankel:
                 h_base = sp * 128
             else:
@@ -99,28 +108,34 @@ def _make_bp_kernel(*, B, M, S, n_sp, n_src, n_samp, strict, reduce_max,
                     ]
             mv_row = mv_ref[pl.ds(sp, 1), pl.ds(s_ofs, S)]  # (1, S)
             w_row = w_ref[pl.ds(sp, 1), pl.ds(s_ofs, S)]    # (1, S)
+            b0 = qbase_ref[sp, g_s]  # 128-aligned local moveout base
+            nq_sp = nq_ref[sp, g_s]  # live q blocks for this (sp, block)
 
-            def q_body(q, beam):
-                onehot = (
-                    (mv_row - q * 128) == r_col
-                ).astype(jnp.float32) * w_row  # (128, S)
-                hq = h_scratch[
-                    pl.ds(h_base, 128),
-                    pl.ds(pl.multiple_of(q * 128, 128), B),
-                ]
-                return beam + jax.lax.dot_general(
-                    onehot,
-                    hq,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=precision,
-                )  # (S, B)
+            # unrolled at trace time, predicated per (sp, block): most
+            # blocks of a smooth travel-time grid only span 1-2 octaves of
+            # the global moveout range, so the guarded matmuls are skipped
+            for q in range(n_q):
+                @pl.when(q < nq_sp)
+                def _(q=q):
+                    onehot = (
+                        (mv_row - q * 128) == r_col
+                    ).astype(jnp.float32) * w_row  # (128, S)
+                    hq = h_scratch[
+                        pl.ds(h_base, 128),
+                        pl.ds(pl.multiple_of(b0 + q * 128, 128), B),
+                    ]
+                    beam_scratch[...] = beam_scratch[...] + jax.lax.dot_general(
+                        onehot,
+                        hq,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=precision,
+                    )  # (S, B)
 
-            return jax.lax.fori_loop(0, n_q, q_body, beam)
+            return carry
 
-        beam = jax.lax.fori_loop(
-            0, n_sp, sp_body, jnp.zeros((S, B), jnp.float32)
-        )
+        jax.lax.fori_loop(0, n_sp, sp_body, 0)
+        beam = beam_scratch[...]
 
         t_abs = base_ref[0, 0] + t0 + lane  # (1, B)
         if strict:
@@ -157,16 +172,48 @@ def _make_bp_kernel(*, B, M, S, n_sp, n_src, n_samp, strict, reduce_max,
     return kernel
 
 
+def _local_bases(mv_in: np.ndarray, w_in: np.ndarray, S: int, M: int):
+    """Per-(station-phase, source-block) 128-aligned moveout bases.
+
+    Returns (qbase (n_sp, n_blocks) int32, nq (n_sp, n_blocks) int32,
+    mv_local (n_sp, n_src_pad) int32, n_q int) such that
+    mv = qbase[sp, blk] + mv_local with 0 <= mv_local < 128 * nq[sp, blk]
+    and n_q = max(nq).  Zero-weight entries are ignored when computing the
+    block ranges (their one-hot rows contribute nothing) and remapped to 0;
+    fully-empty blocks get nq = 0 so the kernel skips them outright.  Bases
+    are clamped to M - 128*n_q so every q sweep stays inside the Hankel's
+    column range.
+    """
+    n_sp, n_src_pad = mv_in.shape
+    n_blocks = n_src_pad // S
+    mv_b = mv_in.reshape(n_sp, n_blocks, S)
+    mask = (w_in > 0).reshape(n_sp, n_blocks, S)
+    big = np.iinfo(np.int32).max
+    mv_min = np.where(mask, mv_b, big).min(axis=-1)
+    mv_max = np.where(mask, mv_b, -1).max(axis=-1)
+    empty = ~mask.any(axis=-1)
+    mv_min = np.where(empty, 0, mv_min)
+    mv_max = np.where(empty, 0, mv_max)
+    qbase = (mv_min // 128) * 128
+    n_q = int(np.max(mv_max - qbase)) // 128 + 1
+    qbase = np.minimum(qbase, M - 128 * n_q).astype(np.int32)
+    nq = ((mv_max - qbase) // 128 + 1).astype(np.int32)
+    nq[empty] = 0
+    mv_local = mv_b - qbase[:, :, None]
+    mv_local = np.where(mask, mv_local, 0).astype(np.int32)
+    return qbase, nq, mv_local.reshape(n_sp, n_src_pad), n_q
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "B", "M", "S", "n_samp", "n_src", "strict", "reduce_max", "interpret",
-        "precision", "hoist_hankel",
+        "B", "M", "S", "n_q", "n_samp", "n_src", "strict", "reduce_max",
+        "interpret", "precision", "hoist_hankel",
     ),
 )
 def _bp_pallas_call(
-    mv, w, lo, hi, g_pad, base=None,
-    *, B, M, S, n_samp, n_src, strict, reduce_max, interpret=False,
+    qbase, nq, mv, w, lo, hi, g_pad, base=None,
+    *, B, M, S, n_q, n_samp, n_src, strict, reduce_max, interpret=False,
     precision=jax.lax.Precision.HIGHEST, hoist_hankel=None,
 ):
     if base is None:
@@ -182,12 +229,14 @@ def _bp_pallas_call(
     W = B + M
 
     kernel = _make_bp_kernel(
-        B=B, M=M, S=S, n_sp=n_sp, n_src=n_src, n_samp=n_samp,
+        B=B, M=M, S=S, n_sp=n_sp, n_src=n_src, n_samp=n_samp, n_q=n_q,
         strict=strict, reduce_max=reduce_max, precision=precision,
         hoist_hankel=hoist_hankel,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # base
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # qbase
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # nq
         pl.BlockSpec(memory_space=pltpu.VMEM),  # mv
         pl.BlockSpec(memory_space=pltpu.VMEM),  # w
         pl.BlockSpec(memory_space=pltpu.VMEM),  # lo
@@ -198,6 +247,7 @@ def _bp_pallas_call(
         pltpu.VMEM((n_sp_pad, W), jnp.float32),
         pltpu.VMEM((n_sp * 128 if hoist_hankel else 128, W - 128),
                    jnp.float32),
+        pltpu.VMEM((S, B), jnp.float32),  # beam accumulator
         pltpu.SemaphoreType.DMA,
     ]
     if reduce_max:
@@ -229,7 +279,7 @@ def _bp_pallas_call(
             vmem_limit_bytes=110 * 1024 * 1024
         ),
         interpret=interpret,
-    )(base, mv, w, lo, hi, g_pad)
+    )(base, qbase, nq, mv, w, lo, hi, g_pad)
 
 
 def beamform_pallas(
@@ -279,11 +329,13 @@ def beamform_pallas(
     hi_in = np.zeros((n_src_pad, 1), np.int32)
     lo_in[:n_src, 0] = mv_lo
     hi_in[:n_src, 0] = mv_hi
+    qbase, nq, mv_local, n_q = _local_bases(mv_in, w_in, S, M)
 
     out = _bp_pallas_call(
-        jnp.asarray(mv_in), jnp.asarray(w_in),
+        jnp.asarray(qbase), jnp.asarray(nq), jnp.asarray(mv_local),
+        jnp.asarray(w_in),
         jnp.asarray(lo_in), jnp.asarray(hi_in), jnp.asarray(g_pad),
-        B=B, M=M, S=S, n_samp=n_samp, n_src=n_src,
+        B=B, M=M, S=S, n_q=n_q, n_samp=n_samp, n_src=n_src,
         strict=(out_of_bounds == "strict"), reduce_max=(reduce == "max"),
         interpret=interpret,
     )
@@ -347,7 +399,12 @@ class PallasBeamformPlan:
         hi_in = np.zeros((self.n_src_pad, 1), np.int32)
         lo_in[:n_src, 0] = mv_lo
         hi_in[:n_src, 0] = mv_hi
-        self.mv = jnp.asarray(mv_in)
+        qbase, nq, mv_local, self.n_q = _local_bases(
+            mv_in, w_in, self.S, self.M
+        )
+        self.qbase = jnp.asarray(qbase)
+        self.nq = jnp.asarray(nq)
+        self.mv = jnp.asarray(mv_local)
         self.w = jnp.asarray(w_in)
         self.lo = jnp.asarray(lo_in)
         self.hi = jnp.asarray(hi_in)
@@ -368,8 +425,8 @@ class PallasBeamformPlan:
     def __call__(self, features):
         g_pad = self.fold_and_pad(features)
         out = _bp_pallas_call(
-            self.mv, self.w, self.lo, self.hi, g_pad,
-            B=self.B, M=self.M, S=self.S,
+            self.qbase, self.nq, self.mv, self.w, self.lo, self.hi, g_pad,
+            B=self.B, M=self.M, S=self.S, n_q=self.n_q,
             n_samp=self.n_samp, n_src=self.n_src,
             strict=self.strict, reduce_max=(self.reduce == "max"),
             interpret=self.interpret, precision=self.precision,

@@ -487,12 +487,13 @@ def beamform_sharded_pallas(
     hi_in = np.zeros((n_src_pad, 1), np.int32)
     lo_in[:n_src, 0] = mv_lo
     hi_in[:n_src, 0] = mv_hi
+    qbase, nq_blk, mv_in, n_q = pbp._local_bases(mv_in, w_in, S, M)
 
     s_spec = src_axis if src_axis in mesh.shape else None
     t_spec = time_axis if time_axis in mesh.shape else None
     reduce_max = reduce == "max"
 
-    def body(mv_l, w_l, lo_l, hi_l, g_l):
+    def body(qbase_l, nq_l, mv_l, w_l, lo_l, hi_l, g_l):
         t_idx = (
             jax.lax.axis_index(time_axis) if t_spec is not None
             else jnp.int32(0)
@@ -509,8 +510,8 @@ def beamform_sharded_pallas(
             [t_idx * chunk, s_idx * s_local]
         ).reshape(1, 2).astype(jnp.int32)
         out = pbp._bp_pallas_call(
-            mv_l, w_l, lo_l, hi_l, g_ext, base,
-            B=B, M=M, S=S, n_samp=n_samp, n_src=n_src,
+            qbase_l, nq_l, mv_l, w_l, lo_l, hi_l, g_ext, base,
+            B=B, M=M, S=S, n_q=n_q, n_samp=n_samp, n_src=n_src,
             strict=(out_of_bounds == "strict"), reduce_max=reduce_max,
             interpret=interpret,
         )
@@ -525,6 +526,8 @@ def beamform_sharded_pallas(
         return val, idx
 
     in_specs = (
+        P(None, s_spec),
+        P(None, s_spec),
         P(None, s_spec),
         P(None, s_spec),
         P(s_spec, None),
@@ -542,7 +545,8 @@ def beamform_sharded_pallas(
         in_specs=in_specs,
         out_specs=out_specs,
     )(
-        jnp.asarray(mv_in), jnp.asarray(w_in),
+        jnp.asarray(qbase), jnp.asarray(nq_blk), jnp.asarray(mv_in),
+        jnp.asarray(w_in),
         jnp.asarray(lo_in), jnp.asarray(hi_in), jnp.asarray(g_pad),
     )
     if reduce_max:
