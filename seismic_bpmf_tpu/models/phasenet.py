@@ -87,6 +87,15 @@ class PhaseNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # pad to a multiple of stride**(depth-1) so every down/up stage
+        # divides exactly: the UpBlock crop/pad then never fires, keeping
+        # the graph free of the slice+pad pattern that crashes XLA:TPU's
+        # SpaceToBatchConverter on non-divisible lengths (e.g. 3001)
+        n_in = x.shape[1]
+        quantum = self.stride ** (self.depth - 1)
+        n_pad = (-n_in) % quantum
+        if n_pad:
+            x = jnp.pad(x, ((0, 0), (0, n_pad), (0, 0)))
         filters = [self.filters_root * 2**i for i in range(self.depth)]
         x = ConvBlock(filters[0], self.kernel)(x, train=train)
         skips = []
@@ -98,6 +107,8 @@ class PhaseNet(nn.Module):
                 x, skips[i], train=train
             )
         x = nn.Conv(self.n_classes, (1,), padding="SAME")(x)
+        if n_pad:
+            x = x[:, :n_in, :]
         return nn.softmax(x, axis=-1)
 
 
