@@ -95,6 +95,21 @@ class EventGroup:
             raise ValueError("method must be 'rms' or 'max'")
         norm[norm == 0.0] = 1.0
         self.waveforms_arr = arr / norm
+        self._normalize_method = method
+
+    def set_network(self, network: Network):
+        """Re-target the group onto a new (e.g. subset) Network, rebuilding
+        the batch arrays and re-applying recorded operations.
+
+        Reference parity: BPMF/dataset.py:4172-4203 (`Family.set_network` /
+        `_remember`).
+        """
+        self.network = network
+        if hasattr(self, "waveforms_arr"):
+            self.get_waveforms_arr()
+            if getattr(self, "_normalize_method", None):
+                self.normalize(self._normalize_method)
+        return self
 
     def SVDWF_stack(
         self,
@@ -344,6 +359,26 @@ class TemplateGroup:
             raise ValueError("method must be 'rms' or 'max'")
         norm[norm == 0.0] = 1.0
         self._waveforms_arr = arr / norm
+        self._normalize_method = method
+
+    def set_network(self, network: Network):
+        """Re-target the group onto a new (e.g. subset) Network: rebuild the
+        cached batch arrays against the new station list and re-apply
+        recorded operations (normalization).
+
+        Reference parity: BPMF/dataset.py:4172-4203 (`Family.set_network`).
+        """
+        had_waveforms = hasattr(self, "_waveforms_arr")
+        self.network = network
+        for cache in ("_moveouts_arr", "_waveforms_arr", "_intertp_dist",
+                      "_ellips_dist", "_intertemplate_cc"):
+            if hasattr(self, cache):
+                delattr(self, cache)
+        if had_waveforms:
+            self.read_waveforms()
+            if getattr(self, "_normalize_method", None):
+                self.normalize(self._normalize_method)
+        return self
 
     def n_best_SNR_stations(self, n: int, available_stations=None):
         for tp in self.templates:

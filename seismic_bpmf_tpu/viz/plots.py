@@ -201,3 +201,120 @@ def load_topography(path: str, map_longitudes, map_latitudes):
         sel_lat = (lat >= map_latitudes[0]) & (lat <= map_latitudes[1])
         z = ds.variables[z_name][sel_lat, :][:, sel_lon]
         return lon[sel_lon], lat[sel_lat], np.asarray(z)
+
+
+def vertical_uncertainty_ellipse(event, ax=None, n_points: int = 100,
+                                 **kwargs):
+    """Vertical (horizontal-distance vs depth) uncertainty ellipse
+    (reference: BPMF/plotting_utils.py `vertical_uncertainty_ellipse`)."""
+    if ax is None:
+        _, ax = plt.subplots()
+    hmax = event.hmax_unc
+    vmax = event.vmax_unc
+    theta = np.linspace(0, 2 * np.pi, n_points)
+    ax.plot(
+        hmax * np.cos(theta),
+        event.depth + vmax * np.sin(theta),
+        **{"color": "C3", "lw": 1.0, **kwargs},
+    )
+    ax.set_xlabel("Horizontal distance (km)")
+    ax.set_ylabel("Depth (km)")
+    if not ax.yaxis_inverted():
+        ax.invert_yaxis()
+    return ax
+
+
+def add_scale_bar(ax, length_km: float = 10.0, location=(0.1, 0.05),
+                  **kwargs):
+    """Add a horizontal scale bar in km to a lon/lat map axis (reference:
+    BPMF/plotting_utils.py `add_scale_bar`)."""
+    x0, x1 = ax.get_xlim()
+    y0, y1 = ax.get_ylim()
+    lat_mid = 0.5 * (y0 + y1)
+    km_per_deg_lon = 111.19 * np.cos(np.radians(lat_mid))
+    dx = length_km / km_per_deg_lon
+    bx = x0 + location[0] * (x1 - x0)
+    by = y0 + location[1] * (y1 - y0)
+    ax.plot([bx, bx + dx], [by, by],
+            **{"color": "k", "lw": 2.0, **kwargs})
+    ax.annotate(f"{length_km:g} km", (bx + dx / 2.0, by), ha="center",
+                va="bottom", fontsize=8)
+    return ax
+
+
+def plot_recurrence_times(catalog, tid=None, figsize=(10, 4), **kwargs):
+    """Inter-event (recurrence) times of a detection catalog (reference:
+    BPMF/dataset.py:4003-4079 `Template.plot_recurrence_times`)."""
+    df = catalog.catalog
+    if tid is not None and "tid" in df.columns:
+        df = df[df["tid"].astype(str) == str(tid)]
+    t = np.sort(df["origin_time"].values.astype("datetime64[ns]"))
+    if len(t) < 2:
+        fig, ax = plt.subplots(figsize=figsize)
+        ax.set_title("fewer than 2 events")
+        return fig
+    rec = np.diff(t).astype("timedelta64[s]").astype(float)
+    fig, ax = plt.subplots(figsize=figsize)
+    ax.semilogy(t[1:], rec, "o", ms=3, **kwargs)
+    ax.set_xlabel("Origin time")
+    ax.set_ylabel("Recurrence time (s)")
+    fig.autofmt_xdate()
+    return fig
+
+
+def plot_time_of_day(catalog, figsize=(8, 4), n_bins: int = 24, **kwargs):
+    """Histogram of event origin times by hour of day (reference: Catalog
+    plot methods, BPMF/dataset.py:298-854)."""
+    t = catalog.catalog["origin_time"].values.astype("datetime64[ns]")
+    hours = (t.astype("datetime64[h]").astype(int) % 24)
+    fig, ax = plt.subplots(figsize=figsize)
+    ax.hist(hours, bins=np.arange(n_bins + 1) - 0.5, **kwargs)
+    ax.set_xlabel("Hour of day (UTC)")
+    ax.set_ylabel("Events")
+    ax.set_xlim(-0.5, n_bins - 0.5)
+    return fig
+
+
+def plot_space_time(catalog, axis: str = "longitude", figsize=(10, 5),
+                    **kwargs):
+    """Space-time scatter of the catalog along one geographic axis
+    (reference: Catalog plot methods, BPMF/dataset.py:298-854)."""
+    df = catalog.catalog
+    fig, ax = plt.subplots(figsize=figsize)
+    sc = ax.scatter(df["origin_time"], df[axis],
+                    c=df["depth"], s=10, cmap="viridis", **kwargs)
+    fig.colorbar(sc, ax=ax, label="depth (km)")
+    ax.set_xlabel("Origin time")
+    ax.set_ylabel(axis)
+    fig.autofmt_xdate()
+    return fig
+
+
+def plot_event(event, figsize=(12, 8), component_aliases=None, **kwargs):
+    """Waveform gallery of an event with pick markers (reference:
+    BPMF/dataset.py:3076-3240 `Event.plot`)."""
+    arr = event.waveforms_arr
+    n_sta, n_comp, _ = arr.shape
+    fig, axes = plt.subplots(n_sta, n_comp, figsize=figsize, sharex=True,
+                             squeeze=False)
+    t = np.arange(arr.shape[-1]) / event.sr
+    picks = getattr(event, "picks", None)
+    for s in range(n_sta):
+        sta = event.stations[s]
+        for c in range(n_comp):
+            ax = axes[s, c]
+            ax.plot(t, arr[s, c], lw=0.6, color="k")
+            ax.set_ylabel(f"{sta}.{event.components[c]}", fontsize=7)
+            if picks is not None and sta in picks.index:
+                for ph, color in (("P", "C0"), ("S", "C3")):
+                    col = f"{ph}_picks"
+                    if col in picks.columns:
+                        p = picks.loc[sta, col]
+                        p = np.atleast_1d(p)
+                        for pi in p:
+                            if np.isfinite(pi):
+                                ax.axvline(float(pi) / event.sr,
+                                           color=color, lw=0.8)
+    axes[-1, 0].set_xlabel("Time (s)")
+    fig.suptitle(f"Event {event.id}")
+    return fig

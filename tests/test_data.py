@@ -359,3 +359,63 @@ class TestAuxDatabase:
         assert ev3.aux_data["Mw"] == pytest.approx(3.2)
         assert ev3.aux_data["cc"] == pytest.approx(0.99)
         assert ev3.aux_data["n_dev"] == pytest.approx(12.3)  # untouched
+
+
+class TestSetNetwork:
+    def test_template_group_set_network(self, rng, tmp_path):
+        tg = TestTemplateGroup()._group(rng, tmp_path)
+        full = tg.waveforms_arr
+        tg.normalize()
+        sub = tg.network.subset(["ST1"], tg.network.components,
+                                method="keep")
+        tg.set_network(sub)
+        assert tg.waveforms_arr.shape[1] == 1
+        assert tg.moveouts_arr.shape[1] == 1
+        # normalization re-applied: unit rms on nonzero channels
+        rms = np.std(tg.waveforms_arr, axis=-1)
+        nz = rms > 0
+        assert np.allclose(rms[nz], 1.0, atol=1e-5)
+
+
+class TestViz:
+    def test_plots_smoke(self, rng, tmp_path):
+        import matplotlib
+        matplotlib.use("Agg")
+        from seismic_bpmf_tpu import viz
+
+        tg = TestTemplateGroup()._group(rng, tmp_path)
+        cat = Catalog.read_from_dataframe(pd.DataFrame({
+            "longitude": [30.0, 30.1, 30.2],
+            "latitude": [40.0, 40.05, 40.1],
+            "depth": [5.0, 7.0, 9.0],
+            "origin_time": pd.to_datetime(
+                ["2012-07-26T00:00:00", "2012-07-26T06:00:00",
+                 "2012-07-26T06:30:00"]),
+            "tid": ["0", "0", "1"],
+        }))
+        figs = [
+            viz.plot_template(tg.templates[0]),
+            viz.plot_event(tg.templates[0]),
+            viz.plot_catalog(cat),
+            viz.plot_recurrence_times(cat, tid="0"),
+            viz.plot_time_of_day(cat),
+            viz.plot_space_time(cat),
+            viz.plot_detection_matrix(
+                rng.normal(size=(4, 200)).astype(np.float32),
+                ["ST1"], 25.0),
+        ]
+        import matplotlib.pyplot as plt
+        ax = viz.initialize_map(
+            (29.9, 30.3), (39.9, 40.2),
+            seismic_stations={"longitude": [30.0], "latitude": [40.0],
+                              "stations": ["ST1"]},
+        )
+        viz.add_scale_bar(ax, 10.0)
+        ev = tg.templates[0]
+        ev.set_aux_data({"hmax_unc": 2.0, "hmin_unc": 1.0,
+                         "az_hmax_unc": 30.0, "vmax_unc": 3.0})
+        viz.uncertainty_ellipse(ev)
+        viz.vertical_uncertainty_ellipse(ev)
+        for f in figs:
+            plt.close(f)
+        plt.close("all")

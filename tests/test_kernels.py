@@ -254,3 +254,43 @@ class TestHostScans:
             method="closest",
         )
         assert not red2[2] and red2[5] and red2[9]
+
+
+class TestBatchCandidates:
+    def test_matches_per_template_path(self):
+        """batch_candidates == per-row time_dependent_threshold + top-k."""
+        import jax.numpy as jnp
+
+        from seismic_bpmf_tpu.ops.thresholds import (
+            batch_candidates,
+            detect_candidates,
+        )
+
+        rng = np.random.default_rng(3)
+        n_tp, n = 5, 20000
+        cc = rng.normal(size=(n_tp, n)).astype(np.float32) * 0.01
+        # inject spikes so candidates exist
+        for t in range(n_tp):
+            cc[t, rng.integers(0, n, size=4)] += 0.5
+        wn = rng.normal(size=500).astype(np.float32)
+        caps = np.linspace(0.3, 0.8, n_tp).astype(np.float32)
+
+        idx_b, ccv_b, thv_b, na_b, k_b = (
+            np.asarray(x) for x in batch_candidates(
+                jnp.asarray(cc), caps, 600, 8.0, white_noise=wn, k=64,
+            )
+        )
+        for t in range(n_tp):
+            thr = time_dependent_threshold(
+                cc[t], 600, 8.0, white_noise=wn
+            )
+            thr = np.minimum(np.asarray(thr), caps[t])
+            idx, ccv, thv, na, kurto = detect_candidates(
+                jnp.asarray(cc[t]), jnp.asarray(thr), k=64
+            )
+            assert int(na) == int(na_b[t])
+            n_above = int(na)
+            order_a = np.sort(np.asarray(idx)[:n_above])
+            order_b = np.sort(idx_b[t][:n_above])
+            np.testing.assert_array_equal(order_a, order_b)
+            np.testing.assert_allclose(float(kurto), k_b[t], rtol=1e-5)
