@@ -132,6 +132,66 @@ def _forward(apply_fn, variables, x):
     return apply_fn(variables, x, train=False)
 
 
+@functools.partial(jax.jit, static_argnames=("apply_fn", "window"))
+def _device_sliding(apply_fn, variables, x, starts, *, window):
+    """Overlapping-window inference + overlap-averaging as ONE device
+    program (lax.scan over window positions — no per-window dispatch)."""
+    n_tr, n_ch, n = x.shape
+
+    def body(carry, s):
+        probas, counts = carry
+        win = jax.lax.dynamic_slice(x, (0, 0, s), (n_tr, n_ch, window))
+        out = apply_fn(variables, jnp.transpose(win, (0, 2, 1)),
+                       train=False)  # (n_tr, window, 3)
+        cur = jax.lax.dynamic_slice(probas, (0, s, 0), (n_tr, window, 3))
+        probas = jax.lax.dynamic_update_slice(probas, cur + out, (0, s, 0))
+        cc = jax.lax.dynamic_slice(counts, (s,), (window,))
+        counts = jax.lax.dynamic_update_slice(counts, cc + 1.0, (s,))
+        return (probas, counts), 0
+
+    probas0 = jnp.zeros((n_tr, n, 3), jnp.float32)
+    counts0 = jnp.zeros((n,), jnp.float32)
+    (probas, counts), _ = jax.lax.scan(body, (probas0, counts0), starts)
+    probas = probas / jnp.maximum(counts[None, :, None], 1.0)
+    return jnp.transpose(probas, (0, 2, 1))
+
+
+def phasenet_probas_device(
+    model: PhaseNet,
+    variables,
+    x,
+    window: int = WINDOW,
+    overlap: float = 0.5,
+    norm_window: int = 3000,
+):
+    """Day-long P/S/noise probabilities computed ENTIRELY on device.
+
+    Same semantics as `sliding_window_probas` but the continuous data is
+    uploaded once and normalization + all window forwards + overlap
+    averaging run in one jitted program — the host-chunked path pays a
+    device round trip per window batch, which dominates on a remote
+    accelerator.  Returns a device array (n_traces, 3, n_samples); keep it
+    device-resident when feeding the beamformer.
+    """
+    from ..ops.picks import normalize_batch
+
+    x = jnp.asarray(x, jnp.float32)
+    n_tr, n_ch, n = x.shape
+    if n < window:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, window - n)))
+        n = window
+    x = normalize_batch(
+        x, normalization_window_sample=min(norm_window, n)
+    )
+    shift = max(1, int(window * (1.0 - overlap)))
+    starts = list(range(0, max(1, n - window + 1), shift))
+    if starts[-1] + window < n:
+        starts.append(n - window)
+    starts = jnp.asarray(np.asarray(starts, np.int32))
+    return _device_sliding(model.apply, variables, x, starts,
+                           window=window)
+
+
 def sliding_window_probas(
     model: PhaseNet,
     variables,
@@ -139,11 +199,17 @@ def sliding_window_probas(
     window: int = WINDOW,
     overlap: float = 0.5,
     norm_window: int = 3000,
+    batch_windows: int = 64,
 ) -> np.ndarray:
     """Long-trace inference: Z-score-normalized overlapping windows,
     overlap-averaged probabilities.
 
     x : (n_traces, 3, n_samples) -> (n_traces, 3, n_samples) probas (P,S,N).
+
+    Window positions are batched onto the leading axis (`batch_windows` per
+    device call) — a day of continuous data is ~720 window positions, and
+    one dispatch per position is launch-latency-bound on a remote
+    accelerator.
     """
     from ..ops.picks import normalize_batch_np
 
@@ -158,17 +224,25 @@ def sliding_window_probas(
         starts.append(n - window)
     probas = np.zeros((n_tr, n, 3), np.float32)
     counts = np.zeros(n, np.float32)
-    for s in starts:
-        win = x[:, :, s : s + window]
-        if win.shape[-1] < window:
-            win = np.pad(win, ((0, 0), (0, 0), (0, window - win.shape[-1])))
+    # windows stacked on the batch axis: (n_chunk * n_tr, window, 3)
+    n_chunk = max(1, batch_windows // max(n_tr, 1))
+    for lo in range(0, len(starts), n_chunk):
+        chunk = starts[lo : lo + n_chunk]
+        # fixed batch shape (repeat the last start) so every chunk reuses
+        # one compiled program
+        padded = chunk + [chunk[-1]] * (n_chunk - len(chunk))
+        wins = np.zeros((n_chunk, n_tr, window, n_ch), np.float32)
+        for j, s in enumerate(padded):
+            w = x[:, :, s : s + window]
+            wins[j, :, : w.shape[-1], :] = w.transpose(0, 2, 1)
         out = np.asarray(
             _forward(model.apply, variables,
-                     jnp.asarray(win.transpose(0, 2, 1)))
-        )
-        n_eff = min(window, n - s)
-        probas[:, s : s + n_eff, :] += out[:, :n_eff, :]
-        counts[s : s + n_eff] += 1.0
+                     jnp.asarray(wins.reshape(-1, window, n_ch)))
+        ).reshape(n_chunk, n_tr, window, 3)
+        for j, s in enumerate(chunk):
+            n_eff = min(window, n - s)
+            probas[:, s : s + n_eff, :] += out[j, :, :n_eff, :]
+            counts[s : s + n_eff] += 1.0
     probas /= np.maximum(counts[None, :, None], 1.0)
     return probas.transpose(0, 2, 1)
 

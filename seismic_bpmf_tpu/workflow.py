@@ -66,7 +66,9 @@ def backproject_day(
             features, _ = saturated_envelopes(arr)
             features = np.asarray(features)
         else:
-            features = np.asarray(feature_fn(arr))
+            # may return a device array (e.g. phasenet_feature_fn's
+            # device path) — keep it resident; the engines accept both
+            features = feature_fn(arr)
     bf = Beamformer(
         data=data, network=network, phases=list(phases),
         travel_times=travel_times, cfg=cfg, engine=engine, mesh=mesh,
@@ -100,13 +102,27 @@ def backproject_day(
     return bf, detections
 
 
-def phasenet_feature_fn(model=None, variables=None, **kwargs):
+def phasenet_feature_fn(model=None, variables=None, device=True, **kwargs):
     """Build a feature_fn that runs the Flax PhaseNet over the day and
-    returns (n_sta, 2, n_samp) P/S probabilities as beamforming features."""
+    returns (n_sta, 2, n_samp) P/S probabilities as beamforming features.
+
+    With `device=True` (default) the whole day is processed on device in
+    one program and the probabilities stay device-resident for the
+    beamformer (no per-window host round trips)."""
     from .models import init_phasenet, make_picker
 
     if model is None:
         model, variables = init_phasenet()
+    if device:
+        from .models.phasenet import phasenet_probas_device
+
+        def feature_fn(data_arr):
+            probas = phasenet_probas_device(model, variables, data_arr,
+                                            **kwargs)
+            return probas[:, :2, :]  # drop the noise class
+
+        return feature_fn
+
     picker = make_picker(model, variables, **kwargs)
 
     def feature_fn(data_arr):

@@ -295,3 +295,26 @@ class TestCheckpoint:
         leaves1 = jax.tree_util.tree_leaves(opt_state)
         leaves2 = jax.tree_util.tree_leaves(opt_state2)
         assert len(leaves1) == len(leaves2)
+
+
+class TestDeviceSliding:
+    def test_device_matches_host_path(self):
+        import numpy as np
+
+        from seismic_bpmf_tpu.models import init_phasenet
+        from seismic_bpmf_tpu.models.phasenet import (
+            phasenet_probas_device,
+            sliding_window_probas,
+        )
+
+        rng = np.random.default_rng(0)
+        model, variables = init_phasenet(window=401)
+        x = rng.normal(size=(2, 3, 1500)).astype(np.float32)
+        host = sliding_window_probas(model, variables, x, window=401,
+                                     norm_window=400)
+        dev = np.asarray(phasenet_probas_device(
+            model, variables, x, window=401, norm_window=400))
+        assert dev.shape == host.shape == (2, 3, 1500)
+        # normalization differs slightly (np.interp vs device interp);
+        # probabilities must agree closely
+        np.testing.assert_allclose(dev, host, atol=2e-3)
