@@ -73,11 +73,21 @@ def backproject_day(
         data=data, network=network, phases=list(phases),
         travel_times=travel_times, cfg=cfg, engine=engine, mesh=mesh,
     )
-    bf.set_weights(
-        weights_phases=default_weights_phases(
+    n_feat_comp = int(features.shape[1])
+    if n_feat_comp == network.n_components:
+        # waveform-derived features (e.g. envelopes): P on vertical,
+        # S on horizontals
+        w_ph = default_weights_phases(
             network.n_stations, network.n_components, len(phases)
         )
-    )
+    else:
+        # picker probability features: one channel per phase (P, S, ...)
+        w_ph = np.zeros(
+            (network.n_stations, n_feat_comp, len(phases)), np.float32
+        )
+        for p in range(min(n_feat_comp, len(phases))):
+            w_ph[:, p, p] = 1.0
+    bf.set_weights(weights_phases=w_ph)
     bf.set_weights_sources(
         method="closest_stations",
         num_closest_stations=num_closest_stations,

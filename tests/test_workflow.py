@@ -137,3 +137,19 @@ def test_scan_days_resume(world, tmp_path):
         min_channels=3, min_stations=2, max_kurto=1e6,
     )
     assert r2 == {} and len(calls) == 2
+
+
+def test_backproject_with_phasenet_features(world):
+    """The picker-probability feature path (2 feature channels) flows
+    through backproject_day end to end (untrained net: no detection count
+    asserted)."""
+    w = world
+    feature_fn = workflow.phasenet_feature_fn()
+    bf, detections = workflow.backproject_day(
+        w["data"], w["net"], w["tts"], cfg=w["cfg"],
+        feature_fn=feature_fn,
+        minimum_interevent_time=10.0, threshold_window_sec=150.0,
+        num_closest_stations=N_STA,
+    )
+    assert bf.maxbeam.shape[-1] == w["data"].n_samples
+    assert isinstance(detections, list)
