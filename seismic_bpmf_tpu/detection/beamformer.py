@@ -201,7 +201,7 @@ class Beamformer:
         if engine == "pallas" and self.mesh is None:
             from ..ops.pallas_bp import PallasBeamformPlan
 
-            n_samp = np.asarray(waveform_features).shape[-1]
+            n_samp = waveform_features.shape[-1]
             key = (reduce, out_of_bounds, n_samp)
             plans = getattr(self, "_pallas_plans", {})
             if key not in plans:

@@ -78,6 +78,11 @@ class MatchedFilter:
         key = (tuple(run.tolist()), n_samp, self.step)
         plans = getattr(self, "_pallas_plans", {})
         if key not in plans:
+            # all chunk plans share one padded data geometry (global
+            # moveout bounds) so the day is padded + uploaded ONCE
+            mv_all = np.asarray(moveouts).reshape(len(templates), -1)
+            pad_left = int(-min(0, mv_all.min(initial=0)))
+            max_mv = int(mv_all.max(initial=0))
             plans[key] = [
                 PallasMatchedFilterPlan(
                     templates[i : i + template_chunk],
@@ -85,13 +90,15 @@ class MatchedFilter:
                     weights[i : i + template_chunk],
                     n_samp,
                     interpret=interpret,
+                    pad_left=pad_left, max_moveout=max_mv,
                 )
                 for i in range(0, len(templates), template_chunk)
             ]
             self._pallas_plans = plans
+        data_pad = plans[key][0].pad_data(self.data_arr)
         outs = []
         for plan in plans[key]:
-            out = plan(plan.pad_data(self.data_arr))
+            out = plan(data_pad)
             if self.step > 1:
                 L = templates.shape[-1]
                 out = out[:, :: self.step][

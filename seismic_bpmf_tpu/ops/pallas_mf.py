@@ -221,7 +221,8 @@ class PallasMatchedFilterPlan:
 
     def __init__(self, templates, moveouts, weights, n_samp: int,
                  lag_block: int = 2048, interpret: bool = False,
-                 precision: str = "highest"):
+                 precision: str = "highest", pad_left: int = None,
+                 max_moveout: int = None):
         # note: template_chunk=128 in callers balances VMEM vs MXU occupancy
         templates = np.asarray(templates, np.float32)
         moveouts = np.asarray(moveouts, np.int64)
@@ -240,10 +241,15 @@ class PallasMatchedFilterPlan:
         n_corr_unit = n_samp - L + 1
 
         mv_flat = moveouts.reshape(n_tp, n_ch)
-        min_mv = int(min(0, mv_flat.min(initial=0)))
-        self.pad_left = pad_left = -min_mv
-        mv_flat = mv_flat - min_mv  # >= 0
-        max_mv = int(mv_flat.max(initial=0))
+        # pad_left / max_moveout overrides let several template-chunk plans
+        # share ONE padded data layout (pad + upload the day once)
+        if pad_left is None:
+            min_mv = int(min(0, mv_flat.min(initial=0)))
+            pad_left = -min_mv
+        self.pad_left = pad_left
+        mv_flat = mv_flat + pad_left  # >= 0
+        max_mv = (int(max_moveout) + pad_left if max_moveout is not None
+                  else int(mv_flat.max(initial=0)))
 
         self.n_tp_pad = n_tp_pad = _round_up(max(n_tp, 8), 8)
         self.B = B = lag_block

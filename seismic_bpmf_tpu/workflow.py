@@ -63,8 +63,8 @@ def backproject_day(
     with GLOBAL_TIMER.stage("bp_features"):
         arr = data.get_np_array(network.stations)
         if feature_fn is None:
+            # stays device-resident; the beamform plan folds it on device
             features, _ = saturated_envelopes(arr)
-            features = np.asarray(features)
         else:
             # may return a device array (e.g. phasenet_feature_fn's
             # device path) — keep it resident; the engines accept both
