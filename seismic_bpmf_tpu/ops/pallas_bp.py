@@ -55,8 +55,10 @@ def _make_bp_kernel(*, B, M, S, n_sp, n_src, n_samp, n_q, strict, reduce_max,
                      #  sweep; blocks above it have all-zero one-hots)
         mv_ref,      # (n_sp, n_src_pad) int32 (VMEM), LOCAL to qbase
         w_ref,       # (n_sp, n_src_pad) f32 (VMEM)
-        lo_ref,      # (n_src_pad, 1) int32 used-mv min per source (VMEM)
-        hi_ref,      # (n_src_pad, 1) int32 used-mv max per source (VMEM)
+        lo_ref,      # (n_s_blocks_pad, S) int32 used-mv min per source
+                     #  (VMEM; block-row layout — a (n_src, 1) column would
+                     #  tile to 128 lanes and waste 128x the VMEM)
+        hi_ref,      # (n_s_blocks_pad, S) int32 used-mv max per source
         g_ref,       # (n_sp_pad, ext) f32 (ANY/HBM)
         *refs,
     ):
@@ -139,8 +141,8 @@ def _make_bp_kernel(*, B, M, S, n_sp, n_src, n_samp, n_q, strict, reduce_max,
 
         t_abs = base_ref[0, 0] + t0 + lane  # (1, B)
         if strict:
-            lo = lo_ref[pl.ds(s_ofs, S), :]  # (S, 1)
-            hi = hi_ref[pl.ds(s_ofs, S), :]
+            lo = jnp.transpose(lo_ref[pl.ds(g_s, 1), :])  # (S, 1)
+            hi = jnp.transpose(hi_ref[pl.ds(g_s, 1), :])
             ok = (t_abs + lo >= 0) & (t_abs + hi < n_samp)
             beam = jnp.where(ok, beam, 0.0)
 
@@ -170,6 +172,17 @@ def _make_bp_kernel(*, B, M, S, n_sp, n_src, n_samp, n_q, strict, reduce_max,
             idx_ref[...] = jnp.broadcast_to(new_idx, idx_ref.shape)
 
     return kernel
+
+
+def _bounds_blocks(mv_lo, mv_hi, n_src: int, n_src_pad: int, S: int):
+    """(n_src,) per-source moveout bounds -> (n_s_blocks, S) block-row
+    layout (a (n_src, 1) column input would tile to 128 lanes in VMEM)."""
+    n_blocks = n_src_pad // S
+    lo = np.zeros((n_blocks * S,), np.int32)
+    hi = np.zeros((n_blocks * S,), np.int32)
+    lo[:n_src] = mv_lo
+    hi[:n_src] = mv_hi
+    return lo.reshape(n_blocks, S), hi.reshape(n_blocks, S)
 
 
 def _local_bases(mv_in: np.ndarray, w_in: np.ndarray, S: int, M: int):
@@ -325,10 +338,7 @@ def beamform_pallas(
     mv_in[:, :n_src] = mv_flat.T
     w_in = np.zeros((n_sp, n_src_pad), np.float32)
     w_in[:, :n_src] = w_flat.T
-    lo_in = np.zeros((n_src_pad, 1), np.int32)
-    hi_in = np.zeros((n_src_pad, 1), np.int32)
-    lo_in[:n_src, 0] = mv_lo
-    hi_in[:n_src, 0] = mv_hi
+    lo_in, hi_in = _bounds_blocks(mv_lo, mv_hi, n_src, n_src_pad, S)
     qbase, nq, mv_local, n_q = _local_bases(mv_in, w_in, S, M)
 
     out = _bp_pallas_call(
@@ -395,10 +405,8 @@ class PallasBeamformPlan:
         mv_in[:, :n_src] = mv_flat.T
         w_in = np.zeros((n_sp, self.n_src_pad), np.float32)
         w_in[:, :n_src] = w_flat.T
-        lo_in = np.zeros((self.n_src_pad, 1), np.int32)
-        hi_in = np.zeros((self.n_src_pad, 1), np.int32)
-        lo_in[:n_src, 0] = mv_lo
-        hi_in[:n_src, 0] = mv_hi
+        lo_in, hi_in = _bounds_blocks(mv_lo, mv_hi, n_src, self.n_src_pad,
+                                      self.S)
         qbase, nq, mv_local, self.n_q = _local_bases(
             mv_in, w_in, self.S, self.M
         )

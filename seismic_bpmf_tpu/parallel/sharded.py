@@ -483,10 +483,7 @@ def beamform_sharded_pallas(
     mv_in[:, :n_src] = mv_flat.T
     w_in = np.zeros((n_sp, n_src_pad), np.float32)
     w_in[:, :n_src] = w_flat.T
-    lo_in = np.zeros((n_src_pad, 1), np.int32)
-    hi_in = np.zeros((n_src_pad, 1), np.int32)
-    lo_in[:n_src, 0] = mv_lo
-    hi_in[:n_src, 0] = mv_hi
+    lo_in, hi_in = pbp._bounds_blocks(mv_lo, mv_hi, n_src, n_src_pad, S)
     qbase, nq_blk, mv_in, n_q = pbp._local_bases(mv_in, w_in, S, M)
 
     s_spec = src_axis if src_axis in mesh.shape else None
