@@ -128,6 +128,7 @@ def cmd_backproject(args) -> int:
     _, detections = backproject_day(
         data, network, tts, cfg=cfg, feature_fn=feature_fn,
         phases=list(args.phases), engine=args.engine,
+        precision=args.precision,
         minimum_interevent_time=args.min_interevent_time,
         threshold_window_sec=args.threshold_window,
         output_file=args.output,
@@ -149,7 +150,7 @@ def cmd_matched_filter(args) -> int:
         minimum_interevent_time=args.min_interevent_time,
         threshold_window_dur=args.threshold_window,
         min_channels=args.min_channels, min_stations=args.min_stations,
-        max_kurto=args.max_kurto,
+        max_kurto=args.max_kurto, precision=args.precision,
         db_path=args.db,
     )
     n = sum(len(v) for v in detections.values())
@@ -244,6 +245,9 @@ def build_parser() -> argparse.ArgumentParser:
     bp.add_argument("--phases", nargs="+", default=["P", "S"])
     bp.add_argument("--engine", default="auto",
                     choices=["auto", "pallas", "onehot", "gather"])
+    bp.add_argument("--precision", default="highest",
+                    choices=["highest", "default"],
+                    help="'highest' = f32 parity; 'default' = bf16 (~3x)")
     bp.add_argument("--picker-checkpoint",
                     help="PhaseNet checkpoint dir (orbax); default: envelopes")
     bp.add_argument("--min-interevent-time", type=float, default=10.0)
@@ -264,6 +268,9 @@ def build_parser() -> argparse.ArgumentParser:
     mf.add_argument("--min-stations", type=int, default=3)
     mf.add_argument("--max-kurto", type=float, default=100.0,
                     help="CC-kurtosis sanity threshold (reference default)")
+    mf.add_argument("--precision", default="highest",
+                    choices=["highest", "default"],
+                    help="'highest' = f32 parity; 'default' = bf16 (~2x)")
     mf.add_argument("--db", help="output directory for per-template detections")
 
     sc = sub.add_parser("scan", help="multi-day campaign (checkpoint/resume)")

@@ -52,6 +52,7 @@ def backproject_day(
     n_max_stations: Optional[int] = None,
     engine: str = "auto",
     mesh=None,
+    precision: str = "highest",
     output_file: Optional[str] = None,
 ):
     """One-day backprojection scan -> list of detected Events.
@@ -72,6 +73,7 @@ def backproject_day(
     bf = Beamformer(
         data=data, network=network, phases=list(phases),
         travel_times=travel_times, cfg=cfg, engine=engine, mesh=mesh,
+        precision=precision,
     )
     n_feat_comp = int(features.shape[1])
     if n_feat_comp == network.n_components:
