@@ -389,8 +389,7 @@ class MatchedFilter:
         Populates `self._cand_cache[tid]`; returns the white-noise fill
         actually used (so any host fallback sees the same thresholds)."""
         self._cand_cache = {}
-        if (self.threshold_type != "rms"
-                or self.anomalous_cdf_at_mean_plus_1sig > 0.0):
+        if self.anomalous_cdf_at_mean_plus_1sig > 0.0:
             return white_noise
         dev_tids = [
             tid for tid, cc in self.cc.items()
@@ -402,7 +401,9 @@ class MatchedFilter:
         import jax.numpy as jnp
 
         if white_noise is None:
-            white_noise = np.random.normal(size=500).astype(np.float32)
+            n_noise = (500 if self.threshold_type == "rms"
+                       else int(self.cc[dev_tids[0]].shape[0]))
+            white_noise = np.random.normal(size=n_noise).astype(np.float32)
         sr = self.data.sr
         caps = np.array(
             [
@@ -420,6 +421,7 @@ class MatchedFilter:
             overlap=self.overlap,
             white_noise=white_noise,
             k=max_candidates,
+            threshold_type=self.threshold_type,
         )
         idx, cc_vals, thr_vals, n_above, kurto = (
             np.asarray(idx), np.asarray(cc_vals), np.asarray(thr_vals),
@@ -478,7 +480,6 @@ class MatchedFilter:
 
         device_path = (
             not isinstance(cc_t, np.ndarray)
-            and self.threshold_type == "rms"
             and self.anomalous_cdf_at_mean_plus_1sig <= 0.0
         )
         if device_path:

@@ -121,19 +121,16 @@ def time_dependent_threshold(
         )
 
     if threshold_type == "mad":
-        # median-based: quantile reductions are host-unfriendly on TPU at
-        # full length; delegate to the (already vectorized) numpy reference.
-        from . import reference
-
-        return jnp.asarray(
-            reference.time_dependent_threshold(
-                np.asarray(time_series),
-                sliding_window_samp,
-                num_dev,
-                overlap=overlap,
-                threshold_type="mad",
-                white_noise=None if white_noise is None else np.asarray(white_noise),
-            )
+        window = min(int(sliding_window_samp), int(n))
+        shift = max(int((1.0 - overlap) * window), 1)
+        n_win = max(int((n - window) // shift) + 1, 1)
+        if white_noise is None:
+            # the reference draws one noise sample per zero entry; size for
+            # the worst case (all zeros)
+            white_noise = np.random.normal(size=int(n)).astype(np.float32)
+        return _tdt_mad_kernel(
+            ts, jnp.asarray(white_noise, jnp.float32),
+            jnp.float32(num_dev), window=window, shift=shift, n_win=n_win,
         )
 
     raise ValueError(f"threshold_type must be 'rms' or 'mad', got {threshold_type!r}")
@@ -190,15 +187,61 @@ def bp_detection_threshold(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("window", "shift", "n_win"))
+def _tdt_mad_kernel(ts, noise, num_dev, *, window, shift, n_win):
+    """Median + num_dev * MAD threshold (device mirror of
+    `ops.reference.time_dependent_threshold(threshold_type='mad')`).
+
+    The k-th zero sample is filled with noise[k] (same mapping as the
+    reference's ``white_noise[:n_zeros]``).
+    """
+    n = ts.shape[0]
+    zeros = ts == 0.0
+    ts_nan = jnp.where(zeros, jnp.nan, ts)
+    default_center = jnp.nanmedian(ts_nan)
+    default_dev = jnp.nanmedian(jnp.abs(ts_nan - default_center))
+    rank = jnp.cumsum(zeros.astype(jnp.int32)) - 1
+    fill = jnp.take(noise, jnp.clip(rank, 0, noise.shape[0] - 1),
+                    mode="clip") * default_dev + default_center
+    ts = jnp.where(zeros, fill, ts)
+
+    starts = jnp.arange(n_win, dtype=jnp.int32) * shift
+
+    def stats(start):
+        w = jax.lax.dynamic_slice(ts, (start,), (window,))
+        med = jnp.median(w)
+        mad = jnp.median(jnp.abs(w - med))
+        return med + num_dev * mad
+
+    thr = jax.vmap(stats)(starts)
+    # conservative pairwise maxima (same algebra as the rms path)
+    thr = jnp.concatenate([thr[:1], jnp.maximum(thr[1:], thr[:-1])])
+    thr = jnp.concatenate([jnp.maximum(thr[:-1], thr[1:]), thr[-1:]])
+
+    half = window // 2
+    mid_len = n - window  # len(time) in the reference
+    t = jnp.arange(mid_len, dtype=jnp.int32) + half  # absolute sample time
+    mid = thr[jnp.minimum(t // shift, n_win - 1)]
+    head = jnp.full((half,), mid[0], jnp.float32)
+    tail = jnp.full((window - half,), mid[mid_len - 1], jnp.float32)
+    return jnp.concatenate([head, mid, tail]).astype(jnp.float32)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("win", "shift", "n_win", "k")
+    jax.jit,
+    static_argnames=("win", "shift", "n_win", "k", "threshold_type"),
 )
 def _batch_candidates_kernel(ts, gauss, num_dev, caps, *, win, shift,
-                             n_win, k):
+                             n_win, k, threshold_type="rms"):
     def one(x, cap):
-        thr = _tdt_rms_kernel(
-            x, gauss, num_dev, win=win, shift=shift, n_win=n_win
-        )
+        if threshold_type == "rms":
+            thr = _tdt_rms_kernel(
+                x, gauss, num_dev, win=win, shift=shift, n_win=n_win
+            )
+        else:
+            thr = _tdt_mad_kernel(
+                x, gauss, num_dev, window=win, shift=shift, n_win=n_win
+            )
         thr = jnp.minimum(thr, cap)
         return _candidate_extract_kernel(x, thr, k)
 
@@ -213,6 +256,7 @@ def batch_candidates(
     overlap: float = 0.66,
     white_noise=None,
     k: int = 4096,
+    threshold_type: str = "rms",
 ):
     """Thresholds + top-k candidate extraction for a whole template chunk
     in ONE device program and one host fetch.
@@ -220,24 +264,31 @@ def batch_candidates(
     cc : (n_templates, n_corr) device CC stack; caps: per-template absolute
     CC ceiling.  Returns (idx, cc_vals, thr_vals, n_above, kurto), each with
     a leading template axis.  Semantics per row match
-    `time_dependent_threshold(threshold_type='rms')` + `detect_candidates`.
+    `time_dependent_threshold(threshold_type=...)` + `detect_candidates`.
     """
     ts = jnp.asarray(cc, jnp.float32)
     n = ts.shape[-1]
+    threshold_type = threshold_type.lower()
     swin = min(int(sliding_window_samp), int(n))
-    half_win = swin // 2
-    shift = max(int((1.0 - overlap) * swin), 1)
-    win = 2 * half_win
-    n_win = (n - (win - shift)) // shift
+    if threshold_type == "rms":
+        half_win = swin // 2
+        shift = max(int((1.0 - overlap) * swin), 1)
+        win = 2 * half_win
+        n_win = (n - (win - shift)) // shift
+        n_noise = GAUSSIAN_SAMPLE_LEN
+    else:
+        win = swin
+        shift = max(int((1.0 - overlap) * win), 1)
+        n_win = max(int((n - win) // shift) + 1, 1)
+        n_noise = int(n)
     if white_noise is None:
-        white_noise = np.random.normal(size=GAUSSIAN_SAMPLE_LEN).astype(
-            np.float32
-        )
-    gauss = jnp.asarray(white_noise, jnp.float32)[:GAUSSIAN_SAMPLE_LEN]
+        white_noise = np.random.normal(size=n_noise).astype(np.float32)
+    gauss = jnp.asarray(white_noise, jnp.float32)[:n_noise]
     return _batch_candidates_kernel(
         ts, gauss, jnp.float32(num_dev),
         jnp.asarray(caps, jnp.float32),
         win=win, shift=shift, n_win=n_win, k=k,
+        threshold_type=threshold_type,
     )
 
 

@@ -294,3 +294,35 @@ class TestBatchCandidates:
             order_b = np.sort(idx_b[t][:n_above])
             np.testing.assert_array_equal(order_a, order_b)
             np.testing.assert_allclose(float(kurto), k_b[t], rtol=1e-5)
+
+    def test_batch_candidates_mad(self):
+        import jax.numpy as jnp
+
+        from seismic_bpmf_tpu.ops.thresholds import batch_candidates
+        from seismic_bpmf_tpu.ops import reference as ref
+
+        rng = np.random.default_rng(5)
+        n_tp, n = 3, 8000
+        cc = rng.normal(size=(n_tp, n)).astype(np.float32) * 0.01
+        cc[:, :40] = 0.0  # zero region exercises the noise fill
+        for t in range(n_tp):
+            cc[t, rng.integers(100, n, size=3)] += 0.5
+        wn = rng.normal(size=n).astype(np.float32)
+        caps = np.full(n_tp, 0.8, np.float32)
+        idx_b, ccv_b, thv_b, na_b, _ = (
+            np.asarray(x) for x in batch_candidates(
+                jnp.asarray(cc), caps, 600, 8.0, white_noise=wn, k=32,
+                threshold_type="mad",
+            )
+        )
+        for t in range(n_tp):
+            thr = ref.time_dependent_threshold(
+                cc[t], 600, 8.0, threshold_type="mad", white_noise=wn
+            )
+            thr = np.minimum(thr, caps[t])
+            want = np.flatnonzero(cc[t] - thr > 0)
+            n_above = int(na_b[t])
+            assert n_above == len(want)
+            np.testing.assert_array_equal(
+                np.sort(idx_b[t][:n_above]), want
+            )
