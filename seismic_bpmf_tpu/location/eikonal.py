@@ -91,16 +91,34 @@ def travel_time_grid(
     source_index: Tuple[int, int, int],
     spacing_km: float,
     n_iters: int = 300,
+    source_ball_nodes: float = 4.0,
 ) -> np.ndarray:
     """First-arrival travel times (s) from one source node on a regular grid.
 
     velocity_km_s : (nx, ny, nz) velocity model.
+
+    Nodes within `source_ball_nodes` grid steps of the source are
+    initialized with the analytic homogeneous-medium time
+    dist * slowness(source) — the dominant error of first-order upwind
+    schemes is the source singularity, and seeding a small analytic ball
+    removes most of it (the same device-parallel relaxation then only
+    refines an already-causal upper bound, so accuracy can only improve).
     """
     v = jnp.asarray(velocity_km_s, jnp.float32)
     slowness = 1.0 / v
-    t0 = jnp.full(v.shape, 1e6, jnp.float32)
-    t0 = t0.at[source_index].set(0.0)
-    t = _eikonal_sweeps(slowness, t0, jnp.float32(spacing_km),
+    nx, ny, nz = v.shape
+    ix, iy, iz = source_index
+    gi, gj, gk = np.meshgrid(
+        np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij"
+    )
+    dist_nodes = np.sqrt(
+        (gi - ix) ** 2.0 + (gj - iy) ** 2.0 + (gk - iz) ** 2.0
+    )
+    s_src = float(1.0 / np.asarray(velocity_km_s)[source_index])
+    ball = dist_nodes <= source_ball_nodes
+    t0 = np.full(v.shape, 1e6, np.float32)
+    t0[ball] = dist_nodes[ball] * spacing_km * s_src
+    t = _eikonal_sweeps(slowness, jnp.asarray(t0), jnp.float32(spacing_km),
                         n_iters=n_iters)
     return np.asarray(t)
 

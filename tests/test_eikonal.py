@@ -22,12 +22,11 @@ class TestEikonal:
             (x - src[0]) ** 2 + (y - src[1]) ** 2 + (z - src[2]) ** 2
         )
         want = dist / 4.0
-        # first-order upwind scheme: ~7% median error on a coarse 33^3 grid
-        # (matches pykonal's first-order mode; diagonal overshoot decays
-        # with distance/resolution)
+        # first-order upwind + analytic source ball: the ball removes the
+        # source-singularity error that dominates plain first-order schemes
         err = np.abs(t - want)[dist > 3.0] / want[dist > 3.0]
-        assert np.median(err) < 0.08
-        assert err.max() < 0.25
+        assert np.median(err) < 0.04
+        assert err.max() < 0.08
         assert t[src] == 0.0
         # axial rays are exact
         np.testing.assert_allclose(
