@@ -166,3 +166,26 @@ class Catalog:
     @classmethod
     def read(cls, path: str) -> "Catalog":
         return cls.read_from_dataframe(pd.read_csv(path))
+
+    # ------------------------------------------------------------------
+    # plots (reference: BPMF/dataset.py:298-854 Catalog plot methods)
+    # ------------------------------------------------------------------
+    def plot_map(self, network=None, **kwargs):
+        from ..viz import plot_catalog
+
+        return plot_catalog(self, network=network, **kwargs)
+
+    def plot_time_of_day(self, **kwargs):
+        from ..viz import plot_time_of_day
+
+        return plot_time_of_day(self, **kwargs)
+
+    def plot_space_time(self, axis: str = "longitude", **kwargs):
+        from ..viz import plot_space_time
+
+        return plot_space_time(self, axis=axis, **kwargs)
+
+    def plot_recurrence_times(self, tid=None, **kwargs):
+        from ..viz import plot_recurrence_times
+
+        return plot_recurrence_times(self, tid=tid, **kwargs)

@@ -779,6 +779,13 @@ class Event:
             event.path_database = os.path.join(db_path, filename)
         return event
 
+    def plot(self, **kwargs):
+        """Waveform gallery with pick markers (reference:
+        BPMF/dataset.py:3076-3240)."""
+        from ..viz import plot_event
+
+        return plot_event(self, **kwargs)
+
     def __repr__(self):
         return (
             f"Event(id={self.id}, ot={self.origin_time}, "
@@ -996,6 +1003,20 @@ class Template(Event):
             for key in f.keys():
                 out[key] = f[key][()]
         return out
+
+    def plot(self, **kwargs):
+        """Waveform gallery (reference: BPMF/plotting_utils.py:23-124)."""
+        from ..viz import plot_template
+
+        return plot_template(self, **kwargs)
+
+    def plot_recurrence_times(self, db_path: str = "", **kwargs):
+        """Inter-detection times from this template's detection file
+        (reference: BPMF/dataset.py:4003-4079)."""
+        from ..viz import plot_recurrence_times
+
+        cat = self.read_catalog(db_path=db_path)
+        return plot_recurrence_times(cat, **kwargs)
 
     def __repr__(self):
         return (

@@ -416,6 +416,12 @@ class TestViz:
                          "az_hmax_unc": 30.0, "vmax_unc": 3.0})
         viz.uncertainty_ellipse(ev)
         viz.vertical_uncertainty_ellipse(ev)
+        # class-method delegations
+        plt.close(tg.templates[0].plot())
+        plt.close(cat.plot_map())
+        plt.close(cat.plot_time_of_day())
+        plt.close(cat.plot_space_time())
+        plt.close(cat.plot_recurrence_times())
         for f in figs:
             plt.close(f)
         plt.close("all")
