@@ -75,6 +75,10 @@ def _sliding_sum(x, L: int, W: int):
 
 def _mf_kernel(
     base_ref,    # (1, 1) f32 (SMEM): absolute lag of this shard's first lag
+    kb_ref,      # (n_ch, 4) int32 (SMEM): per-channel live tap-block bounds
+                 #  [klo, khi) for the corr sweep, [qlo, qhi) for the
+                 #  normalization select — blocks outside a channel's
+                 #  moveout span hold all-zero filter rows and are skipped
     filt_ref,    # (n_ch, n_tp_pad, LM_pad) f32 corr filters (weight-folded)
     sel_ref,     # (n_ch, n_tp_pad, Q*128) f32 one-hot at the moveout
     hi_ref,      # (n_ch, n_tp_pad) f32 upper lane bound (abs units)
@@ -85,6 +89,8 @@ def _mf_kernel(
     y_scratch,    # (n_ch_pad, B + LM_pad) f32: rsqrt(var) per position
     h_scratch,    # (128, W128) f32
     y128_scratch,  # (128, W128) f32
+    acc_scratch,   # (n_tp_pad, B) f32 running [corr | ysel] accumulators
+    ysel_scratch,  # (n_tp_pad, B) f32
     dma_sem,
     *,
     L: int,
@@ -128,28 +134,35 @@ def _mf_kernel(
             h_scratch[r : r + 1, :] = win_scratch[pl.ds(c, 1), r : r + W128]
             y128_scratch[r : r + 1, :] = y_scratch[pl.ds(c, 1), r : r + W128]
 
-        # k loops unrolled at trace time: ~10x faster Mosaic compiles and
-        # lets the scheduler software-pipeline the matmul chain
+        # k loops unrolled at trace time (~10x faster Mosaic compiles,
+        # pipelined matmuls) and predicated per channel: only the tap
+        # blocks inside this channel's moveout span carry nonzero rows
+        klo, khi = kb_ref[c, 0], kb_ref[c, 1]
+        qlo, qhi = kb_ref[c, 2], kb_ref[c, 3]
         dn = (((1,), (0,)), ((), ()))
-        corr = jnp.zeros((n_tp_pad, B), jnp.float32)
+        acc_scratch[...] = jnp.zeros((n_tp_pad, B), jnp.float32)
+        ysel_scratch[...] = jnp.zeros((n_tp_pad, B), jnp.float32)
         for k in range(n_k):
-            fo = filt_ref[c, :, 128 * k : 128 * (k + 1)]
-            hk = h_scratch[:, 128 * k : 128 * k + B]
-            corr = corr + jax.lax.dot_general(
-                fo, hk, dimension_numbers=dn,
-                preferred_element_type=jnp.float32,
-                precision=precision,
-            )
-        ysel = jnp.zeros((n_tp_pad, B), jnp.float32)
+            @pl.when((k >= klo) & (k < khi))
+            def _(k=k):
+                fo = filt_ref[c, :, 128 * k : 128 * (k + 1)]
+                hk = h_scratch[:, 128 * k : 128 * k + B]
+                acc_scratch[...] = acc_scratch[...] + jax.lax.dot_general(
+                    fo, hk, dimension_numbers=dn,
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
+                )
         for q in range(Q):
-            sq = sel_ref[c, :, 128 * q : 128 * (q + 1)]
-            yq = y128_scratch[:, 128 * q : 128 * q + B]
-            ysel = ysel + jax.lax.dot_general(
-                sq, yq, dimension_numbers=dn,
-                preferred_element_type=jnp.float32,
-                precision=precision,
-            )
-        ccn = corr * ysel
+            @pl.when((q >= qlo) & (q < qhi))
+            def _(q=q):
+                sq = sel_ref[c, :, 128 * q : 128 * (q + 1)]
+                yq = y128_scratch[:, 128 * q : 128 * q + B]
+                ysel_scratch[...] = ysel_scratch[...] + jax.lax.dot_general(
+                    sq, yq, dimension_numbers=dn,
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
+                )
+        ccn = acc_scratch[...] * ysel_scratch[...]
         # per-(t, c) out-of-bounds mask: lane + ofs within [lo, hi]
         hi_col = jnp.transpose(hi_ref[pl.ds(c, 1), :])  # (n_tp_pad, 1)
         lo_col = jnp.transpose(lo_ref[pl.ds(c, 1), :])
@@ -167,7 +180,7 @@ def _mf_kernel(
                      "precision"),
 )
 def _mf_pallas_call(
-    filt, sel, hi, lo, data_pad, base=None,
+    filt, sel, hi, lo, data_pad, base=None, kb=None,
     *, L, B, LM_pad, n_corr_pad, n_ch, interpret=False,
     precision=jax.lax.Precision.HIGHEST,
 ):
@@ -175,6 +188,11 @@ def _mf_pallas_call(
         base = jnp.zeros((1, 1), jnp.float32)
     n_tp_pad = filt.shape[1]
     Q = sel.shape[-1] // 128
+    n_k = LM_pad // 128
+    if kb is None:
+        kb = jnp.tile(
+            jnp.asarray([[0, n_k, 0, Q]], jnp.int32), (filt.shape[0], 1)
+        )
     n_blocks = n_corr_pad // B
     W = B + LM_pad
     kernel = functools.partial(
@@ -187,6 +205,7 @@ def _mf_pallas_call(
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # base
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # kb
             pl.BlockSpec(memory_space=pltpu.VMEM),   # filt
             pl.BlockSpec(memory_space=pltpu.VMEM),   # sel
             pl.BlockSpec(memory_space=pltpu.VMEM),   # hi
@@ -202,13 +221,15 @@ def _mf_pallas_call(
             pltpu.VMEM((data_pad.shape[0], W), jnp.float32),
             pltpu.VMEM((128, W - 128), jnp.float32),
             pltpu.VMEM((128, W - 128), jnp.float32),
+            pltpu.VMEM((n_tp_pad, B), jnp.float32),
+            pltpu.VMEM((n_tp_pad, B), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024
         ),
         interpret=interpret,
-    )(base, filt, sel, hi, lo, data_pad)
+    )(base, kb, filt, sel, hi, lo, data_pad)
 
 
 class PallasMatchedFilterPlan:
@@ -287,6 +308,24 @@ class PallasMatchedFilterPlan:
             filt = np.pad(filt, pad)
             sel = np.pad(sel, pad)
 
+        # per-channel live tap-block bounds: k blocks outside the channel's
+        # moveout span hold all-zero filter rows and are skipped in-kernel
+        n_k = LM_pad // 128
+        masked = np.where(scale > 0, mv_flat, np.int64(np.iinfo(np.int32).max))
+        mv_lo_c = masked.min(axis=0)  # (n_ch,)
+        masked_hi = np.where(scale > 0, mv_flat, -1)
+        mv_hi_c = masked_hi.max(axis=0)
+        empty_c = ~(scale > 0).any(axis=0)
+        mv_lo_c = np.where(empty_c, 0, mv_lo_c)
+        mv_hi_c = np.where(empty_c, -1, mv_hi_c)
+        kb = np.zeros((n_ch, 4), np.int32)
+        kb[:, 0] = np.clip(mv_lo_c // 128, 0, n_k)
+        kb[:, 1] = np.clip((mv_hi_c + L - 1) // 128 + 1, 0, n_k)
+        kb[:, 2] = np.clip(mv_lo_c // 128, 0, Q)
+        kb[:, 3] = np.clip(mv_hi_c // 128 + 1, 0, Q)
+        kb[empty_c] = 0
+        self.kb = jnp.asarray(kb)
+
         n_samp_eff = n_samp + pad_left
         hi = (n_samp_eff - L - mv_flat).astype(np.float32)
         lo = (pad_left - mv_flat).astype(np.float32)
@@ -318,7 +357,7 @@ class PallasMatchedFilterPlan:
     def __call__(self, data_pad: jnp.ndarray) -> jnp.ndarray:
         """(padded, device-resident) data -> (n_tp, n_corr) device CC."""
         out = _mf_pallas_call(
-            self.filt, self.sel, self.hi, self.lo, data_pad,
+            self.filt, self.sel, self.hi, self.lo, data_pad, kb=self.kb,
             L=self.L, B=self.B, LM_pad=self.LM_pad,
             n_corr_pad=self.n_corr_pad, n_ch=self.n_ch,
             interpret=self.interpret, precision=self.precision,

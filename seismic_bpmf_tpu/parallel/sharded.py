@@ -378,7 +378,7 @@ def matched_filter_sharded_pallas(
     tp_spec = tp_axis if tp_axis in mesh.shape else None
     t_spec = time_axis if time_axis in mesh.shape else None
 
-    def body(filt_l, sel_l, hi_l, lo_l, data_l):
+    def body(kb_l, filt_l, sel_l, hi_l, lo_l, data_l):
         t_idx = (
             jax.lax.axis_index(time_axis) if t_spec is not None
             else jnp.int32(0)
@@ -389,7 +389,7 @@ def matched_filter_sharded_pallas(
         )
         base = jnp.full((1, 1), t_idx * chunk, jnp.float32)
         out = pmf._mf_pallas_call(
-            filt_l, sel_l, hi_l, lo_l, data_ext, base,
+            filt_l, sel_l, hi_l, lo_l, data_ext, base, kb=kb_l,
             L=plan.L, B=B, LM_pad=LM_pad, n_corr_pad=chunk,
             n_ch=plan.n_ch, interpret=interpret,
             precision=plan.precision,
@@ -401,6 +401,7 @@ def matched_filter_sharded_pallas(
         mesh=mesh,
         check_vma=False,
         in_specs=(
+            P(None, None),
             P(None, tp_spec, None),
             P(None, tp_spec, None),
             P(None, tp_spec),
@@ -408,7 +409,7 @@ def matched_filter_sharded_pallas(
             P(None, t_spec),
         ),
         out_specs=P(tp_spec, t_spec),
-    )(plan.filt, plan.sel, plan.hi, plan.lo,
+    )(plan.kb, plan.filt, plan.sel, plan.hi, plan.lo,
       jnp.asarray(data_pad[:, :n_corr_shard]))
     out = out[:n_tp, : plan.n_corr_unit]
     if step > 1:
