@@ -305,8 +305,12 @@ def scan_days(
 
     make_data(date) -> a `Data` instance with waveforms read.
     Returns {date: {tid: [events]}}.
+
+    The next day's waveforms are read on a background thread while the
+    current day computes (the reference's ThreadPool IO, SURVEY.md §2.4 P7).
     """
     import json
+    from concurrent.futures import ThreadPoolExecutor
 
     done = {}
     if state_file is not None and os.path.isfile(state_file):
@@ -314,11 +318,14 @@ def scan_days(
             done = json.load(f)
         logger.info("resuming campaign: %d days already done", len(done))
     results: Dict = {}
-    for date in dates:
+    todo = [d for d in dates if str(d) not in done]
+    pool = ThreadPoolExecutor(max_workers=1)
+    pending = pool.submit(make_data, todo[0]) if todo else None
+    for i, date in enumerate(todo):
         key = str(date)
-        if key in done:
-            continue
-        data = make_data(date)
+        data = pending.result()
+        pending = (pool.submit(make_data, todo[i + 1])
+                   if i + 1 < len(todo) else None)
         detections = matched_filter_day(
             template_group, data, cfg=cfg, db_path=db_path, **mf_kwargs
         )
@@ -329,4 +336,5 @@ def scan_days(
             with open(state_file, "w") as f:
                 json.dump(done, f)
         logger.info("day %s: %d detections", key, n)
+    pool.shutdown(wait=False)
     return results
