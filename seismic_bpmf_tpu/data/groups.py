@@ -446,15 +446,41 @@ class TemplateGroup:
         n_stations: int = 10,
         max_lag: int = 10,
         device_step: int = 1,
+        cache_file: str = None,
     ) -> pd.DataFrame:
         """Pairwise max-lag-corrected template CC via the TPU matched filter.
 
         For each template pair within `distance_threshold` (ellipsoid
         distance), slides template 2 across template 1's waveforms within
         +-`max_lag` samples and takes the weighted network CC maximum.
-        Reference parity: BPMF/dataset.py:4690-4932 (FMF site 2).
+        `cache_file` caches the matrix in HDF5 keyed by a parameter hash
+        (recomputed on any parameter or template-set change).
+        Reference parity: BPMF/dataset.py:4690-4932 (FMF site 2 + the
+        parameter-hash HDF5 cache of :4843-4932).
         """
         from ..ops import matched_filter as mf_op
+
+        cache_key = None
+        if cache_file is not None:
+            import hashlib
+
+            import h5py
+
+            hsh = hashlib.sha1()
+            hsh.update(np.asarray(
+                [distance_threshold, n_stations, max_lag, device_step],
+                np.float64).tobytes())
+            hsh.update(",".join(map(str, self.tids)).encode())
+            hsh.update(np.ascontiguousarray(self.moveouts_arr).tobytes())
+            cache_key = f"cc_{hsh.hexdigest()[:16]}"
+            if os.path.isfile(cache_file):
+                with h5py.File(cache_file, "r") as f:
+                    if cache_key in f:
+                        cc = f[cache_key][()]
+                        self._intertemplate_cc = pd.DataFrame(
+                            index=self.tids, columns=self.tids, data=cc
+                        )
+                        return self._intertemplate_cc
 
         n_tp = self.n_templates
         cc = np.zeros((n_tp, n_tp), np.float32)
@@ -489,6 +515,13 @@ class TemplateGroup:
             cc_max = ccs.max(axis=1)
             cc[i, close] = cc_max
             cc[close, i] = cc_max
+        if cache_key is not None:
+            import h5py
+
+            with h5py.File(cache_file, "a") as f:
+                if cache_key in f:
+                    del f[cache_key]
+                f.create_dataset(cache_key, data=cc)
         self._intertemplate_cc = pd.DataFrame(
             index=self.tids, columns=self.tids, data=cc
         )

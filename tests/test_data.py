@@ -244,8 +244,15 @@ class TestTemplateGroup:
 
     def test_intertemplate_cc_and_multiples(self, rng, tmp_path):
         tg = self._group(rng, tmp_path)
+        cache = str(tmp_path / "cc_cache.h5")
         cc = tg.compute_intertemplate_cc(distance_threshold=100.0,
-                                         max_lag=5)
+                                         max_lag=5, cache_file=cache)
+        # second call comes from the HDF5 cache, bit-identical
+        cc2 = tg.compute_intertemplate_cc(distance_threshold=100.0,
+                                          max_lag=5, cache_file=cache)
+        np.testing.assert_array_equal(cc.values, cc2.values)
+        import os
+        assert os.path.isfile(cache)
         assert np.allclose(np.diag(cc.values), 1.0)
         assert (cc.values <= 1.0 + 1e-5).all()
         cat = pd.DataFrame({
@@ -405,6 +412,11 @@ class TestViz:
                 ["ST1"], 25.0),
         ]
         import matplotlib.pyplot as plt
+        import matplotlib.pyplot as _plt
+        _net_md = pd.DataFrame({
+            "stations": ["ST1"], "networks": ["XX"], "latitude": [40.0],
+            "longitude": [30.0], "elevation_m": [0.0]})
+        Network.from_dataframe(_net_md).plot_map()
         ax = viz.initialize_map(
             (29.9, 30.3), (39.9, 40.2),
             seismic_stations={"longitude": [30.0], "latitude": [40.0],
