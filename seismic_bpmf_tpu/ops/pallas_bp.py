@@ -42,23 +42,27 @@ def _make_bp_kernel(*, B, M, S, n_sp, n_src, n_samp, n_q, strict, reduce_max,
                     hoist_hankel, precision=jax.lax.Precision.HIGHEST):
     neg_inf = float(-jnp.inf)
     W = B + M
-    W128 = W - 128
 
     def kernel(
         base_ref,    # (1, 2) int32 (SMEM): [abs time ofs, abs src ofs]
-        qbase_ref,   # (n_sp, n_s_blocks) int32 (SMEM): per-(sp, src block)
-                     #  128-aligned moveout base — the q sweep only covers
-                     #  the block's LOCAL moveout range (big win on smooth,
-                     #  spatially-ordered travel-time grids)
-        nq_ref,      # (n_sp, n_s_blocks) int32 (SMEM): per-(sp, src block)
-                     #  number of live q blocks (predicates the unrolled
-                     #  sweep; blocks above it have all-zero one-hots)
-        mv_ref,      # (n_sp, n_src_pad) int32 (VMEM), LOCAL to qbase
-        w_ref,       # (n_sp, n_src_pad) f32 (VMEM)
-        lo_ref,      # (n_s_blocks_pad, S) int32 used-mv min per source
-                     #  (VMEM; block-row layout — a (n_src, 1) column would
-                     #  tile to 128 lanes and waste 128x the VMEM)
-        hi_ref,      # (n_s_blocks_pad, S) int32 used-mv max per source
+        qbase_ref,   # (8, n_sp) int32 (SMEM, 8-row window of the
+                     #  (n_s_blocks_pad8, n_sp) table; row g_s % 8):
+                     #  per-(src block, sp) 128-aligned moveout base — the
+                     #  q sweep only covers the block's LOCAL moveout range
+                     #  (big win on smooth, spatially-ordered grids).
+                     #  Windowing keeps SMEM use O(n_sp), not O(n_sp *
+                     #  n_blocks) (100+ stations x 100k+ sources)
+        nq_ref,      # (8, n_sp) int32 (SMEM, windowed): live q blocks
+                     #  (predicates the unrolled sweep)
+        mv_ref,      # (n_sp, S) int32 (VMEM, windowed per src block),
+                     #  LOCAL to qbase — windowing keeps VMEM use O(S),
+                     #  not O(n_src) (100k+ source grids)
+        w_ref,       # (n_sp, S) f32 (VMEM, windowed)
+        lo_ref,      # (8, S) int32 used-mv min per source (windowed 8-row
+                     #  group of the block-row layout; row g_s % 8 is this
+                     #  source block's — a (n_src, 1) column would tile to
+                     #  128 lanes and waste 128x the VMEM)
+        hi_ref,      # (8, S) int32 used-mv max per source
         g_ref,       # (n_sp_pad, ext) f32 (ANY/HBM)
         *refs,
     ):
@@ -73,6 +77,15 @@ def _make_bp_kernel(*, B, M, S, n_sp, n_src, n_samp, n_q, strict, reduce_max,
         t0 = g_t * B
         s_ofs = pl.multiple_of(g_s * S, 128)
 
+        def build_g127(sp):
+            """G127[r, col] = g[sp, t0 + col + 127 - r]: the full 128-shift
+            Hankel of a station-phase row in ONE strided roll."""
+            row = win_scratch[pl.ds(sp, 1), :]
+            return pltpu.roll(
+                jnp.broadcast_to(row, (128, W)), W - 127, 1,
+                stride=1, stride_axis=0,
+            )
+
         @pl.when(g_s == 0)
         def _():
             dma = pltpu.make_async_copy(
@@ -84,10 +97,7 @@ def _make_bp_kernel(*, B, M, S, n_sp, n_src, n_samp, n_q, strict, reduce_max,
                 # build the Hankels of every station-phase once per time
                 # block (reused across the whole source sweep)
                 def build_sp(sp, _):
-                    for r in range(128):
-                        h_scratch[pl.ds(sp * 128 + r, 1), :] = win_scratch[
-                            pl.ds(sp, 1), r : r + W128
-                        ]
+                    h_scratch[pl.ds(sp * 128, 128), :] = build_g127(sp)
                     return 0
 
                 jax.lax.fori_loop(0, n_sp, build_sp, 0)
@@ -102,16 +112,14 @@ def _make_bp_kernel(*, B, M, S, n_sp, n_src, n_samp, n_q, strict, reduce_max,
             if hoist_hankel:
                 h_base = sp * 128
             else:
+                # large-network fallback: rebuild per (source block, sp) —
+                # one roll, not 128 row copies
+                h_scratch[...] = build_g127(sp)
                 h_base = 0
-                # per-(time, source)-block rebuild (large-M fallback)
-                for r in range(128):
-                    h_scratch[r : r + 1, :] = win_scratch[
-                        pl.ds(sp, 1), r : r + W128
-                    ]
-            mv_row = mv_ref[pl.ds(sp, 1), pl.ds(s_ofs, S)]  # (1, S)
-            w_row = w_ref[pl.ds(sp, 1), pl.ds(s_ofs, S)]    # (1, S)
-            b0 = qbase_ref[sp, g_s]  # 128-aligned local moveout base
-            nq_sp = nq_ref[sp, g_s]  # live q blocks for this (sp, block)
+            mv_row = mv_ref[pl.ds(sp, 1), :]  # (1, S)
+            w_row = w_ref[pl.ds(sp, 1), :]    # (1, S)
+            b0 = qbase_ref[g_s % 8, sp]  # 128-aligned local moveout base
+            nq_sp = nq_ref[g_s % 8, sp]  # live q blocks for this block
 
             # unrolled at trace time, predicated per (sp, block): most
             # blocks of a smooth travel-time grid only span 1-2 octaves of
@@ -119,8 +127,9 @@ def _make_bp_kernel(*, B, M, S, n_sp, n_src, n_samp, n_q, strict, reduce_max,
             for q in range(n_q):
                 @pl.when(q < nq_sp)
                 def _(q=q):
+                    # G127 layout: row r holds the shift 127 - r
                     onehot = (
-                        (mv_row - q * 128) == r_col
+                        (mv_row - q * 128) == (127 - r_col)
                     ).astype(jnp.float32) * w_row  # (128, S)
                     hq = h_scratch[
                         pl.ds(h_base, 128),
@@ -141,8 +150,9 @@ def _make_bp_kernel(*, B, M, S, n_sp, n_src, n_samp, n_q, strict, reduce_max,
 
         t_abs = base_ref[0, 0] + t0 + lane  # (1, B)
         if strict:
-            lo = jnp.transpose(lo_ref[pl.ds(g_s, 1), :])  # (S, 1)
-            hi = jnp.transpose(hi_ref[pl.ds(g_s, 1), :])
+            r8 = g_s % 8
+            lo = jnp.transpose(lo_ref[pl.ds(r8, 1), :])  # (S, 1)
+            hi = jnp.transpose(hi_ref[pl.ds(r8, 1), :])
             ok = (t_abs + lo >= 0) & (t_abs + hi < n_samp)
             beam = jnp.where(ok, beam, 0.0)
 
@@ -175,14 +185,16 @@ def _make_bp_kernel(*, B, M, S, n_sp, n_src, n_samp, n_q, strict, reduce_max,
 
 
 def _bounds_blocks(mv_lo, mv_hi, n_src: int, n_src_pad: int, S: int):
-    """(n_src,) per-source moveout bounds -> (n_s_blocks, S) block-row
-    layout (a (n_src, 1) column input would tile to 128 lanes in VMEM)."""
+    """(n_src,) per-source moveout bounds -> (n_s_blocks_pad8, S) block-row
+    layout (a (n_src, 1) column input would tile to 128 lanes in VMEM;
+    rows padded to a multiple of 8 for the kernel's 8-row windows)."""
     n_blocks = n_src_pad // S
-    lo = np.zeros((n_blocks * S,), np.int32)
-    hi = np.zeros((n_blocks * S,), np.int32)
+    nb_pad = _round_up(n_blocks, 8)
+    lo = np.zeros((nb_pad * S,), np.int32)
+    hi = np.zeros((nb_pad * S,), np.int32)
     lo[:n_src] = mv_lo
     hi[:n_src] = mv_hi
-    return lo.reshape(n_blocks, S), hi.reshape(n_blocks, S)
+    return lo.reshape(nb_pad, S), hi.reshape(nb_pad, S)
 
 
 def _local_bases(mv_in: np.ndarray, w_in: np.ndarray, S: int, M: int):
@@ -233,13 +245,20 @@ def _bp_pallas_call(
         base = jnp.zeros((1, 2), jnp.int32)
     n_sp = mv.shape[0]
     if hoist_hankel is None:
-        # hoist when the all-sp Hankel fits a conservative VMEM budget
-        hoist_hankel = n_sp * 128 * (B + M - 128) * 4 <= 48 * 1024 * 1024
+        # hoist when the all-sp Hankel fits a conservative VMEM budget;
+        # otherwise the Hankel rebuilds per (source block, sp) with one
+        # strided roll each (viable for 100+ station networks)
+        hoist_hankel = n_sp * 128 * (B + M) * 4 <= 48 * 1024 * 1024
     n_src_pad = mv.shape[1]
     n_sp_pad = g_pad.shape[0]
     n_t_blocks = (g_pad.shape[1] - M) // B
     n_s_blocks = n_src_pad // S
     W = B + M
+    # (n_sp, n_blocks) tables -> transposed (n_blocks_pad8, n_sp) so the
+    # kernel takes an 8-row SMEM window per source block (O(n_sp) SMEM)
+    nb_pad = _round_up(n_s_blocks, 8)
+    qbase_t = jnp.pad(qbase.T, ((0, nb_pad - n_s_blocks), (0, 0)))
+    nq_t = jnp.pad(nq.T, ((0, nb_pad - n_s_blocks), (0, 0)))
 
     kernel = _make_bp_kernel(
         B=B, M=M, S=S, n_sp=n_sp, n_src=n_src, n_samp=n_samp, n_q=n_q,
@@ -248,18 +267,19 @@ def _bp_pallas_call(
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # base
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # qbase
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # nq
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # mv
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # w
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # lo
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # hi
+        pl.BlockSpec((8, n_sp), lambda t, s: (s // 8, 0),
+                     memory_space=pltpu.SMEM),  # qbase (8-row window)
+        pl.BlockSpec((8, n_sp), lambda t, s: (s // 8, 0),
+                     memory_space=pltpu.SMEM),  # nq (8-row window)
+        pl.BlockSpec((n_sp, S), lambda t, s: (0, s)),  # mv (windowed)
+        pl.BlockSpec((n_sp, S), lambda t, s: (0, s)),  # w (windowed)
+        pl.BlockSpec((8, S), lambda t, s: (s // 8, 0)),  # lo (8-row window)
+        pl.BlockSpec((8, S), lambda t, s: (s // 8, 0)),  # hi (8-row window)
         pl.BlockSpec(memory_space=pl.ANY),   # g (manual DMA)
     ]
     scratch = [
         pltpu.VMEM((n_sp_pad, W), jnp.float32),
-        pltpu.VMEM((n_sp * 128 if hoist_hankel else 128, W - 128),
-                   jnp.float32),
+        pltpu.VMEM((n_sp * 128 if hoist_hankel else 128, W), jnp.float32),
         pltpu.VMEM((S, B), jnp.float32),  # beam accumulator
         pltpu.SemaphoreType.DMA,
     ]
@@ -292,7 +312,7 @@ def _bp_pallas_call(
             vmem_limit_bytes=110 * 1024 * 1024
         ),
         interpret=interpret,
-    )(base, qbase, nq, mv, w, lo, hi, g_pad)
+    )(base, qbase_t, nq_t, mv, w, lo, hi, g_pad)
 
 
 def beamform_pallas(

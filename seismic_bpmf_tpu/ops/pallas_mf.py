@@ -79,16 +79,16 @@ def _mf_kernel(
                  #  [klo, khi) for the corr sweep, [qlo, qhi) for the
                  #  normalization select — blocks outside a channel's
                  #  moveout span hold all-zero filter rows and are skipped
-    filt_ref,    # (n_ch, n_tp_pad, LM_pad) f32 corr filters (weight-folded)
+    filt_ref,    # (n_ch, n_tp_pad, LM_pad) f32 corr filters (weight-folded,
+                 #  REVERSED within each 128-tap block for the G127 layout)
     sel_ref,     # (n_ch, n_tp_pad, Q*128) f32 one-hot at the moveout
+                 #  (block-reversed likewise)
     hi_ref,      # (n_ch, n_tp_pad) f32 upper lane bound (abs units)
     lo_ref,      # (n_ch, n_tp_pad) f32 lower lane bound
     data_ref,    # (n_ch_pad, ext) f32 (ANY/HBM)
     out_ref,     # (n_tp_pad, B) f32 block
     win_scratch,  # (n_ch_pad, B + LM_pad) f32
     y_scratch,    # (n_ch_pad, B + LM_pad) f32: rsqrt(var) per position
-    h_scratch,    # (128, W128) f32
-    y128_scratch,  # (128, W128) f32
     acc_scratch,   # (n_tp_pad, B) f32 running [corr | ysel] accumulators
     ysel_scratch,  # (n_tp_pad, B) f32
     dma_sem,
@@ -105,7 +105,6 @@ def _mf_kernel(
     g = pl.program_id(0)
     ofs = g * B
     W = B + LM_pad
-    W128 = W - 128
     n_k = LM_pad // 128
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1).astype(
         jnp.float32
@@ -128,11 +127,16 @@ def _mf_kernel(
     )
 
     def channel_body(c, acc):
-        # H128 / Y128: 128 statically-shifted copies of the channel's data
-        # and normalization rows (Mosaic handles constant lane offsets)
-        for r in range(128):
-            h_scratch[r : r + 1, :] = win_scratch[pl.ds(c, 1), r : r + W128]
-            y128_scratch[r : r + 1, :] = y_scratch[pl.ds(c, 1), r : r + W128]
+        # G127[r, col] = d[col + 127 - r]: the whole 128-shift Hankel of
+        # the channel's data/normalization rows built with ONE strided roll
+        # (vs 128 per-row copies); the filter blocks are reversed
+        # host-side so the contraction reads aligned column blocks
+        row = win_scratch[pl.ds(c, 1), :]
+        g127 = pltpu.roll(jnp.broadcast_to(row, (128, W)), W - 127, 1,
+                          stride=1, stride_axis=0)
+        yrow = y_scratch[pl.ds(c, 1), :]
+        y127 = pltpu.roll(jnp.broadcast_to(yrow, (128, W)), W - 127, 1,
+                          stride=1, stride_axis=0)
 
         # k loops unrolled at trace time (~10x faster Mosaic compiles,
         # pipelined matmuls) and predicated per channel: only the tap
@@ -146,7 +150,7 @@ def _mf_kernel(
             @pl.when((k >= klo) & (k < khi))
             def _(k=k):
                 fo = filt_ref[c, :, 128 * k : 128 * (k + 1)]
-                hk = h_scratch[:, 128 * k : 128 * k + B]
+                hk = g127[:, 128 * k : 128 * k + B]
                 acc_scratch[...] = acc_scratch[...] + jax.lax.dot_general(
                     fo, hk, dimension_numbers=dn,
                     preferred_element_type=jnp.float32,
@@ -156,7 +160,7 @@ def _mf_kernel(
             @pl.when((q >= qlo) & (q < qhi))
             def _(q=q):
                 sq = sel_ref[c, :, 128 * q : 128 * (q + 1)]
-                yq = y128_scratch[:, 128 * q : 128 * q + B]
+                yq = y127[:, 128 * q : 128 * q + B]
                 ysel_scratch[...] = ysel_scratch[...] + jax.lax.dot_general(
                     sq, yq, dimension_numbers=dn,
                     preferred_element_type=jnp.float32,
@@ -219,8 +223,6 @@ def _mf_pallas_call(
         scratch_shapes=[
             pltpu.VMEM((data_pad.shape[0], W), jnp.float32),
             pltpu.VMEM((data_pad.shape[0], W), jnp.float32),
-            pltpu.VMEM((128, W - 128), jnp.float32),
-            pltpu.VMEM((128, W - 128), jnp.float32),
             pltpu.VMEM((n_tp_pad, B), jnp.float32),
             pltpu.VMEM((n_tp_pad, B), jnp.float32),
             pltpu.SemaphoreType.DMA,
@@ -307,6 +309,14 @@ class PallasMatchedFilterPlan:
             pad = ((0, 0), (0, n_tp_pad - n_tp), (0, 0))
             filt = np.pad(filt, pad)
             sel = np.pad(sel, pad)
+        # reverse each 128-tap block for the kernel's G127 Hankel layout
+        # (G127[r, col] = d[col + 127 - r])
+        filt = np.ascontiguousarray(
+            filt.reshape(n_ch, n_tp_pad, -1, 128)[..., ::-1]
+        ).reshape(n_ch, n_tp_pad, LM_pad)
+        sel = np.ascontiguousarray(
+            sel.reshape(n_ch, n_tp_pad, -1, 128)[..., ::-1]
+        ).reshape(n_ch, n_tp_pad, Q * 128)
 
         # per-channel live tap-block bounds: k blocks outside the channel's
         # moveout span hold all-zero filter rows and are skipped in-kernel

@@ -484,7 +484,21 @@ def beamform_sharded_pallas(
     mv_in[:, :n_src] = mv_flat.T
     w_in = np.zeros((n_sp, n_src_pad), np.float32)
     w_in[:, :n_src] = w_flat.T
-    lo_in, hi_in = pbp._bounds_blocks(mv_lo, mv_hi, n_src, n_src_pad, S)
+    # per-shard 8-padded block-row bounds: shard d's rows start at
+    # d * nb_local_pad so an even row split lands each shard's own blocks
+    nb_local = s_local // S
+    nb_local_pad = pbp._round_up(nb_local, 8)
+    lo_flat = np.zeros((n_src_pad,), np.int32)
+    hi_flat = np.zeros((n_src_pad,), np.int32)
+    lo_flat[:n_src] = mv_lo
+    hi_flat[:n_src] = mv_hi
+    lo_in = np.zeros((n_s_dev * nb_local_pad, S), np.int32)
+    hi_in = np.zeros((n_s_dev * nb_local_pad, S), np.int32)
+    for dd in range(n_s_dev):
+        rows = lo_flat[dd * s_local : (dd + 1) * s_local].reshape(nb_local, S)
+        lo_in[dd * nb_local_pad : dd * nb_local_pad + nb_local] = rows
+        rows = hi_flat[dd * s_local : (dd + 1) * s_local].reshape(nb_local, S)
+        hi_in[dd * nb_local_pad : dd * nb_local_pad + nb_local] = rows
     qbase, nq_blk, mv_in, n_q = pbp._local_bases(mv_in, w_in, S, M)
 
     s_spec = src_axis if src_axis in mesh.shape else None
