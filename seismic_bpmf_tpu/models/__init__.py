@@ -9,8 +9,10 @@ from .checkpoint import (
 from .training import train_phasenet, windows_from_events
 from .phasenet import (
     PhaseNet,
+    SeisBenchPhaseNet,
     convert_seisbench_weights,
     init_phasenet,
+    load_seisbench_checkpoint,
     make_picker,
     make_train_step,
     sliding_window_probas,
@@ -18,6 +20,8 @@ from .phasenet import (
 
 __all__ = [
     "PhaseNet",
+    "SeisBenchPhaseNet",
+    "load_seisbench_checkpoint",
     "train_phasenet",
     "windows_from_events",
     "convert_seisbench_weights",

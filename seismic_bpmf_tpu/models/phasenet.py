@@ -76,7 +76,10 @@ class PhaseNet(nn.Module):
     """1-D U-Net phase picker.
 
     Input (batch, n_samples, in_channels=3) -> (batch, n_samples, 3)
-    softmax probabilities ordered (P, S, noise).
+    softmax probabilities ordered (P, S, noise) (`phases` = "PSN").
+    This is the repo's *training* architecture (divisible lengths, one
+    conv per stage — TPU-friendly); for porting published SeisBench
+    checkpoints use `SeisBenchPhaseNet` + `convert_seisbench_weights`.
     """
 
     depth: int = 5
@@ -84,6 +87,7 @@ class PhaseNet(nn.Module):
     kernel: int = 7
     stride: int = 4
     n_classes: int = 3
+    phases: str = "PSN"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -110,6 +114,76 @@ class PhaseNet(nn.Module):
         if n_pad:
             x = x[:, :n_in, :]
         return nn.softmax(x, axis=-1)
+
+
+class SeisBenchPhaseNet(nn.Module):
+    """Flax port of SeisBench's torch PhaseNet (the "original" weights
+    layout) for running published checkpoints on TPU.
+
+    Mirrors the seisbench architecture consumed by the reference through
+    the picker protocol (BPMF/dataset.py:1729-1736; the tutorial notes the
+    class order is (noise, P, S), 5_backprojection.ipynb): a depth-5 1-D
+    U-Net, kernel 7, stride 4, filters 8/16/32/64/128, BatchNorm eps=1e-3.
+    Each down stage is a stride-1 "same" conv (+BN+relu) whose output is
+    the skip, then a stride-4 conv with the stage-specific asymmetric
+    padding (3,3)/(2,3)/(1,3)/(2,3) that reproduces the original
+    TF-"SAME" pyramid 3001-751-188-47-12; each up stage is a VALID
+    transposed conv (+BN+relu), a center-crop to the skip length (which
+    exactly inverts those pads), concat [skip, x], and a "same" conv
+    (+BN+relu).  Output: softmax probabilities ordered (noise, P, S).
+
+    Weights come from `convert_seisbench_weights(torch_state_dict)`.
+    """
+
+    classes: int = 3
+    phases: str = "NPS"
+    kernel: int = 7
+    stride: int = 4
+    filters_root: int = 8
+    depth: int = 5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ura = not train
+        bn = functools.partial(
+            nn.BatchNorm, use_running_average=ura, momentum=0.9,
+            epsilon=1e-3,
+        )
+        k, s = (self.kernel,), (self.stride,)
+        x = nn.Conv(self.filters_root, k, padding="SAME", name="inc")(x)
+        x = nn.relu(bn(name="in_bn")(x))
+        down_pads = [(3, 3), (2, 3), (1, 3), (2, 3)]
+        skips = []
+        for i in range(self.depth):
+            f = self.filters_root * 2**i
+            x = nn.Conv(f, k, padding="SAME", use_bias=False,
+                        name=f"down{i}_same")(x)
+            x = nn.relu(bn(name=f"down{i}_bn1")(x))
+            if i < self.depth - 1:
+                skips.append(x)
+                x = nn.Conv(f, k, strides=s, padding=(down_pads[i],),
+                            use_bias=False, name=f"down{i}_down")(x)
+                x = nn.relu(bn(name=f"down{i}_bn2")(x))
+        for j in range(self.depth - 1):
+            f = self.filters_root * 2 ** (self.depth - 2 - j)
+            x = nn.ConvTranspose(f, k, strides=s, padding="VALID",
+                                 use_bias=False, name=f"up{j}_tconv")(x)
+            x = nn.relu(bn(name=f"up{j}_bn1")(x))
+            skip = skips[-(j + 1)]
+            off = (x.shape[1] - skip.shape[1]) // 2
+            x = x[:, off : off + skip.shape[1], :]
+            x = jnp.concatenate([skip, x], axis=-1)
+            x = nn.Conv(f, k, padding="SAME", use_bias=False,
+                        name=f"up{j}_same")(x)
+            x = nn.relu(bn(name=f"up{j}_bn2")(x))
+        x = nn.Conv(self.classes, (1,), padding="SAME", name="out")(x)
+        return nn.softmax(x, axis=-1)
+
+
+def ps_channels(model) -> tuple:
+    """(P, S) class indices for a picker model's output ordering."""
+    phases = getattr(model, "phases", "PSN")
+    return phases.index("P"), phases.index("S")
 
 
 # ---------------------------------------------------------------------------
@@ -247,14 +321,19 @@ def sliding_window_probas(
     return probas.transpose(0, 2, 1)
 
 
-def make_picker(model: PhaseNet, variables, **kwargs):
+def make_picker(model, variables, **kwargs):
     """Build the reference-protocol picker callable:
-    (n_sta, 3, n_t) -> (n_sta, 2, n_t) with phases (P, S)."""
+    (n_sta, 3, n_t) -> (n_sta, 2, n_t) with phases (P, S).
+
+    The (P, S) channels are selected from the model's declared class order
+    (`phases`: "PSN" for the in-repo trainer, "NPS" for SeisBench ports).
+    """
+    p_idx, s_idx = ps_channels(model)
 
     def picker(x):
         probas = sliding_window_probas(model, variables, np.asarray(x),
                                        **kwargs)
-        return probas[:, :2, :]  # drop the noise class
+        return probas[:, (p_idx, s_idx), :]  # drop the noise class
 
     return picker
 
@@ -264,12 +343,22 @@ def make_picker(model: PhaseNet, variables, **kwargs):
 # ---------------------------------------------------------------------------
 
 def convert_seisbench_weights(state_dict: Dict[str, Any], depth: int = 5):
-    """Map a SeisBench torch PhaseNet ``state_dict`` (tensors or numpy) onto
-    the Flax parameter tree of `PhaseNet`.
+    """Map a SeisBench torch PhaseNet ``state_dict`` (tensors or numpy
+    arrays) onto the Flax variables of `SeisBenchPhaseNet`.
 
-    Torch Conv1d kernels are (out, in, k) -> Flax (k, in, out); BatchNorm
-    gamma/beta/mean/var map to scale/bias/mean/var.  Returns a `variables`
-    dict {'params': ..., 'batch_stats': ...}.
+    Torch layout (seisbench.models.PhaseNet): ``inc``/``in_bn``, then
+    ``down_branch.{i}.[0..3]`` = (conv_same, bn1, conv_down, bn2) with the
+    last stage holding only (conv_same, bn1), ``up_branch.{j}.[0..3]`` =
+    (conv_up, bn1, conv_same, bn2), and ``out``.  Torch Conv1d kernels are
+    (out, in, k) -> Flax (k, in, out); torch ConvTranspose1d kernels are
+    (in, out, k) -> Flax (k, in, out) with the tap axis REVERSED (torch's
+    transposed conv is the gradient of a conv, Flax's is a
+    fractionally-strided conv — verified-equal mapping); BatchNorm
+    weight/bias/running_mean/running_var map to scale/bias/mean/var.
+
+    Returns a `variables` dict {'params': ..., 'batch_stats': ...} for
+    ``SeisBenchPhaseNet().apply``.  Reference picker protocol:
+    BPMF/dataset.py:1729-1736.
     """
     def to_np(v):
         return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
@@ -286,7 +375,9 @@ def convert_seisbench_weights(state_dict: Dict[str, Any], depth: int = 5):
 
     def tconv(prefix):
         w = sd[f"{prefix}.weight"]  # (in, out, k)
-        out = {"kernel": np.transpose(w, (2, 0, 1))}
+        out = {"kernel": np.ascontiguousarray(
+            np.transpose(w, (2, 0, 1))[::-1]
+        )}
         if f"{prefix}.bias" in sd:
             out["bias"] = sd[f"{prefix}.bias"]
         return out
@@ -300,45 +391,51 @@ def convert_seisbench_weights(state_dict: Dict[str, Any], depth: int = 5):
 
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
-
-    # SeisBench names: inc (ConvBlock), down_branch.i.{conv_same,bn1,...},
-    # up_branch.i.{...}, out (final conv).  Exact names vary between
-    # versions; try the canonical layout and raise with the available keys
-    # otherwise so the user can adapt.
     try:
-        idx = 0
-        p, s = bn("in_bn")
-        params[f"ConvBlock_0"] = {"Conv_0": conv("inc"), "BatchNorm_0": p}
-        stats[f"ConvBlock_0"] = {"BatchNorm_0": s}
-        for i in range(depth - 1):
-            p, s = bn(f"down_branch.{i}.1")
-            params[f"ConvBlock_{i + 1}"] = {
-                "Conv_0": conv(f"down_branch.{i}.0"),
-                "BatchNorm_0": p,
-            }
-            stats[f"ConvBlock_{i + 1}"] = {"BatchNorm_0": s}
-        for j, i in enumerate(range(depth - 2, -1, -1)):
-            p1, s1 = bn(f"up_branch.{j}.1")
-            p2, s2 = bn(f"up_branch.{j}.3")
-            params[f"UpBlock_{j}"] = {
-                "ConvTranspose_0": tconv(f"up_branch.{j}.0"),
-                "BatchNorm_0": p1,
-                "ConvBlock_0": {
-                    "Conv_0": conv(f"up_branch.{j}.2"),
-                    "BatchNorm_0": p2,
-                },
-            }
-            stats[f"UpBlock_{j}"] = {
-                "BatchNorm_0": s1,
-                "ConvBlock_0": {"BatchNorm_0": s2},
-            }
-        params["Conv_0"] = conv("out")
+        params["inc"] = conv("inc")
+        params["in_bn"], stats["in_bn"] = bn("in_bn")
+        for i in range(depth):
+            params[f"down{i}_same"] = conv(f"down_branch.{i}.0")
+            params[f"down{i}_bn1"], stats[f"down{i}_bn1"] = bn(
+                f"down_branch.{i}.1"
+            )
+            if i < depth - 1:
+                params[f"down{i}_down"] = conv(f"down_branch.{i}.2")
+                params[f"down{i}_bn2"], stats[f"down{i}_bn2"] = bn(
+                    f"down_branch.{i}.3"
+                )
+        for j in range(depth - 1):
+            params[f"up{j}_tconv"] = tconv(f"up_branch.{j}.0")
+            params[f"up{j}_bn1"], stats[f"up{j}_bn1"] = bn(
+                f"up_branch.{j}.1"
+            )
+            params[f"up{j}_same"] = conv(f"up_branch.{j}.2")
+            params[f"up{j}_bn2"], stats[f"up{j}_bn2"] = bn(
+                f"up_branch.{j}.3"
+            )
+        params["out"] = conv("out")
     except KeyError as e:
         raise KeyError(
             f"unrecognized SeisBench layout (missing {e}); available keys: "
             f"{sorted(sd.keys())[:20]}..."
         ) from e
     return {"params": params, "batch_stats": stats}
+
+
+def load_seisbench_checkpoint(path: str):
+    """One-command SeisBench checkpoint port: torch ``.pt``/``.pth``
+    state_dict file (or ``.npz`` of numpy arrays) -> (model, variables)
+    ready for `make_picker` / `phasenet_probas_device`.
+    """
+    if str(path).endswith(".npz"):
+        sd = dict(np.load(path))
+    else:
+        import torch
+
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+        sd = obj.get("state_dict", obj) if isinstance(obj, dict) else obj
+    model = SeisBenchPhaseNet()
+    return model, convert_seisbench_weights(sd, depth=model.depth)
 
 
 # ---------------------------------------------------------------------------

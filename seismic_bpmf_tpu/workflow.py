@@ -122,16 +122,19 @@ def phasenet_feature_fn(model=None, variables=None, device=True, **kwargs):
     one program and the probabilities stay device-resident for the
     beamformer (no per-window host round trips)."""
     from .models import init_phasenet, make_picker
+    from .models.phasenet import ps_channels
 
     if model is None:
         model, variables = init_phasenet()
     if device:
         from .models.phasenet import phasenet_probas_device
 
+        p_idx, s_idx = ps_channels(model)
+
         def feature_fn(data_arr):
             probas = phasenet_probas_device(model, variables, data_arr,
                                             **kwargs)
-            return probas[:, :2, :]  # drop the noise class
+            return probas[:, (p_idx, s_idx), :]  # drop the noise class
 
         return feature_fn
 
