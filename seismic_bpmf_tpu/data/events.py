@@ -22,12 +22,26 @@ from typing import Callable, Dict, List, Optional
 import numpy as np
 import pandas as pd
 
+from ..utils.observe import logger
 from ..utils.time import epoch_from_utc, sec_to_samp, utc_from_epoch
 from .stream import Stream, Trace
 from .waveforms import DEFAULT_ALIASES, get_np_array
 
 DEFAULT_PHASE_ON_COMP = {"N": "S", "1": "S", "E": "S", "2": "S", "Z": "P"}
 DEFAULT_OFFSET_PHASE = {"P": 1.0, "S": 4.0}
+
+
+def _lazy(attr: str, hint: str):
+    """Property reading a cached `attr`, raising with a usage hint when the
+    producing method has not run yet."""
+
+    def getter(self):
+        try:
+            return getattr(self, attr)
+        except AttributeError:
+            raise RuntimeError(f"call {hint} first") from None
+
+    return property(getter)
 
 
 def _to_datetime64(t) -> np.datetime64:
@@ -65,24 +79,27 @@ class Event:
         self.origin_time = _to_datetime64(origin_time)
         self.date = self.origin_time
         self.where = os.path.join(data_path, data_filename)
-        self.stations = np.asarray(stations).astype("U")
-        self.components = np.asarray(list(components)).astype("U")
         self.component_aliases = component_aliases
-        self.phases = np.asarray(phases).astype("U")
-        self.latitude = latitude
-        self.longitude = longitude
+        self.latitude, self.longitude = latitude, longitude
         self.depth = depth
         self.sampling_rate = sampling_rate
-        moveouts = np.asarray(moveouts)
-        if moveouts.dtype.kind in "iu":
-            print(
-                "Integer data type detected for moveouts. Are you sure these"
-                " are in seconds?"
+        self.stations = np.asarray(stations).astype("U")
+        self.components = np.asarray(list(components)).astype("U")
+        self.phases = np.asarray(phases).astype("U")
+
+        mv = np.atleast_2d(np.asarray(moveouts))
+        if np.issubdtype(mv.dtype, np.integer):
+            logger.warning(
+                "Event moveouts should be seconds, got an integer array — "
+                "if these are sample counts, pass moveouts / sampling_rate"
             )
-        mv_table = {"stations": self.stations}
-        for p, ph in enumerate(self.phases):
-            mv_table[f"moveouts_{ph.upper()}"] = moveouts[:, p]
-        self.moveouts = pd.DataFrame(mv_table).set_index("stations")
+        # one column per phase, indexed by station (the reference's
+        # moveout-table schema: columns 'moveouts_<PH>')
+        self.moveouts = pd.DataFrame(
+            mv,
+            index=pd.Index(self.stations, name="stations"),
+            columns=[f"moveouts_{p.upper()}" for p in self.phases],
+        )
         if id is None:
             ts = pd.Timestamp(self.origin_time)
             self.id = ts.strftime("%Y%m%d_%H%M%S.%f")
@@ -122,11 +139,8 @@ class Event:
             verbose=False,
         )
 
-    @property
-    def availability_per_sta(self):
-        if hasattr(self, "_availability_per_sta"):
-            return self._availability_per_sta
-        raise RuntimeError("call set_availability first")
+    availability_per_sta = _lazy("_availability_per_sta",
+                                 "set_availability")
 
     @property
     def availability(self):
@@ -287,11 +301,8 @@ class Event:
         )
         return self._availability_per_sta
 
-    @property
-    def availability_per_cha(self):
-        if hasattr(self, "_availability_per_cha"):
-            return self._availability_per_cha
-        raise RuntimeError("call set_availability first")
+    availability_per_cha = _lazy("_availability_per_cha",
+                                 "set_availability")
 
     def compute_snr(self, noise_window_sec: float = 5.0):
         """Amplitude SNR per channel: RMS(signal) / RMS(pre-window noise).
@@ -316,11 +327,7 @@ class Event:
         )
         return self._snr
 
-    @property
-    def snr(self):
-        if hasattr(self, "_snr"):
-            return self._snr
-        raise RuntimeError("call compute_snr first")
+    snr = _lazy("_snr", "compute_snr")
 
     def n_closest_stations(self, n: int, available_stations=None):
         """Indices/names of the n stations with smallest first-phase moveout.
@@ -805,24 +812,16 @@ class Template(Event):
     def init_from_event(cls, event: Event, attach_waveforms: bool = True):
         """Reference parity: BPMF/dataset.py:3321-3405."""
         db_path, db_filename = os.path.split(event.where)
+        hypo = {k: getattr(event, k)
+                for k in ("latitude", "longitude", "depth", "sampling_rate",
+                          "components", "id")}
         template = cls(
-            event.origin_time,
-            event.moveouts.values,
-            event.stations,
-            event.phases,
-            db_filename,
-            db_path,
-            latitude=event.latitude,
-            longitude=event.longitude,
-            depth=event.depth,
-            sampling_rate=event.sampling_rate,
-            components=event.components,
-            id=event.id,
+            event.origin_time, event.moveouts.values, event.stations,
+            event.phases, db_filename, db_path, **hypo,
         )
-        if hasattr(event, "picks"):
-            template.picks = event.picks
-        if hasattr(event, "arrival_times"):
-            template.arrival_times = event.arrival_times
+        for opt in ("picks", "arrival_times"):
+            if hasattr(event, opt):
+                setattr(template, opt, getattr(event, opt))
         keep = [f"offset_{ph}" for ph in event.phases] + [
             "tid", "cov_mat", "Mw", "Mw_err", "hmax_unc", "hmin_unc",
             "vmax_unc", "az_hmax_unc",

@@ -96,6 +96,38 @@ class Spectrum:
     # ------------------------------------------------------------------
     # spectra computation
     # ------------------------------------------------------------------
+    def _finish_rows(self, amp, stations, components, stack):
+        """(n_sta, n_comp, n_freq) per-channel amplitudes -> row block.
+
+        stack=True: RSS over components (one row per station, the
+        reference's `multi_component_spectrum=True`); stack=False: one row
+        per channel labeled '<sta>.<comp>' (the reference default),
+        remembering each row's station for the corrections.
+        """
+        stations = list(stations)
+        if stack:
+            rows = stations
+            out = np.sqrt(np.sum(np.asarray(amp) ** 2, axis=1))
+            self._row_station = pd.Series(stations, index=rows)
+        else:
+            components = list(components)[: amp.shape[1]]
+            rows = [f"{s}.{c}" for s in stations for c in components]
+            out = np.asarray(amp)[:, : len(components)].reshape(
+                len(rows), -1
+            )
+            self._row_station = pd.Series(
+                [s for s in stations for _ in components], index=rows
+            )
+        return out, rows
+
+    def _per_station(self, table: pd.DataFrame) -> pd.DataFrame:
+        """Expand a station-indexed correction table onto spectrum rows
+        (identity for stacked spectra, broadcast for per-channel rows)."""
+        rows = getattr(self, "_row_station", None)
+        if rows is None:  # spectra set directly with station-indexed rows
+            return table
+        return table.loc[rows.values].set_axis(rows.index)
+
     def compute_spectrum(
         self,
         windows: Dict[str, np.ndarray],
@@ -103,12 +135,16 @@ class Spectrum:
         sampling_rate: float,
         phases: Sequence[str] = ("noise", "p", "s"),
         taper_pct: float = 5.0,
+        stack_components: bool = True,
+        components: Sequence[str] = ("N", "E", "Z"),
     ):
         """Amplitude spectra via tapered FFT.
 
         windows[phase] : (n_stations, n_components, n_samples) displacement
-        windows.  The per-station spectrum is the vector-summed component
-        spectrum.  Reference parity: BPMF/spectrum.py:507-599.
+        windows.  `stack_components=True` RSS-combines components into one
+        per-station spectrum (reference `multi_component_spectrum=True`);
+        False keeps one row per channel (the reference default).
+        Reference parity: BPMF/spectrum.py:507-599.
         """
         from scipy.signal.windows import tukey
 
@@ -120,10 +156,11 @@ class Spectrum:
             freqs = np.fft.rfftfreq(n, d=1.0 / sampling_rate)
             # displacement amplitude spectral density
             amp = 2.0 * np.abs(xf) / sampling_rate / n * sampling_rate
-            # vector sum over components
-            amp_sta = np.sqrt(np.sum(amp**2, axis=1))
+            vals, rows = self._finish_rows(
+                amp, stations, components, stack_components
+            )
             self.spectra[phase] = pd.DataFrame(
-                amp_sta, index=list(stations), columns=freqs
+                vals, index=rows, columns=freqs
             )
         self.frequencies = np.asarray(self.spectra[phases[0]].columns,
                                       dtype=float)
@@ -138,11 +175,14 @@ class Spectrum:
         bands_per_octave: int = 2,
         fmin: float = 0.5,
         fmax: Optional[float] = None,
+        stack_components: bool = True,
+        components: Sequence[str] = ("N", "E", "Z"),
     ):
         """Octave-filter-bank spectra (Al-Ismail et al. 2022 approach).
 
         More robust than the raw FFT at low SNR; reference parity:
-        BPMF/spectrum.py:387-505.
+        BPMF/spectrum.py:387-505 (`stack_components` maps to the
+        reference's `multi_component_spectrum`).
         """
         from scipy.signal import sosfilt, butter
 
@@ -153,8 +193,8 @@ class Spectrum:
         centers = centers[centers < fmax]
         for phase in phases:
             x = np.asarray(windows[phase], np.float64)
-            n_sta = x.shape[0]
-            amp = np.zeros((n_sta, len(centers)))
+            n_sta, n_comp = x.shape[0], x.shape[1]
+            amp = np.zeros((n_sta, n_comp, len(centers)))
             for b, fc_band in enumerate(centers):
                 lo = fc_band / 2 ** (0.5 / bands_per_octave)
                 hi = min(fc_band * 2 ** (0.5 / bands_per_octave),
@@ -162,12 +202,14 @@ class Spectrum:
                 sos = butter(4, [lo, hi], btype="bandpass",
                              fs=sampling_rate, output="sos")
                 xf = sosfilt(sos, x, axis=-1)
-                # peak amplitude in the band, vector over components,
-                # normalized to spectral density by the bandwidth
-                peak = np.max(np.abs(xf), axis=-1)
-                amp[:, b] = np.sqrt(np.sum(peak**2, axis=-1)) / (hi - lo)
+                # peak amplitude in the band, normalized to spectral
+                # density by the bandwidth
+                amp[:, :, b] = np.max(np.abs(xf), axis=-1) / (hi - lo)
+            vals, rows = self._finish_rows(
+                amp, stations, components, stack_components
+            )
             self.spectra[phase] = pd.DataFrame(
-                amp, index=list(stations), columns=centers
+                vals, index=rows, columns=centers
             )
         self.frequencies = centers
         return self.spectra
@@ -250,7 +292,9 @@ class Spectrum:
             flags = self.correction_flags.setdefault(phase, {})
             if flags.get("geometry", False):
                 continue
-            g = self.geometrical_factor[f"geometry_{phase}"]
+            g = self._per_station(
+                self.geometrical_factor[f"geometry_{phase}"]
+            )
             self.spectra[phase] = self.spectra[phase].mul(g, axis=0)
             flags["geometry"] = True
 
@@ -260,7 +304,8 @@ class Spectrum:
             if flags.get("attenuation", False):
                 continue
             self.spectra[phase] = (
-                self.spectra[phase] * self.attenuation_factor[phase]
+                self.spectra[phase]
+                * self._per_station(self.attenuation_factor[phase])
             )
             flags["attenuation"] = True
 
@@ -277,41 +322,78 @@ class Spectrum:
             mask = self.snr[phase].values >= snr_threshold
         else:
             mask = np.ones(spec.shape, dtype=bool)
-        vals = np.where(mask & (spec.values > 0), spec.values, np.nan)
-        count = np.sum(~np.isnan(vals), axis=0)
-        avg = np.exp(np.nanmean(np.log(vals), axis=0))
+        mask = mask & (spec.values > 0)
+        count = mask.sum(axis=0)
+        # explicit all-masked handling: log/nanmean only over frequencies
+        # with at least one valid channel (no empty-slice warnings)
+        avg = np.full(spec.shape[1], np.nan)
+        live = count > 0
+        if live.any():
+            with np.errstate(invalid="ignore", divide="ignore"):
+                logs = np.where(mask[:, live], np.log(spec.values[:, live]),
+                                np.nan)
+            avg[live] = np.exp(np.nanmean(logs, axis=0))
         avg[count < min_num_valid_channels] = np.nan
         self.average_spectrum = pd.Series(avg, index=spec.columns)
+        self.num_valid_channels = pd.Series(count, index=spec.columns)
         return self.average_spectrum
 
     def fit_average_spectrum(
-        self, model: str = "brune", min_fraction_valid_points: float = 0.5,
+        self,
+        model: str = "brune",
+        min_fraction_valid_points: float = 0.5,
+        min_fraction_valid_points_below_fc: float = 0.10,
+        weighted: bool = False,
     ):
-        """Least-squares (log-domain) fit of (omega0, fc)
-        (BPMF/spectrum.py:729-849)."""
+        """Least-squares (log-domain) fit of (omega0, fc) with the
+        reference's validity gates (BPMF/spectrum.py:729-849):
+
+        - enough valid (SNR-passing) frequency points overall;
+        - after the fit, enough valid points BELOW the fitted corner
+          frequency (otherwise the low-frequency plateau — hence M0 —
+          is unconstrained);
+        - first guesses: omega0 from the lowest valid frequency, fc from
+          the circular-crack relation at that moment;
+        - optional sigmoid weighting by the per-frequency valid-channel
+          count (`weighted=True`).
+        """
         from scipy.optimize import curve_fit
 
         avg = self.average_spectrum
         valid = ~avg.isna().values & (avg.values > 0)
         freqs = np.asarray(avg.index, float)[valid]
         amps = avg.values[valid]
+        self.fit_success = False
         if valid.sum() < max(3, min_fraction_valid_points * len(avg)):
-            self.fit_success = False
             return None
         model_fn = brune if model == "brune" else boatwright
+        w0_guess = float(amps[0])
+        fc_guess = float(
+            fc_circular_crack(moment_to_magnitude(max(w0_guess, 1e-30)))
+        )
+        fc_guess = float(np.clip(fc_guess, freqs[0], freqs[-1]))
+        sigma = None
+        if weighted and hasattr(self, "num_valid_channels"):
+            nvc = self.num_valid_channels.values.astype(float)[valid]
+            z = (nvc - nvc.mean()) / max(nvc.mean(), 1e-30)
+            sigma = 1.0 + np.exp(-z)  # inverse sigmoid weights
         try:
-            p0 = [np.median(amps[: max(1, len(amps) // 4)]),
-                  freqs[len(freqs) // 2]]
             popt, pcov = curve_fit(
                 lambda f, w0, fc: model_fn(f, w0, fc, log=True),
                 freqs,
                 np.log10(amps),
-                p0=p0,
-                bounds=([0.0, freqs[0] / 10.0], [np.inf, freqs[-1] * 10.0]),
+                p0=[w0_guess, fc_guess],
+                sigma=sigma,
+                bounds=([0.0, freqs[0] / 10.0],
+                        [np.inf, max(freqs[-1] * 10.0, 1e3 * fc_guess)]),
                 maxfev=10000,
             )
         except Exception:
-            self.fit_success = False
+            return None
+        # low-frequency plateau gate: the fitted fc must leave enough
+        # valid points below it for M0 to be constrained
+        frac_below = float(np.sum(freqs < popt[1])) / float(len(avg))
+        if frac_below < min_fraction_valid_points_below_fc:
             return None
         self.M0 = float(popt[0])
         self.fc = float(popt[1])

@@ -163,6 +163,74 @@ class TestSpectrum:
         assert fc == pytest.approx(true_fc, rel=0.1)
         assert 2.5 < spec.Mw < 3.5
 
+    def test_per_channel_spectrum_mode(self, rng):
+        """stack_components=False keeps one row per channel and corrections
+        broadcast station factors onto channel rows."""
+        from seismic_bpmf_tpu.source.spectrum import Spectrum
+
+        stations = ["ST1", "ST2"]
+        windows = {
+            ph: rng.normal(size=(2, 3, 256)).astype(np.float32)
+            for ph in ("noise", "p", "s")
+        }
+        spec = Spectrum()
+        spec.compute_spectrum(windows, stations, 25.0,
+                              stack_components=False)
+        assert list(spec.spectra["p"].index) == [
+            "ST1.N", "ST1.E", "ST1.Z", "ST2.N", "ST2.E", "ST2.Z"
+        ]
+        spec.compute_signal_to_noise_ratio()
+        dist = pd.Series([10.0, 20.0], index=stations)
+        tts = pd.DataFrame({"P": [2.0, 3.0], "S": [4.0, 6.0]},
+                           index=stations)
+        spec.set_Q_model(Q0=200.0)
+        spec.compute_correction_factor(dist, tts)
+        spec.correct_geometrical_spreading()
+        spec.correct_attenuation()
+        # same station factor applied to all three channel rows
+        p = spec.spectra["p"]
+        assert p.shape[0] == 6
+        assert np.isfinite(p.values).all()
+        avg = spec.compute_network_average_spectrum("p", snr_threshold=0.0)
+        assert np.isfinite(avg.values).any()
+
+    def test_network_average_all_masked(self):
+        """Every channel below SNR threshold -> all-NaN average, silently
+        (no empty-slice RuntimeWarning)."""
+        import warnings
+
+        from seismic_bpmf_tpu.source.spectrum import Spectrum
+
+        spec = Spectrum()
+        freqs = np.linspace(1.0, 10.0, 16)
+        spec.spectra["p"] = pd.DataFrame(
+            np.ones((3, 16)), index=["A", "B", "C"], columns=freqs
+        )
+        spec.snr["p"] = pd.DataFrame(
+            np.zeros((3, 16)), index=["A", "B", "C"], columns=freqs
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            avg = spec.compute_network_average_spectrum(
+                "p", snr_threshold=3.0
+            )
+        assert avg.isna().all()
+
+    def test_fit_below_fc_gate(self, rng):
+        """A spectrum with no valid points below the corner frequency is
+        rejected by the plateau gate."""
+        from seismic_bpmf_tpu.source.spectrum import Spectrum, brune
+
+        freqs = np.linspace(0.5, 12.0, 40)
+        spec = Spectrum()
+        spec.average_spectrum = pd.Series(
+            brune(freqs, 1e13, 4.0), index=freqs
+        )
+        out = spec.fit_average_spectrum(
+            model="brune", min_fraction_valid_points_below_fc=0.99
+        )
+        assert out is None and spec.fit_success is False
+
     def test_moment_magnitude_workflow(self, rng):
         """A synthetic event with a known moment-rate pulse gives a finite
         Mw through the full chain."""
