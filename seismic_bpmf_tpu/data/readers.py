@@ -112,43 +112,62 @@ def data_reader_mseed(
     data_folder="",
     **kwargs,
 ) -> Stream:
-    """Tutorial-convention miniSEED reader (requires obspy).
+    """Tutorial-convention miniSEED reader.
 
     Folder layout as in BPMF/data_reader_examples.py:115-214:
     `where/<YYYY>/<JJJ>/data_folder/net.sta.loc.cha_*.mseed`.
+
+    Uses obspy when it is installed (full format coverage + response
+    attachment); otherwise falls back to the vendored pure-NumPy miniSEED
+    decoder (`data.mseed`: int16/int32/float32/float64/Steim1/Steim2).
     """
     try:
         import obspy
-    except ImportError as e:
-        raise ImportError(
-            "data_reader_mseed requires obspy; use data_reader_hdf5 for the "
-            "native format instead"
-        ) from e
+    except ImportError:
+        obspy = None
+        if attach_response:
+            raise ImportError(
+                "attach_response requires obspy (StationXML parsing)"
+            )
 
-    t_start = obspy.UTCDateTime(str(starttime))
-    year = t_start.year
-    jday = t_start.julday
-    st = obspy.Stream()
+    t0 = np.datetime64(str(starttime).replace("Z", ""), "ns")
+    year = t0.astype("datetime64[Y]")
+    jday = int(
+        (t0.astype("datetime64[D]") - year.astype("datetime64[D]"))
+        / np.timedelta64(1, "D")
+    ) + 1
     if not isinstance(stations, str):
         stations = ",".join(np.atleast_1d(stations))
+    files = []
     for sta in stations.split(","):
         pattern = os.path.join(
-            where, f"{year}", f"{jday:03d}", data_folder,
+            where, str(year), f"{jday:03d}", data_folder,
             f"{network}.{sta}.{location}.{channels}*",
         )
-        for fn in glob.glob(pattern):
+        files.extend(sorted(glob.glob(pattern)))
+
+    if obspy is not None:
+        st = obspy.Stream()
+        for fn in files:
             st += obspy.read(
                 fn,
                 starttime=obspy.UTCDateTime(str(starttime)),
                 endtime=obspy.UTCDateTime(str(endtime)),
             )
-    st.merge(fill_value=0.0)
-    if attach_response:
-        inv = obspy.read_inventory(
-            os.path.join(where, "..", "resp", "*.xml")
-        )
-        st.attach_response(inv)
-    return from_obspy(st)
+        st.merge(fill_value=0.0)
+        if attach_response:
+            inv = obspy.read_inventory(
+                os.path.join(where, "..", "resp", "*.xml")
+            )
+            st.attach_response(inv)
+        return from_obspy(st)
+
+    from .mseed import merge_fill, read_mseed
+
+    out = Stream()
+    for fn in files:
+        out += read_mseed(fn, starttime=starttime, endtime=endtime)
+    return merge_fill(out)
 
 
 def data_reader_pyasdf(

@@ -54,11 +54,22 @@ class Trace:
     """A single-channel waveform segment."""
 
     def __init__(self, data=None, **stats):
-        self.data = np.asarray(data if data is not None else [], dtype=np.float32)
         st = {k: v for k, v in stats.items() if v is not None}
         if "starttime" in st and not isinstance(st["starttime"], (int, float)):
             st["starttime"] = epoch_from_utc(st["starttime"])
         self.stats = TraceStats(**st)
+        self.data = np.asarray(data if data is not None else [],
+                               dtype=np.float32)
+
+    @property
+    def data(self) -> np.ndarray:
+        return self._data
+
+    @data.setter
+    def data(self, values):
+        # keep stats.npts (hence stats.endtime) in sync with the samples
+        self._data = np.asarray(values, dtype=np.float32)
+        self.stats._npts = len(self._data)
 
     @property
     def id(self) -> str:
