@@ -130,6 +130,26 @@ class TravelTimes:
         return tts
 
     # ------------------------------------------------------------------
+    @classmethod
+    def from_arrays(cls, tts: dict, source_coordinates: dict
+                    ) -> "TravelTimes":
+        """Build an in-memory table (no HDF5 file) with the same layout as
+        `read(read_coords=True)`.
+
+        tts : {phase: {station: (n_sources,) seconds}}
+        source_coordinates : {'longitude','latitude','depth': (n_sources,)}
+        """
+        self = cls("", "")
+        self.travel_times = pd.DataFrame(
+            {ph: {s: np.asarray(v, np.float32) for s, v in stas.items()}
+             for ph, stas in tts.items()}
+        )
+        self.source_coordinates = pd.DataFrame(
+            {k: np.asarray(v) for k, v in source_coordinates.items()}
+        )
+        self.source_indexes = np.asarray(self.source_coordinates.index)
+        return self
+
     @staticmethod
     def write_table(
         path: str,

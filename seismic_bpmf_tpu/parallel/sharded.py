@@ -46,6 +46,28 @@ def _right_halo(x, axis_name: str, halo: int):
     return jnp.concatenate([x, recv], axis=-1)
 
 
+def _both_halos(x, axis_name: str, left: int, right: int):
+    """Exchange halos in both directions, both sliced from the ORIGINAL
+    chunk: device i prepends the last `left` samples of device i-1's chunk
+    (zeros on device 0 — the global data start padding) and appends the
+    first `right` samples of device i+1's chunk (zeros on the last
+    device).  A left halo is needed when template moveouts are negative:
+    a chunk's first lags read before the chunk."""
+    n = jax.lax.axis_size(axis_name)
+    parts = [x]
+    if right:
+        head = jax.lax.slice_in_dim(x, 0, right, axis=-1)
+        perm = [(i, i - 1) for i in range(1, n)]
+        parts.append(jax.lax.ppermute(head, axis_name, perm))
+    if left:
+        tail = jax.lax.slice_in_dim(
+            x, x.shape[-1] - left, x.shape[-1], axis=-1
+        )
+        perm = [(i, i + 1) for i in range(n - 1)]
+        parts.insert(0, jax.lax.ppermute(tail, axis_name, perm))
+    return jnp.concatenate(parts, axis=-1)
+
+
 # ---------------------------------------------------------------------------
 # Matched filter: mesh ('tp', 'time')
 # ---------------------------------------------------------------------------
@@ -64,20 +86,21 @@ def matched_filter_sharded(
     continuous data sharded over `time_axis` with halo exchange.
 
     Matches `ops.matched_filter.matched_filter(..., network_sum=True)`.
-    Moveouts must be non-negative (true for BPMF moveouts, which are relative
-    to the template window start).
+    Negative moveouts (template windows opening before the reference
+    phase, the usual Template convention) are handled with a left-halo
+    exchange of size -min(moveout).
     """
     templates = np.asarray(templates, np.float32)
     moveouts = np.asarray(moveouts, np.int32)
     weights = np.asarray(weights, np.float32)
     data = jnp.asarray(data, jnp.float32)
 
-    assert moveouts.min(initial=0) >= 0, "moveouts must be non-negative"
     n_tp, n_sta, n_comp, L = templates.shape
     n_ch = n_sta * n_comp
     n_samp = data.shape[-1]
     n_corr = (n_samp - L) // step + 1
     max_mv = int(moveouts.max(initial=0))
+    pad_left = -min(0, int(moveouts.min(initial=0)))
     halo = max_mv + L  # window of the last local lag reaches chunk+halo-1
 
     n_tp_dev = mesh.shape[tp_axis] if tp_axis in mesh.shape else 1
@@ -95,10 +118,10 @@ def matched_filter_sharded(
     pad_t = n_t_dev * chunk - n_samp
     if pad_t:
         data = jnp.pad(data, ((0, 0), (0, 0), (0, pad_t)))
-    if chunk < halo and n_t_dev > 1:
+    if chunk < max(halo, pad_left) and n_t_dev > 1:
         raise ValueError(
-            f"time chunk ({chunk}) smaller than halo ({halo}); "
-            f"use fewer time shards"
+            f"time chunk ({chunk}) smaller than halo "
+            f"({max(halo, pad_left)}); use fewer time shards"
         )
 
     tp_flat = templates.reshape(-1, n_ch, L)
@@ -115,10 +138,13 @@ def matched_filter_sharded(
 
     def body(band_l, xn_l, mv_l, w_l, data_l):
         t_idx = jax.lax.axis_index(time_axis)
-        data_ext = (
-            _right_halo(data_l, time_axis, halo) if n_t_dev > 1
-            else jnp.pad(data_l, ((0, 0), (0, halo)))
-        )
+        if n_t_dev > 1:
+            data_ext = _both_halos(data_l, time_axis, pad_left, halo)
+        else:
+            data_ext = jnp.pad(data_l, ((0, 0), (pad_left, halo)))
+        # data_ext[0] sits at absolute chunk start - pad_left; _mf_block's
+        # padded-coordinate convention (block_start = padded index of the
+        # block's first sample) makes that exactly t_idx * chunk
         cc = _mf._mf_block(
             band_l,
             xn_l,
@@ -131,7 +157,7 @@ def matched_filter_sharded(
             network_sum=True,
             n_corr_block=lags_per_chunk,
             n_samp=n_samp,
-            pad_left=0,
+            pad_left=pad_left,
             L=L,
         )
         return cc

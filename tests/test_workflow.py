@@ -153,3 +153,53 @@ def test_backproject_with_phasenet_features(world):
     )
     assert bf.maxbeam.shape[-1] == w["data"].n_samples
     assert isinstance(detections, list)
+
+
+def test_sharded_day_scan_matches_unsharded(world):
+    """The FULL workflow layer (backproject_day + matched_filter_day) run
+    with mesh-sharded engines produces the same detection lists as the
+    single-chip scan — device-resident plans, halo sharding, and the
+    workflow orchestration validated together (replaces the reference's
+    lock-file day parallelism, BPMF/utils.py:1883-1958)."""
+    from seismic_bpmf_tpu.parallel import make_mesh
+
+    w = world
+    kw = dict(
+        cfg=w["cfg"], minimum_interevent_time=10.0,
+        threshold_window_sec=150.0, num_closest_stations=N_STA,
+    )
+    _, det_ref = workflow.backproject_day(w["data"], w["net"], w["tts"],
+                                          **kw)
+    bp_mesh = make_mesh({"src": 2, "time": 4})
+    _, det_sh = workflow.backproject_day(w["data"], w["net"], w["tts"],
+                                         mesh=bp_mesh, **kw)
+    t_ref = sorted(ev.origin_time_epoch for ev in det_ref)
+    t_sh = sorted(ev.origin_time_epoch for ev in det_sh)
+    assert len(t_ref) == len(t_sh) >= 2
+    np.testing.assert_allclose(t_sh, t_ref, atol=1.0 / SR)
+
+    tg = workflow.build_templates(
+        det_ref, w["net"], cfg=w["cfg"], data_reader=data_reader_hdf5,
+        dedup_similarity=0.95,
+    )
+    mf_kw = dict(
+        cfg=w["cfg"], minimum_interevent_time=5.0,
+        threshold_window_dur=150.0, min_channels=3, min_stations=2,
+        max_kurto=1e6,
+    )
+    dets_ref = workflow.matched_filter_day(tg, w["data"], **mf_kw)
+    mf_mesh = make_mesh({"tp": 2, "time": 4})
+    dets_sh = workflow.matched_filter_day(tg, w["data"], mesh=mf_mesh,
+                                          **mf_kw)
+    assert set(dets_ref.keys()) == set(dets_sh.keys())
+    for tid in dets_ref:
+        ref_evs, sh_evs = dets_ref[tid], dets_sh[tid]
+        assert len(ref_evs) == len(sh_evs)
+        for a, b in zip(
+            sorted(ref_evs, key=lambda e: e.origin_time_epoch),
+            sorted(sh_evs, key=lambda e: e.origin_time_epoch),
+        ):
+            assert abs(a.origin_time_epoch - b.origin_time_epoch) <= 1.0 / SR
+            assert a.aux_data["cc"] == pytest.approx(
+                b.aux_data["cc"], abs=1e-4
+            )
