@@ -283,6 +283,7 @@ class MatchedFilter:
                     cc_sums = matched_filter_sharded_pallas(
                         templates, moveouts, weights, self.data_arr,
                         self.mesh, step=self.step,
+                        precision=self.precision,
                     )
                 else:
                     from ..parallel import matched_filter_sharded

@@ -178,6 +178,190 @@ def _mf_kernel(
     out_ref[...] = jax.lax.fori_loop(0, n_ch, channel_body, acc0)
 
 
+def _mf_kernel_split(
+    base_ref,    # (1, 1) f32 (SMEM)
+    kb_ref,      # (n_ch, 4) int32 (SMEM)
+    fh_ref,      # (n_ch, n_tp_pad, LM_pad) bf16: hi component of the
+                 #  weight-folded corr filters (block-reversed)
+    fl_ref,      # (n_ch, n_tp_pad, LM_pad) bf16: lo residual component
+    sel_ref,     # (n_ch, n_tp_pad, Q*128) bf16 one-hot (exact in bf16)
+    hi_ref,      # (n_ch, n_tp_pad) f32
+    lo_ref,      # (n_ch, n_tp_pad) f32
+    data_ref,    # (n_ch_pad, ext) f32 (ANY/HBM)
+    out_ref,     # (n_tp_pad, B) f32 block
+    win_scratch,   # (n_ch_pad, W) f32 (DMA target, sliding sums)
+    y_scratch,     # (n_ch_pad, W) f32: rsqrt(var) per position
+    acc_scratch,   # (n_tp_pad, B) f32
+    ysel_scratch,  # (n_tp_pad, B) f32
+    dma_sem,
+    *,
+    L: int,
+    LM_pad: int,
+    B: int,
+    n_ch: int,
+    n_tp_pad: int,
+    Q: int,
+    inv_l: float,
+):
+    """Precision-ladder ("high") variant of `_mf_kernel`: every f32 operand
+    is split into two bf16 components (x = x_hi + x_lo, |x_lo| <= 2^-9|x|)
+    and the f32 matmuls become DEFAULT-precision bf16 passes —
+
+      corr  = F_hi*D_hi + F_hi*D_lo + F_lo*D_hi   (3 passes vs HIGHEST's 6;
+                                                   dropped F_lo*D_lo ~ 2^-18)
+      ysel  = sel*y_hi + sel*y_lo                 (sel is 0/1, exact in
+                                                   bf16: selection is exact
+                                                   to the 2^-18 split)
+
+    Absolute CC error vs the f32 oracle is ~1e-6 (measured; HIGHEST is
+    ~3e-7) at ~2.3x fewer MXU passes.  Reference semantics preserved:
+    BPMF/similarity_search.py:526-546.
+    """
+    g = pl.program_id(0)
+    ofs = g * B
+    W = B + LM_pad
+    n_k = LM_pad // 128
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1).astype(
+        jnp.float32
+    )
+
+    dma = pltpu.make_async_copy(
+        data_ref.at[:, pl.ds(ofs, W)], win_scratch, dma_sem
+    )
+    dma.start()
+    dma.wait()
+
+    d = win_scratch[...]
+    r1 = _sliding_sum(d, L, W)
+    r2 = _sliding_sum(d * d, L, W)
+    var_l = r2 - r1 * r1 * inv_l
+    y_scratch[...] = jnp.where(
+        var_l > 1e-10, jax.lax.rsqrt(jnp.abs(var_l) + 1e-30), 0.0
+    )
+
+    def split_bf16(x):
+        # hi = bf16 TRUNCATION of x via bit masking — a f32->bf16->f32
+        # convert round-trip would be folded to identity by XLA's
+        # excess-precision pass, silently zeroing the lo component
+        hi = jax.lax.bitcast_convert_type(
+            jax.lax.bitcast_convert_type(x, jnp.uint32)
+            & jnp.uint32(0xFFFF0000),
+            jnp.float32,
+        )
+        return hi.astype(jnp.bfloat16), (x - hi).astype(jnp.bfloat16)
+
+    def hankel(row):
+        # G127[r, col] = row[col + 127 - r] via one strided roll
+        return pltpu.roll(jnp.broadcast_to(row, (128, W)), W - 127, 1,
+                          stride=1, stride_axis=0)
+
+    def channel_body(c, acc):
+        # dynamic single-row reads must be f32 (bf16 memrefs need 8-row
+        # alignment Mosaic can't prove for a loop index); split the f32
+        # rows to bf16 pairs BEFORE the (128, W) Hankel broadcasts so the
+        # rolls run on half-width data
+        rh, rl = split_bf16(win_scratch[pl.ds(c, 1), :])
+        sh, sl = split_bf16(y_scratch[pl.ds(c, 1), :])
+        gh = hankel(rh)
+        gl = hankel(rl)
+        yh = hankel(sh)
+        yl = hankel(sl)
+
+        klo, khi = kb_ref[c, 0], kb_ref[c, 1]
+        qlo, qhi = kb_ref[c, 2], kb_ref[c, 3]
+        dn = (((1,), (0,)), ((), ()))
+        mm = functools.partial(
+            jax.lax.dot_general, dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        )
+        acc_scratch[...] = jnp.zeros((n_tp_pad, B), jnp.float32)
+        ysel_scratch[...] = jnp.zeros((n_tp_pad, B), jnp.float32)
+        for k in range(n_k):
+            @pl.when((k >= klo) & (k < khi))
+            def _(k=k):
+                fh = fh_ref[c, :, 128 * k : 128 * (k + 1)]
+                fl = fl_ref[c, :, 128 * k : 128 * (k + 1)]
+                hk = gh[:, 128 * k : 128 * k + B]
+                lk = gl[:, 128 * k : 128 * k + B]
+                acc_scratch[...] = (
+                    acc_scratch[...] + mm(fh, hk) + mm(fh, lk) + mm(fl, hk)
+                )
+        for q in range(Q):
+            @pl.when((q >= qlo) & (q < qhi))
+            def _(q=q):
+                sq = sel_ref[c, :, 128 * q : 128 * (q + 1)]
+                yq = yh[:, 128 * q : 128 * q + B]
+                zq = yl[:, 128 * q : 128 * q + B]
+                ysel_scratch[...] = ysel_scratch[...] + mm(sq, yq) + mm(
+                    sq, zq
+                )
+        ccn = acc_scratch[...] * ysel_scratch[...]
+        hi_col = jnp.transpose(hi_ref[pl.ds(c, 1), :])
+        lo_col = jnp.transpose(lo_ref[pl.ds(c, 1), :])
+        pos = lane + jnp.float32(ofs) + base_ref[0, 0]
+        mask = (pos <= hi_col) & (pos >= lo_col)
+        return acc + jnp.where(mask, ccn, 0.0)
+
+    acc0 = jnp.zeros((n_tp_pad, B), jnp.float32)
+    out_ref[...] = jax.lax.fori_loop(0, n_ch, channel_body, acc0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "B", "LM_pad", "n_corr_pad", "n_ch", "interpret"),
+)
+def _mf_pallas_call_split(
+    fh, fl, sel, hi, lo, data_pad, base=None, kb=None,
+    *, L, B, LM_pad, n_corr_pad, n_ch, interpret=False,
+):
+    if base is None:
+        base = jnp.zeros((1, 1), jnp.float32)
+    n_tp_pad = fh.shape[1]
+    Q = sel.shape[-1] // 128
+    n_k = LM_pad // 128
+    if kb is None:
+        kb = jnp.tile(
+            jnp.asarray([[0, n_k, 0, Q]], jnp.int32), (fh.shape[0], 1)
+        )
+    n_blocks = n_corr_pad // B
+    W = B + LM_pad
+    n_ch_pad = data_pad.shape[0]
+    kernel = functools.partial(
+        _mf_kernel_split,
+        L=L, LM_pad=LM_pad, B=B, n_ch=n_ch, n_tp_pad=n_tp_pad, Q=Q,
+        inv_l=1.0 / L,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # base
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # kb
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # fh
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # fl
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # sel
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # hi
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # lo
+            pl.BlockSpec(memory_space=pl.ANY),       # data
+        ],
+        out_specs=pl.BlockSpec(
+            (n_tp_pad, B), lambda g: (0, g), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_tp_pad, n_corr_pad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((n_ch_pad, W), jnp.float32),
+            pltpu.VMEM((n_ch_pad, W), jnp.float32),
+            pltpu.VMEM((n_tp_pad, B), jnp.float32),
+            pltpu.VMEM((n_tp_pad, B), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(base, kb, fh, fl, sel, hi, lo, data_pad)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("L", "B", "LM_pad", "n_corr_pad", "n_ch", "interpret",
@@ -255,8 +439,13 @@ class PallasMatchedFilterPlan:
         self.n_tp, self.n_ch, self.L = n_tp, n_ch, L
         self.n_samp = n_samp
         self.interpret = interpret
-        # 'highest' = 6-pass f32 MXU (bit-parity with the NumPy oracle);
-        # 'default' = bf16 passes (~2x faster, ~1e-3 relative CC error)
+        # 'highest' = 6-pass f32 MXU (bit-parity with the NumPy oracle,
+        #             ~3e-7); 'high' = explicit 2-component bf16 split,
+        # 3-pass corr + exact one-hot select (~1e-6, ~2x faster);
+        # 'default' = single bf16 pass (~2e-4, fastest)
+        if precision not in ("highest", "high", "default"):
+            raise ValueError(f"unknown precision {precision!r}")
+        self.precision_name = precision
         self.precision = (
             jax.lax.Precision.HIGHEST if precision == "highest"
             else jax.lax.Precision.DEFAULT
@@ -344,8 +533,15 @@ class PallasMatchedFilterPlan:
         hi_in[:, :n_tp] = hi.T
         lo_in[:, :n_tp] = lo.T
 
-        self.filt = jnp.asarray(filt)
-        self.sel = jnp.asarray(sel)
+        if precision == "high":
+            fh = filt.astype(np.float32).astype(jnp.bfloat16)
+            fl = (filt - np.asarray(fh, np.float32)).astype(jnp.bfloat16)
+            self.filt_hi = jnp.asarray(fh)
+            self.filt_lo = jnp.asarray(fl)
+            self.sel = jnp.asarray(sel.astype(jnp.bfloat16))
+        else:
+            self.filt = jnp.asarray(filt)
+            self.sel = jnp.asarray(sel)
         self.hi = jnp.asarray(hi_in)
         self.lo = jnp.asarray(lo_in)
 
@@ -366,12 +562,21 @@ class PallasMatchedFilterPlan:
 
     def __call__(self, data_pad: jnp.ndarray) -> jnp.ndarray:
         """(padded, device-resident) data -> (n_tp, n_corr) device CC."""
-        out = _mf_pallas_call(
-            self.filt, self.sel, self.hi, self.lo, data_pad, kb=self.kb,
-            L=self.L, B=self.B, LM_pad=self.LM_pad,
-            n_corr_pad=self.n_corr_pad, n_ch=self.n_ch,
-            interpret=self.interpret, precision=self.precision,
-        )
+        if self.precision_name == "high":
+            out = _mf_pallas_call_split(
+                self.filt_hi, self.filt_lo, self.sel, self.hi, self.lo,
+                data_pad, kb=self.kb,
+                L=self.L, B=self.B, LM_pad=self.LM_pad,
+                n_corr_pad=self.n_corr_pad, n_ch=self.n_ch,
+                interpret=self.interpret,
+            )
+        else:
+            out = _mf_pallas_call(
+                self.filt, self.sel, self.hi, self.lo, data_pad, kb=self.kb,
+                L=self.L, B=self.B, LM_pad=self.LM_pad,
+                n_corr_pad=self.n_corr_pad, n_ch=self.n_ch,
+                interpret=self.interpret, precision=self.precision,
+            )
         return out[: self.n_tp, : self.n_corr_unit]
 
 
@@ -384,6 +589,7 @@ def matched_filter_pallas(
     lag_block: int = 2048,
     template_chunk: int = 128,
     interpret: bool = False,
+    precision: str = "highest",
 ):
     """Network-summed normalized CC via the fused all-matmul Pallas kernel.
 
@@ -406,6 +612,7 @@ def matched_filter_pallas(
             moveouts[i : i + template_chunk],
             weights[i : i + template_chunk],
             n_samp, lag_block=lag_block, interpret=interpret,
+            precision=precision,
         )
         outs.append(plan(plan.pad_data(data)))
     out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)

@@ -340,6 +340,7 @@ def matched_filter_sharded_pallas(
     tp_axis: str = "tp",
     time_axis: str = "time",
     interpret: bool = False,
+    precision: str = "highest",
 ):
     """Production multi-chip matched filter: the fused Pallas kernel runs
     per shard with the template bank sharded over `tp_axis` and the
@@ -376,8 +377,9 @@ def matched_filter_sharded_pallas(
 
     plan = pmf.PallasMatchedFilterPlan(
         templates, moveouts, weights, n_samp,
-        lag_block=lag_block, interpret=interpret,
+        lag_block=lag_block, interpret=interpret, precision=precision,
     )
+    split = plan.precision_name == "high"
     B, LM_pad = plan.B, plan.LM_pad
     # sharded lag region: cover all real data so the last shard's halo is
     # genuinely zero, and divide evenly into B-multiples per time shard
@@ -404,7 +406,7 @@ def matched_filter_sharded_pallas(
     tp_spec = tp_axis if tp_axis in mesh.shape else None
     t_spec = time_axis if time_axis in mesh.shape else None
 
-    def body(kb_l, filt_l, sel_l, hi_l, lo_l, data_l):
+    def body(kb_l, fa_l, fb_l, sel_l, hi_l, lo_l, data_l):
         t_idx = (
             jax.lax.axis_index(time_axis) if t_spec is not None
             else jnp.int32(0)
@@ -414,14 +416,22 @@ def matched_filter_sharded_pallas(
             else jnp.pad(data_l, ((0, 0), (0, LM_pad)))
         )
         base = jnp.full((1, 1), t_idx * chunk, jnp.float32)
-        out = pmf._mf_pallas_call(
-            filt_l, sel_l, hi_l, lo_l, data_ext, base, kb=kb_l,
+        common = dict(
             L=plan.L, B=B, LM_pad=LM_pad, n_corr_pad=chunk,
             n_ch=plan.n_ch, interpret=interpret,
-            precision=plan.precision,
         )
-        return out
+        if split:
+            return pmf._mf_pallas_call_split(
+                fa_l, fb_l, sel_l, hi_l, lo_l, data_ext, base, kb=kb_l,
+                **common,
+            )
+        return pmf._mf_pallas_call(
+            fa_l, sel_l, hi_l, lo_l, data_ext, base, kb=kb_l,
+            precision=plan.precision, **common,
+        )
 
+    fa = plan.filt_hi if split else plan.filt
+    fb = plan.filt_lo if split else plan.filt  # unused in the f32 path
     out = jax.shard_map(
         body,
         mesh=mesh,
@@ -430,12 +440,13 @@ def matched_filter_sharded_pallas(
             P(None, None),
             P(None, tp_spec, None),
             P(None, tp_spec, None),
+            P(None, tp_spec, None),
             P(None, tp_spec),
             P(None, tp_spec),
             P(None, t_spec),
         ),
         out_specs=P(tp_spec, t_spec),
-    )(plan.kb, plan.filt, plan.sel, plan.hi, plan.lo,
+    )(plan.kb, fa, fb, plan.sel, plan.hi, plan.lo,
       jnp.asarray(data_pad[:, :n_corr_shard]))
     out = out[:n_tp, : plan.n_corr_unit]
     if step > 1:

@@ -129,6 +129,37 @@ class TestMatchedFilterShardedPallas:
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
+    def test_precision_ladder_and_negative_moveouts(self, rng):
+        """'high' (bf16-split, 3-pass) sharded scan stays within ~2e-5 of
+        the oracle, with negative template moveouts exercising the
+        left-halo path in both sharded wrappers."""
+        from seismic_bpmf_tpu.ops.reference import matched_filter as mf_ref
+        from seismic_bpmf_tpu.parallel import (
+            matched_filter_sharded,
+            matched_filter_sharded_pallas,
+        )
+
+        n_tp, n_sta, n_comp, L, n_samp = 8, 4, 3, 40, 4096
+        data = rng.normal(size=(n_sta, n_comp, n_samp)).astype(np.float32)
+        tp = rng.normal(size=(n_tp, n_sta, n_comp, L)).astype(np.float32)
+        mv = rng.integers(-30, 60, size=(n_tp, n_sta, n_comp)).astype(
+            np.int32
+        )
+        w = np.full((n_tp, n_sta, n_comp), 1.0 / (n_sta * n_comp),
+                    np.float32)
+        ref = mf_ref(tp, mv, w, data)
+        mesh = make_mesh({"tp": 2, "time": 4})
+        for prec, tol in (("highest", 5e-6), ("high", 2e-5)):
+            got = np.asarray(matched_filter_sharded_pallas(
+                tp, mv, w, data, mesh, lag_block=512, interpret=True,
+                precision=prec,
+            ))
+            np.testing.assert_allclose(got, ref, atol=tol)
+        got_xla = np.asarray(
+            matched_filter_sharded(tp, mv, w, data, mesh)
+        )
+        np.testing.assert_allclose(got_xla, ref, atol=5e-6)
+
 
 class TestBeamformShardedPallas:
     @pytest.mark.parametrize(
