@@ -7,7 +7,9 @@ from .pallas_mf import PallasMatchedFilterPlan, matched_filter_pallas
 from .signal import bandpass_zerophase, preprocess_batch, resample_fourier
 from .cf import envelope, kurtosis, saturated_envelopes, scalar_kurtosis
 from .matched_filter import matched_filter
-from .thresholds import bp_detection_threshold, time_dependent_threshold
+from .thresholds import (bp_detection_threshold,
+                         time_dependent_threshold,
+                         time_dependent_threshold_pd)
 
 __all__ = [
     "reference",
@@ -27,4 +29,5 @@ __all__ = [
     "scalar_kurtosis",
     "time_dependent_threshold",
     "bp_detection_threshold",
+    "time_dependent_threshold_pd",
 ]

@@ -451,7 +451,11 @@ class PallasBeamformPlan:
         )
 
     def __call__(self, features):
-        g_pad = self.fold_and_pad(features)
+        return self.call_folded(self.fold_and_pad(features))
+
+    def call_folded(self, g_pad):
+        """Run on an already folded+padded (n_sp_pad, ext) feature array
+        (from `fold_and_pad`) — lets repeated scans skip the fold."""
         out = _bp_pallas_call(
             self.qbase, self.nq, self.mv, self.w, self.lo, self.hi, g_pad,
             B=self.B, M=self.M, S=self.S, n_q=self.n_q,

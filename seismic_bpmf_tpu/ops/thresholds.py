@@ -330,3 +330,23 @@ def detect_candidates(cc, threshold, k: int = 2048):
         int(n_above),
         float(kurto),
     )
+
+
+def time_dependent_threshold_pd(network_response, window: int,
+                                num_dev: float = 15.0) -> np.ndarray:
+    """Pandas-rolling variant of the BP detection threshold.
+
+    Trailing-window running median + num_dev * MAD, shifted by one sample
+    (each threshold value uses strictly past samples) — the exact
+    semantics of the reference's notebook-facing helper
+    (BPMF/template_search.py:1490-1517).  Host-side (pandas); for the
+    device pipeline use `bp_detection_threshold`.
+    """
+    import pandas as pd
+    from scipy.stats import median_abs_deviation
+
+    s = pd.Series(np.asarray(network_response, np.float64))
+    r = s.rolling(window=int(window))
+    run_med = r.median().shift(1)
+    run_mad = r.apply(median_abs_deviation, raw=True).shift(1)
+    return (run_med + num_dev * run_mad).values

@@ -326,3 +326,21 @@ class TestBatchCandidates:
             np.testing.assert_array_equal(
                 np.sort(idx_b[t][:n_above]), want
             )
+
+
+def test_time_dependent_threshold_pd():
+    """Pandas-rolling BP threshold variant: strictly-past windows
+    (shift 1), median + N*MAD (BPMF/template_search.py:1490-1517)."""
+    from scipy.stats import median_abs_deviation
+
+    from seismic_bpmf_tpu.ops import time_dependent_threshold_pd
+
+    rng = np.random.default_rng(3)
+    x = np.abs(rng.normal(size=2000)).astype(np.float32)
+    win, ndev = 200, 8.0
+    thr = time_dependent_threshold_pd(x, win, num_dev=ndev)
+    assert np.isnan(thr[:win]).all()
+    k = 700  # window is x[k-win:k], value shifted to index k
+    w = x[k - win : k].astype(np.float64)
+    expect = np.median(w) + ndev * median_abs_deviation(w)
+    assert thr[k] == pytest.approx(expect, rel=1e-12)
