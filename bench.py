@@ -1,6 +1,9 @@
-"""Benchmark driver: tutorial-scale matched-filter day scan on one chip.
+"""Benchmark driver.
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Default run = TPU-compiled kernel parity gate (both Pallas kernels vs the
+NumPy oracles on small shapes; exits nonzero on mismatch) followed by the
+headline matched-filter day-scan throughput.  Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
 Headline metric: matched-filter throughput in GMAC/s
 (n_templates x n_channels x n_corr x template_samples / wall-time) for a
@@ -10,23 +13,101 @@ using the fused Pallas kernel.  Completion is forced by fetching a small
 decimated output slice (the full CC series stays on device, as in the
 production pipeline).
 
-vs_baseline compares against a measured single-core NumPy CPU throughput for
-the same computation (the reference publishes no numbers; BASELINE.json
-`published` is empty — see BASELINE.md).  The CPU baseline constant below is
-the reference-style single-thread normalized-CC throughput order of
-magnitude measured on this host class.
+Other modes (each prints its own single JSON line):
+  --check           parity gate only
+  --bp [--n-src N]  backprojection throughput (Gpoints/s) on a smooth
+                    synthetic travel-time grid (N sources x 1 day);
+                    N=1,000,000 reproduces the BASELINE.json
+                    "100+ stations x 1M-node grid" configuration
+  --phasenet        PhaseNet full-day device-resident inference (s/day)
+
+vs_baseline compares against a measured single-core NumPy CPU throughput
+for the same computation (the reference publishes no numbers; BASELINE.json
+`published` is empty — see BASELINE.md).
 """
 
+import argparse
 import json
+import sys
 import time
 
 import numpy as np
 
 # reference-style CPU normalized-CC throughput (single core), GMAC/s
 CPU_BASELINE_GMACS = 2.0
+# reference-style CPU beamform throughput (single core), Gpoints/s
+CPU_BASELINE_GPTS = 0.02
 
 
-def main():
+def check_parity(verbose: bool = True) -> bool:
+    """TPU-compiled Pallas kernels vs the NumPy oracles on small shapes.
+
+    Guards against Mosaic lowering regressions that interpret-mode tests
+    (the CPU suite) cannot see.  Reference semantics:
+    BPMF/similarity_search.py:526-546 (MF), template_search.py:549-572 (BP).
+    """
+    from seismic_bpmf_tpu.ops import reference as ref
+    from seismic_bpmf_tpu.ops.pallas_bp import beamform_pallas
+    from seismic_bpmf_tpu.ops.pallas_mf import matched_filter_pallas
+
+    rng = np.random.default_rng(7)
+    ok = True
+
+    # --- matched filter (highest + the bf16-split ladder) ---
+    n_tp, n_sta, n_comp, L, n_samp = 16, 5, 3, 100, 20_000
+    data = rng.normal(size=(n_sta, n_comp, n_samp)).astype(np.float32)
+    tp = rng.normal(size=(n_tp, n_sta, n_comp, L)).astype(np.float32)
+    mv = rng.integers(0, 150, size=(n_tp, n_sta, n_comp)).astype(np.int32)
+    w = rng.uniform(0.5, 1.0, size=(n_tp, n_sta, n_comp)).astype(np.float32)
+    w /= w.sum(axis=(1, 2), keepdims=True)
+    cc_ref = ref.matched_filter(tp, mv, w, data)
+    for prec, tol in (("highest", 5e-6), ("high", 5e-6)):
+        cc = np.asarray(
+            matched_filter_pallas(tp, mv, w, data, precision=prec)
+        )
+        err_mf = float(np.abs(cc - cc_ref).max())
+        if err_mf > tol:
+            ok = False
+        if verbose:
+            print(f"# parity MF[{prec}]: max|diff|={err_mf:.2e} "
+                  f"{'OK' if err_mf <= tol else 'FAIL'}", file=sys.stderr)
+
+    # --- beamformer, both reduce modes, highest + ladder ---
+    n_src, n_ph, n_samp_bp = 200, 2, 8_192
+    feat = rng.normal(size=(n_sta, n_comp, n_samp_bp)).astype(np.float32)
+    mv_bp = rng.integers(0, 300, size=(n_src, n_sta, n_ph)).astype(np.int32)
+    w_ph = np.zeros((n_sta, n_comp, n_ph), np.float32)
+    w_ph[:, 2, 0] = 1.0
+    w_ph[:, :2, 1] = 0.5
+    w_src = rng.uniform(0.5, 1.0, size=(n_src, n_sta)).astype(np.float32)
+    mb_ref, ms_ref = ref.beamform(feat, mv_bp, w_ph, w_src, reduce="max")
+    beam_ref = ref.beamform(feat, mv_bp, w_ph, w_src, reduce="none")
+    for prec, tol in (("highest", 2e-5), ("high", 2e-4)):
+        mb, ms = beamform_pallas(feat, mv_bp, w_ph, w_src, reduce="max",
+                                 precision=prec)
+        err_bp = float(np.abs(np.asarray(mb) - mb_ref).max())
+        argmax_agree = float(np.mean(np.asarray(ms) == ms_ref))
+        beam = np.asarray(
+            beamform_pallas(feat, mv_bp, w_ph, w_src, reduce="none",
+                            precision=prec)
+        )
+        err_bp_none = float(np.abs(beam - beam_ref).max())
+        # ladder argmax may flip only at value-tolerance near-ties
+        am_ok = argmax_agree == 1.0 if prec == "highest" \
+            else argmax_agree > 0.999
+        if err_bp > tol or err_bp_none > tol or not am_ok:
+            ok = False
+        if verbose:
+            print(f"# parity BP[{prec}]: max|diff| max={err_bp:.2e} "
+                  f"none={err_bp_none:.2e} argmax_agree={argmax_agree:.4f}"
+                  f" {'OK' if am_ok else 'FAIL'}", file=sys.stderr)
+    return ok
+
+
+def bench_mf(precision: str = "high"):
+    """Headline MF day-scan throughput.  Default precision 'high' (the
+    bf16-split ladder) passes the same 5e-6 oracle gate as 'highest' —
+    `check_parity` machine-checks both on every bench run."""
     import jax
 
     from seismic_bpmf_tpu.ops.pallas_mf import PallasMatchedFilterPlan
@@ -43,7 +124,8 @@ def main():
     chunk = 128
     plans = [
         PallasMatchedFilterPlan(
-            tp[i : i + chunk], mv[i : i + chunk], w[i : i + chunk], n_samp
+            tp[i : i + chunk], mv[i : i + chunk], w[i : i + chunk], n_samp,
+            precision=precision,
         )
         for i in range(0, n_tp, chunk)
     ]
@@ -52,7 +134,7 @@ def main():
     def run():
         outs = [plan(data_pad) for plan in plans]
         # force completion with a tiny fetch (full CC stays on device)
-        return [np.asarray(o[:, :: 200000]) for o in outs]
+        return [np.asarray(o[:, ::200000]) for o in outs]
 
     run()  # compile
     times = []
@@ -63,16 +145,190 @@ def main():
     dt = min(times)
     n_corr = plans[0].n_corr_unit
     gmacs = n_tp * n_sta * n_comp * n_corr * L / dt / 1e9
-    print(
-        json.dumps(
-            {
-                "metric": "matched_filter_throughput",
-                "value": round(gmacs, 1),
-                "unit": "GMAC/s/chip (128 templates x 30 ch x 1 day @ 25 Hz)",
-                "vs_baseline": round(gmacs / CPU_BASELINE_GMACS, 1),
-            }
-        )
+    return {
+        "metric": "matched_filter_throughput",
+        "value": round(gmacs, 1),
+        "unit": f"GMAC/s/chip (128 templates x 30 ch x 1 day @ 25 Hz, "
+                f"{precision})",
+        "vs_baseline": round(gmacs / CPU_BASELINE_GMACS, 1),
+    }
+
+
+def smooth_grid_moveouts(n_src: int, n_sta: int = 32, sr_hz: float = 25.0,
+                         seed: int = 1):
+    """Synthetic 3-D travel-time grid: sources on a regular
+    lon x lat x depth lattice inside a ~100 km box, stations scattered on
+    the surface, straight-ray P/S times at 6.0/3.4 km/s, moveouts relative
+    to the first arrival (the BPMF convention,
+    BPMF/template_search.py:170-220)."""
+    rng = np.random.default_rng(seed)
+    # lattice dims ~ (nx, ny, nz) with nx*ny*nz >= n_src
+    nz = max(2, int(round((n_src / 64) ** (1.0 / 3.0))))
+    nxy = int(np.ceil(np.sqrt(n_src / nz)))
+    xs = np.linspace(0.0, 100.0, nxy)
+    ys = np.linspace(0.0, 100.0, nxy)
+    zs = np.linspace(2.0, 30.0, nz)
+    gx, gy, gz = np.meshgrid(xs, ys, zs, indexing="ij")
+    src = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=1)[:n_src]
+    sta = np.column_stack([
+        rng.uniform(0, 100, n_sta), rng.uniform(0, 100, n_sta),
+        np.zeros(n_sta),
+    ])
+    d = np.linalg.norm(src[:, None, :] - sta[None, :, :], axis=2)  # km
+    tt = np.stack([d / 6.0, d / 3.4], axis=2)  # (n_src, n_sta, 2) seconds
+    mv = np.round(tt * sr_hz).astype(np.int32)
+    mv -= mv.min(axis=(1, 2), keepdims=True)  # relative to first arrival
+    return mv
+
+
+def bench_bp(n_src: int = 100_000, n_sta: int = 32, time_block: int = 1024,
+             src_block: int = 512, precision: str = "highest",
+             budget_s: float = 90.0):
+    """Beamform throughput on a smooth synthetic grid.
+
+    The day runs through `PallasBeamformPlan.call_folded_chunked`-style
+    chunk calls (16 time blocks each) so no single XLA execution exceeds a
+    few tens of seconds; as many steady-state chunks as fit in `budget_s`
+    are timed and the day figure is their measured rate.  Each chunk does
+    identical work (uniform grid sweep), so the rate is representative."""
+    import jax
+    import jax.numpy as jnp
+
+    from seismic_bpmf_tpu.ops.pallas_bp import PallasBeamformPlan
+
+    rng = np.random.default_rng(0)
+    n_comp, n_samp = 3, 2_160_000
+    mv = smooth_grid_moveouts(n_src, n_sta)
+    w_ph = np.zeros((n_sta, n_comp, 2), np.float32)
+    w_ph[:, 2, 0] = 1.0   # P on vertical
+    w_ph[:, :2, 1] = 0.5  # S on horizontals
+    # closest-10-stations source weights (normalized), BPMF-style
+    closest = np.argsort(mv[:, :, 0], axis=1)[:, :10]
+    w_src = np.zeros((n_src, n_sta), np.float32)
+    np.put_along_axis(w_src, closest, 1.0 / 10.0, axis=1)
+    feat = rng.uniform(0, 1, size=(n_sta, n_comp, n_samp)).astype(np.float32)
+
+    plan = PallasBeamformPlan(
+        mv, w_ph, w_src, n_samp, reduce="max",
+        time_block=time_block, src_block=src_block, precision=precision,
     )
+    g_pad = plan.fold_and_pad(feat)
+    blocks_per = 16
+    samp_per = blocks_per * plan.B
+
+    def chunk(c):
+        t0 = c * samp_per
+        g_c = jax.lax.dynamic_slice_in_dim(
+            g_pad, t0, samp_per + plan.M, axis=1
+        )
+        from seismic_bpmf_tpu.ops.pallas_bp import _bp_pallas_call
+        v, i = _bp_pallas_call(
+            plan.qbase, plan.nq, plan.mv, plan.w, plan.lo, plan.hi, g_c,
+            jnp.asarray([[t0, 0]], jnp.int32),
+            B=plan.B, M=plan.M, S=plan.S, n_q=plan.n_q,
+            n_samp=plan.n_samp, n_src=plan.n_src, strict=plan.strict,
+            reduce_max=True, precision=plan.precision, mode=plan.mode,
+        )
+        return np.asarray(v[0, ::20000]), np.asarray(i[0, ::20000])
+
+    chunk(0)  # compile + warm
+    n_chunks_total = plan.n_t_blocks // blocks_per
+    done, t_start = 0, time.time()
+    while done < n_chunks_total and time.time() - t_start < budget_s:
+        chunk(done % n_chunks_total)
+        done += 1
+    dt = time.time() - t_start
+    gpts = n_src * done * samp_per / dt / 1e9
+    day_min = n_samp / (gpts * 1e9 / n_src) / 60.0
+    return {
+        "metric": "beamform_throughput",
+        "value": round(gpts, 2),
+        "unit": f"Gpoints/s/chip ({n_src} src x {n_sta} sta, {precision}; "
+                f"{done}/{n_chunks_total} day-chunks measured -> "
+                f"{day_min:.1f} min/day)",
+        "vs_baseline": round(gpts / CPU_BASELINE_GPTS, 1),
+    }
+
+
+def bench_phasenet():
+    import jax
+
+    from seismic_bpmf_tpu.models.phasenet import (
+        init_phasenet, phasenet_probas_device,
+    )
+
+    rng = np.random.default_rng(0)
+    n_sta, n_samp = 10, 2_160_000
+    x = rng.normal(size=(n_sta, 3, n_samp)).astype(np.float32)
+    model, variables = init_phasenet()
+    xj = jax.device_put(x)
+
+    def run():
+        probas = phasenet_probas_device(model, variables, xj)
+        return np.asarray(probas[:, :, ::200000])
+
+    run()  # compile
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        run()
+        times.append(time.time() - t0)
+    dt = min(times)
+    return {
+        "metric": "phasenet_day_inference",
+        "value": round(dt, 2),
+        "unit": "s/day (10 sta x 3 comp x 2.16 M samples, device-resident)",
+        "vs_baseline": round(60.0 / dt, 1),  # ~1 min/day torch-CPU ballpark
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--check", action="store_true",
+                    help="TPU kernel parity gate only")
+    ap.add_argument("--bp", action="store_true",
+                    help="beamform throughput instead of matched filter")
+    ap.add_argument("--n-src", type=int, default=100_000)
+    ap.add_argument("--precision", default=None,
+                    choices=["highest", "high", "default"],
+                    help="kernel precision (default: 'high' for the MF "
+                         "headline, 'highest' for --bp)")
+    ap.add_argument("--budget-s", type=float, default=90.0,
+                    help="BP: steady-state measurement budget in seconds")
+    ap.add_argument("--phasenet", action="store_true",
+                    help="PhaseNet day-inference metric")
+    ap.add_argument("--no-check", action="store_true",
+                    help="skip the parity gate before the throughput run")
+    args = ap.parse_args()
+
+    if args.check:
+        ok = check_parity()
+        print(json.dumps({
+            "metric": "tpu_kernel_parity",
+            "value": 1 if ok else 0,
+            "unit": "bool (MF+BP Pallas vs NumPy oracles, TPU-compiled)",
+            "vs_baseline": 1.0,
+        }))
+        sys.exit(0 if ok else 1)
+
+    if args.bp:
+        print(json.dumps(bench_bp(n_src=args.n_src,
+                                  precision=args.precision or "highest",
+                                  budget_s=args.budget_s)))
+        return
+    if args.phasenet:
+        print(json.dumps(bench_phasenet()))
+        return
+
+    if not args.no_check and not check_parity():
+        print(json.dumps({
+            "metric": "matched_filter_throughput",
+            "value": 0.0,
+            "unit": "GMAC/s/chip (PARITY GATE FAILED)",
+            "vs_baseline": 0.0,
+        }))
+        sys.exit(1)
+    print(json.dumps(bench_mf(precision=args.precision or "high")))
 
 
 if __name__ == "__main__":

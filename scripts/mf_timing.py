@@ -17,7 +17,13 @@ mv = rng.integers(0, 400, size=(n_tp, n_sta, n_comp)).astype(np.int32)
 w = np.full((n_tp, n_sta, n_comp), 1.0 / (n_sta * n_comp), np.float32)
 
 ns_small = 20000
-ref = mf_ref(tp, mv, w, data[:, :, :ns_small])
+_cache = "/tmp/mf_ref_cache.npy"
+import os
+if os.path.exists(_cache):
+    ref = np.load(_cache)
+else:
+    ref = mf_ref(tp, mv, w, data[:, :, :ns_small])
+    np.save(_cache, ref)
 
 for prec in sys.argv[1:] or ["highest", "high", "default"]:
     for lag_block in (2048,):

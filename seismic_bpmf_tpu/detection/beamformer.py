@@ -238,6 +238,7 @@ class Beamformer:
                 self.mesh,
                 reduce=reduce,
                 out_of_bounds=out_of_bounds,
+                precision=self.precision,
                 **kwargs,
             )
             if reduce == "max":

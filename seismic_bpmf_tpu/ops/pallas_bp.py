@@ -38,8 +38,38 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _precision_mode(precision: str) -> str:
+    """Map the user-facing precision name to the kernel mode."""
+    modes = {"highest": "f32", "high": "split2", "default": "bf16"}
+    if precision not in modes:
+        raise ValueError(f"unknown precision {precision!r}")
+    return modes[precision]
+
+
+def _split_bf16(x):
+    """f32 -> (hi, lo) bf16 pair with hi = round-to-nearest-even bf16 of x,
+    computed via integer bit arithmetic (a plain f32->bf16->f32 convert
+    round-trip would be folded to identity by XLA's excess-precision pass,
+    silently zeroing the lo component).  |x - hi| <= 2^-9 |x| and
+    |x - hi - lo| <= 2^-18 |x|.  Finite inputs only."""
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    rounded = u + jnp.uint32(0x7FFF) + ((u >> 16) & jnp.uint32(1))
+    hi = jax.lax.bitcast_convert_type(
+        rounded & jnp.uint32(0xFFFF0000), jnp.float32
+    )
+    return hi.astype(jnp.bfloat16), (x - hi).astype(jnp.bfloat16)
+
+
 def _make_bp_kernel(*, B, M, S, n_sp, n_src, n_samp, n_q, strict, reduce_max,
-                    hoist_hankel, precision=jax.lax.Precision.HIGHEST):
+                    hoist_hankel, precision=jax.lax.Precision.HIGHEST,
+                    mode="f32"):
+    """mode: 'f32' (matmul the weighted one-hot at `precision`), 'split2'
+    (precision ladder: PURE 0/1 one-hot — exact in bf16 — contracted against
+    a 2-component bf16 split of the data Hankel, weights applied on the VPU
+    after the matmul: 2 DEFAULT passes vs HIGHEST's 6 at ~1e-6 error) or
+    'bf16' (single hi-component pass, ~2e-3 relative error on the data).
+    Selection itself is EXACT in all modes — only the selected feature
+    values round."""
     neg_inf = float(-jnp.inf)
     W = B + M
 
@@ -108,6 +138,12 @@ def _make_bp_kernel(*, B, M, S, n_sp, n_src, n_samp, n_q, strict, reduce_max,
 
         beam_scratch[...] = jnp.zeros((S, B), jnp.float32)
 
+        dn = (((0,), (0,)), ((), ()))
+        mm = functools.partial(
+            jax.lax.dot_general, dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        )
+
         def sp_body(sp, carry):
             if hoist_hankel:
                 h_base = sp * 128
@@ -128,20 +164,29 @@ def _make_bp_kernel(*, B, M, S, n_sp, n_src, n_samp, n_q, strict, reduce_max,
                 @pl.when(q < nq_sp)
                 def _(q=q):
                     # G127 layout: row r holds the shift 127 - r
-                    onehot = (
-                        (mv_row - q * 128) == (127 - r_col)
-                    ).astype(jnp.float32) * w_row  # (128, S)
+                    onehot = (mv_row - q * 128) == (127 - r_col)  # (128, S)
                     hq = h_scratch[
                         pl.ds(h_base, 128),
                         pl.ds(pl.multiple_of(b0 + q * 128, 128), B),
                     ]
-                    beam_scratch[...] = beam_scratch[...] + jax.lax.dot_general(
-                        onehot,
-                        hq,
-                        dimension_numbers=(((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=precision,
-                    )  # (S, B)
+                    if mode == "f32":
+                        contrib = mm(
+                            onehot.astype(jnp.float32) * w_row, hq,
+                            precision=precision,
+                        )  # (S, B)
+                    else:
+                        # the Hankel stays f32 (Mosaic's strided rotate is
+                        # 32-bit only); each (128, B) slice splits to a
+                        # bf16 pair at use — ~1% VPU overhead per matmul
+                        oh = onehot.astype(jnp.bfloat16)  # exact 0/1
+                        if mode == "split2":
+                            hh, hl = _split_bf16(hq)
+                            contrib = mm(oh, hh) + mm(oh, hl)
+                        else:
+                            contrib = mm(oh, hq.astype(jnp.bfloat16))
+                        # weights stay f32: applied on the VPU per source
+                        contrib = contrib * jnp.transpose(w_row)
+                    beam_scratch[...] = beam_scratch[...] + contrib
 
             return carry
 
@@ -233,13 +278,13 @@ def _local_bases(mv_in: np.ndarray, w_in: np.ndarray, S: int, M: int):
     jax.jit,
     static_argnames=(
         "B", "M", "S", "n_q", "n_samp", "n_src", "strict", "reduce_max",
-        "interpret", "precision", "hoist_hankel",
+        "interpret", "precision", "hoist_hankel", "mode",
     ),
 )
 def _bp_pallas_call(
     qbase, nq, mv, w, lo, hi, g_pad, base=None,
     *, B, M, S, n_q, n_samp, n_src, strict, reduce_max, interpret=False,
-    precision=jax.lax.Precision.HIGHEST, hoist_hankel=None,
+    precision=jax.lax.Precision.HIGHEST, hoist_hankel=None, mode="f32",
 ):
     if base is None:
         base = jnp.zeros((1, 2), jnp.int32)
@@ -263,7 +308,7 @@ def _bp_pallas_call(
     kernel = _make_bp_kernel(
         B=B, M=M, S=S, n_sp=n_sp, n_src=n_src, n_samp=n_samp, n_q=n_q,
         strict=strict, reduce_max=reduce_max, precision=precision,
-        hoist_hankel=hoist_hankel,
+        hoist_hankel=hoist_hankel, mode=mode,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # base
@@ -325,13 +370,21 @@ def beamform_pallas(
     time_block: int = 1024,
     src_block: int = 512,
     interpret: bool = False,
+    precision: str = "highest",
 ):
     """Beamform via the fused Pallas kernel.
 
     Same semantics as `ops.reference.beamform`.  Moveouts must be >= 0
     (true for BPMF moveouts relative to the first arrival).
+
+    precision: 'highest' = 6-pass f32 matmuls (~1e-6 abs error on O(1)
+    features); 'high' = 2-component bf16 data split + exact one-hot
+    (2 passes, ~1e-6); 'default' = single bf16 pass (~2e-3 relative on
+    the selected feature values, fastest).  Selection/argmax indices are
+    exact in every mode up to value rounding at near-ties.
     """
     assert reduce in ("max", "none")
+    mode = _precision_mode(precision)
     features = np.asarray(features, np.float32)
     n_sta, n_comp, n_samp = features.shape
     mv_flat, w_flat, mv_lo, mv_hi = _flatten_moveouts(
@@ -367,7 +420,7 @@ def beamform_pallas(
         jnp.asarray(lo_in), jnp.asarray(hi_in), jnp.asarray(g_pad),
         B=B, M=M, S=S, n_q=n_q, n_samp=n_samp, n_src=n_src,
         strict=(out_of_bounds == "strict"), reduce_max=(reduce == "max"),
-        interpret=interpret,
+        interpret=interpret, mode=mode,
     )
     if reduce == "max":
         val, idx = out
@@ -397,10 +450,8 @@ class PallasBeamformPlan:
         precision: str = "highest",
     ):
         assert reduce in ("max", "none")
-        self.precision = (
-            jax.lax.Precision.HIGHEST if precision == "highest"
-            else jax.lax.Precision.DEFAULT
-        )
+        self.mode = _precision_mode(precision)
+        self.precision = jax.lax.Precision.HIGHEST
         mv_flat, w_flat, mv_lo, mv_hi = _flatten_moveouts(
             moveouts, weights_phases, weights_sources
         )
@@ -462,7 +513,41 @@ class PallasBeamformPlan:
             n_samp=self.n_samp, n_src=self.n_src,
             strict=self.strict, reduce_max=(self.reduce == "max"),
             interpret=self.interpret, precision=self.precision,
+            mode=self.mode,
         )
         if self.reduce == "max":
             return out[0][0, : self.n_samp], out[1][0, : self.n_samp]
         return out[: self.n_src, : self.n_samp]
+
+    def call_folded_chunked(self, g_pad, n_chunks: int):
+        """Full-scan result computed in `n_chunks` shorter device calls
+        over the time axis (bit-identical to `call_folded`: each chunk
+        kernel gets the absolute time offset via `base`, so strict-bounds
+        masking sees global sample positions).  Bounds each XLA execution
+        to seconds — large grids x full days would otherwise sit in a
+        single multi-minute device call."""
+        assert self.reduce == "max", "chunked path is for the max reduce"
+        blocks_per = -(-self.n_t_blocks // n_chunks)
+        vals, idxs = [], []
+        for c in range(0, self.n_t_blocks, blocks_per):
+            nb = min(blocks_per, self.n_t_blocks - c)
+            t0 = c * self.B
+            g_c = jax.lax.dynamic_slice_in_dim(
+                g_pad, t0, nb * self.B + self.M, axis=1
+            )
+            base = jnp.asarray([[t0, 0]], jnp.int32)
+            v, i = _bp_pallas_call(
+                self.qbase, self.nq, self.mv, self.w, self.lo, self.hi,
+                g_c, base,
+                B=self.B, M=self.M, S=self.S, n_q=self.n_q,
+                n_samp=self.n_samp, n_src=self.n_src,
+                strict=self.strict, reduce_max=True,
+                interpret=self.interpret, precision=self.precision,
+                mode=self.mode,
+            )
+            vals.append(v[0])
+            idxs.append(i[0])
+        return (
+            jnp.concatenate(vals)[: self.n_samp],
+            jnp.concatenate(idxs)[: self.n_samp],
+        )

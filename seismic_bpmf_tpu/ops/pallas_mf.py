@@ -48,6 +48,20 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _split_bf16(x):
+    """f32 -> (hi, lo) bf16 pair with hi = round-to-nearest-even bf16 of x,
+    computed via integer bit arithmetic (a plain f32->bf16->f32 convert
+    round-trip would be folded to identity by XLA's excess-precision pass,
+    silently zeroing the lo component).  |x - hi - lo| <= 2^-18 |x|.
+    Finite inputs only."""
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    rounded = u + jnp.uint32(0x7FFF) + ((u >> 16) & jnp.uint32(1))
+    hi = jax.lax.bitcast_convert_type(
+        rounded & jnp.uint32(0xFFFF0000), jnp.float32
+    )
+    return hi.astype(jnp.bfloat16), (x - hi).astype(jnp.bfloat16)
+
+
 def _sliding_sum(x, L: int, W: int):
     """Window sums s[p] = sum_{j<L} x[:, p+j] via shift-doubling.
 
@@ -239,33 +253,18 @@ def _mf_kernel_split(
         var_l > 1e-10, jax.lax.rsqrt(jnp.abs(var_l) + 1e-30), 0.0
     )
 
-    def split_bf16(x):
-        # hi = bf16 TRUNCATION of x via bit masking — a f32->bf16->f32
-        # convert round-trip would be folded to identity by XLA's
-        # excess-precision pass, silently zeroing the lo component
-        hi = jax.lax.bitcast_convert_type(
-            jax.lax.bitcast_convert_type(x, jnp.uint32)
-            & jnp.uint32(0xFFFF0000),
-            jnp.float32,
-        )
-        return hi.astype(jnp.bfloat16), (x - hi).astype(jnp.bfloat16)
-
     def hankel(row):
         # G127[r, col] = row[col + 127 - r] via one strided roll
         return pltpu.roll(jnp.broadcast_to(row, (128, W)), W - 127, 1,
                           stride=1, stride_axis=0)
 
     def channel_body(c, acc):
-        # dynamic single-row reads must be f32 (bf16 memrefs need 8-row
-        # alignment Mosaic can't prove for a loop index); split the f32
-        # rows to bf16 pairs BEFORE the (128, W) Hankel broadcasts so the
-        # rolls run on half-width data
-        rh, rl = split_bf16(win_scratch[pl.ds(c, 1), :])
-        sh, sl = split_bf16(y_scratch[pl.ds(c, 1), :])
-        gh = hankel(rh)
-        gl = hankel(rl)
-        yh = hankel(sh)
-        yl = hankel(sl)
+        # the Hankels roll in f32 (Mosaic's strided rotate is 32-bit only)
+        # and split ONCE per channel into bf16 pairs — the per-tap-block
+        # (128, B) slices overlap at 128-lane offsets, so splitting whole
+        # rolled Hankels costs ~(W/B)/(n_k_live + Q) of per-slice splitting
+        gh, gl = _split_bf16(hankel(win_scratch[pl.ds(c, 1), :]))
+        yh, yl = _split_bf16(hankel(y_scratch[pl.ds(c, 1), :]))
 
         klo, khi = kb_ref[c, 0], kb_ref[c, 1]
         qlo, qhi = kb_ref[c, 2], kb_ref[c, 3]
@@ -427,7 +426,7 @@ class PallasMatchedFilterPlan:
     """
 
     def __init__(self, templates, moveouts, weights, n_samp: int,
-                 lag_block: int = 2048, interpret: bool = False,
+                 lag_block: int = 4096, interpret: bool = False,
                  precision: str = "highest", pad_left: int = None,
                  max_moveout: int = None):
         # note: template_chunk=128 in callers balances VMEM vs MXU occupancy
@@ -586,7 +585,7 @@ def matched_filter_pallas(
     weights,
     data,
     step: int = 1,
-    lag_block: int = 2048,
+    lag_block: int = 4096,
     template_chunk: int = 128,
     interpret: bool = False,
     precision: str = "highest",

@@ -467,6 +467,7 @@ def beamform_sharded_pallas(
     src_axis: str = "src",
     time_axis: str = "time",
     interpret: bool = False,
+    precision: str = "highest",
 ):
     """Production multi-chip beamformer: the fused Pallas kernel runs per
     shard with the source grid sharded over `src_axis` and the folded
@@ -562,7 +563,7 @@ def beamform_sharded_pallas(
             qbase_l, nq_l, mv_l, w_l, lo_l, hi_l, g_ext, base,
             B=B, M=M, S=S, n_q=n_q, n_samp=n_samp, n_src=n_src,
             strict=(out_of_bounds == "strict"), reduce_max=reduce_max,
-            interpret=interpret,
+            interpret=interpret, mode=pbp._precision_mode(precision),
         )
         if not reduce_max:
             return out

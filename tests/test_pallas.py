@@ -89,6 +89,46 @@ class TestPallasBeamform:
         )
         np.testing.assert_array_equal(np.asarray(got_i), want_i)
 
+    @pytest.mark.parametrize("prec,tol", [("high", 5e-4), ("default", 5e-2)])
+    def test_precision_ladder(self, rng, prec, tol):
+        """bf16 ladder modes: exact one-hot selection, bf16-split data,
+        VPU weights.  'high' keeps ~1e-5 absolute error on O(1) beams;
+        'default' is a single bf16 pass (~2e-3 relative)."""
+        feats, mv, w_ph, w_src = self._problem(rng)
+        want_v, want_i = ref.beamform(feats, mv, w_ph, w_src, reduce="max")
+        got_v, got_i = beamform_pallas(
+            feats, mv, w_ph, w_src, reduce="max", time_block=256,
+            src_block=16, interpret=True, precision=prec,
+        )
+        np.testing.assert_allclose(np.asarray(got_v), want_v, atol=tol)
+        # argmax may legitimately flip only where runner-up beams are
+        # within the value tolerance
+        agree = np.mean(np.asarray(got_i) == want_i)
+        assert agree > 0.98
+        want_b = ref.beamform(feats, mv, w_ph, w_src, reduce="none")
+        got_b = np.asarray(
+            beamform_pallas(feats, mv, w_ph, w_src, reduce="none",
+                            time_block=256, src_block=16, interpret=True,
+                            precision=prec)
+        )
+        np.testing.assert_allclose(got_b, want_b, atol=tol)
+
+    def test_chunked_plan_identical(self, rng):
+        """The time-chunked plan path must be bit-identical to the single
+        call (absolute offsets keep strict-bounds masking global)."""
+        from seismic_bpmf_tpu.ops.pallas_bp import PallasBeamformPlan
+
+        feats, mv, w_ph, w_src = self._problem(rng, n_samp=1500)
+        plan = PallasBeamformPlan(
+            mv, w_ph, w_src, feats.shape[-1], reduce="max",
+            time_block=256, src_block=16, interpret=True, precision="high",
+        )
+        g = plan.fold_and_pad(feats)
+        v1, i1 = plan.call_folded(g)
+        v2, i2 = plan.call_folded_chunked(g, 3)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
 
 class TestPallasNegativeMoveouts:
     def test_negative_moveouts_parity(self, rng):
