@@ -208,11 +208,15 @@ def bench_bp(n_src: int = 100_000, n_sta: int = 32, time_block: int = 1024,
     np.put_along_axis(w_src, closest, 1.0 / 10.0, axis=1)
     feat = rng.uniform(0, 1, size=(n_sta, n_comp, n_samp)).astype(np.float32)
 
+    t_setup = time.time()
     plan = PallasBeamformPlan(
         mv, w_ph, w_src, n_samp, reduce="max",
         time_block=time_block, src_block=src_block, precision=precision,
     )
     g_pad = plan.fold_and_pad(feat)
+    g_pad.block_until_ready()
+    print(f"# bp plan+fold: {time.time() - t_setup:.1f}s "
+          f"(M={plan.M} S={plan.S} n_q={plan.n_q})", file=sys.stderr)
     blocks_per = 16
     samp_per = blocks_per * plan.B
 
@@ -231,7 +235,10 @@ def bench_bp(n_src: int = 100_000, n_sta: int = 32, time_block: int = 1024,
         )
         return np.asarray(v[0, ::20000]), np.asarray(i[0, ::20000])
 
+    t_setup = time.time()
     chunk(0)  # compile + warm
+    print(f"# bp compile+warm: {time.time() - t_setup:.1f}s",
+          file=sys.stderr)
     n_chunks_total = plan.n_t_blocks // blocks_per
     done, t_start = 0, time.time()
     while done < n_chunks_total and time.time() - t_start < budget_s:

@@ -1,5 +1,12 @@
 """Host-side utilities (time conversion, geodesy, clustering, logging)."""
 
+from .stats import (
+    cov_mat_intersection,
+    event_count,
+    running_mad,
+    spectrogram,
+    weighted_linear_regression,
+)
 from .time import (
     epoch_from_utc,
     round_time,
@@ -16,6 +23,11 @@ __all__ = [
     "time_range",
     "utc_from_epoch",
     "epoch_from_utc",
+    "weighted_linear_regression",
+    "cov_mat_intersection",
+    "event_count",
+    "running_mad",
+    "spectrogram",
 ]
 
 

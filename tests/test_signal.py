@@ -66,3 +66,61 @@ class TestSignal:
         y = preprocess_batch(x, sr=100.0, freqmin=2.0, freqmax=12.0,
                              target_sr=25.0)
         assert np.asarray(y).shape == (3, 3, 2500)
+
+
+class TestStats:
+    def test_weighted_linear_regression(self, rng):
+        from seismic_bpmf_tpu.utils import weighted_linear_regression
+
+        x = np.linspace(0, 10, 50)
+        y = 2.5 * x - 1.0 + rng.normal(scale=0.01, size=50)
+        slope, intercept, err = weighted_linear_regression(x, y)
+        assert abs(slope - 2.5) < 0.01
+        assert abs(intercept + 1.0) < 0.05
+        # heavy weights on a subset dominate the fit
+        w = np.where(x < 5, 1.0, 1e-6)
+        y2 = np.where(x < 5, 3.0 * x, 0.0)
+        slope2, _, _ = weighted_linear_regression(x, y2, w)
+        assert abs(slope2 - 3.0) < 0.05
+
+    def test_cov_mat_intersection(self):
+        from seismic_bpmf_tpu.utils import cov_mat_intersection
+
+        # diagonal covariance: axes align with coordinates
+        cov = np.diag([4.0, 1.0, 0.25])
+        max_unc, min_unc, az_max, az_min = cov_mat_intersection(cov, 0, 1)
+        assert max_unc == pytest.approx(np.sqrt(2.28 * 4.0))
+        assert min_unc == pytest.approx(np.sqrt(2.28 * 1.0))
+        # max-uncertainty direction is along axis1 => 90 deg from axis2
+        assert abs(abs(az_max) - 90.0) < 1e-6
+
+    def test_event_count(self):
+        from seismic_bpmf_tpu.utils import event_count
+
+        times = ["2020-01-01T06:00:00", "2020-01-01T18:00:00",
+                 "2020-01-02T12:00:00"]
+        counts = event_count(times, "2020-01-01", "2020-01-04", freq="1D")
+        assert int(counts.sum()) == 3
+        # mode='end': events on Jan 1 are indexed at the Jan 2 bin edge
+        assert counts[counts.index.strftime("%Y-%m-%d") == "2020-01-02"].iloc[0] == 2
+
+    def test_running_mad(self, rng):
+        from seismic_bpmf_tpu.utils import running_mad
+
+        x = rng.normal(size=5000).astype(np.float32)
+        x[2500] = 100.0  # spike must not drag the MAD threshold up much
+        thr = running_mad(x, window=500, n_mad=10.0)
+        assert thr.shape == (5000,)
+        assert np.all(np.isfinite(thr))
+        assert thr.max() < 50.0  # robust to the spike
+        assert thr.min() > 1.0   # ~10 * MAD of unit-normal > 1
+
+    def test_spectrogram(self):
+        from seismic_bpmf_tpu.utils import spectrogram
+
+        sr = 100.0
+        t = np.arange(0, 10, 1 / sr)
+        x = np.sin(2 * np.pi * 12.0 * t)
+        f, tt, sxx = spectrogram(x, 2.0, 0.5, sr)
+        peak_f = f[np.argmax(sxx.mean(axis=1))]
+        assert abs(peak_f - 12.0) < 1.0
