@@ -504,9 +504,23 @@ class PallasBeamformPlan:
     def __call__(self, features):
         return self.call_folded(self.fold_and_pad(features))
 
+    # max beam-points per XLA execution before the day auto-chunks: a
+    # single whole-day call on a 100k+ source grid runs minutes on one
+    # chip, which starves the host of progress and can trip remote-worker
+    # RPC deadlines; ~2e10 points is a few seconds of device time
+    CHUNK_POINTS = 2 * 10**10
+
     def call_folded(self, g_pad):
         """Run on an already folded+padded (n_sp_pad, ext) feature array
-        (from `fold_and_pad`) — lets repeated scans skip the fold."""
+        (from `fold_and_pad`) — lets repeated scans skip the fold.
+
+        Large problems (n_src * n_samp > CHUNK_POINTS, reduce='max')
+        transparently run through `call_folded_chunked`, which is
+        bit-identical to the single call."""
+        total = self.n_src * self.n_samp
+        if self.reduce == "max" and total > self.CHUNK_POINTS:
+            n_chunks = min(-(-total // self.CHUNK_POINTS), self.n_t_blocks)
+            return self.call_folded_chunked(g_pad, n_chunks)
         out = _bp_pallas_call(
             self.qbase, self.nq, self.mv, self.w, self.lo, self.hi, g_pad,
             B=self.B, M=self.M, S=self.S, n_q=self.n_q,

@@ -129,6 +129,23 @@ class TestPallasBeamform:
         np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
 
+    def test_auto_chunking(self, rng, monkeypatch):
+        """call_folded transparently chunks big problems (and stays
+        bit-identical to the unchunked kernel)."""
+        from seismic_bpmf_tpu.ops.pallas_bp import PallasBeamformPlan
+
+        feats, mv, w_ph, w_src = self._problem(rng, n_samp=1500)
+        plan = PallasBeamformPlan(
+            mv, w_ph, w_src, feats.shape[-1], reduce="max",
+            time_block=256, src_block=16, interpret=True,
+        )
+        g = plan.fold_and_pad(feats)
+        v1, i1 = plan.call_folded(g)  # single call (small problem)
+        monkeypatch.setattr(PallasBeamformPlan, "CHUNK_POINTS", 10_000)
+        v2, i2 = plan.call_folded(g)  # now auto-chunks
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
 
 class TestPallasNegativeMoveouts:
     def test_negative_moveouts_parity(self, rng):
