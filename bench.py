@@ -101,6 +101,23 @@ def check_parity(verbose: bool = True) -> bool:
             print(f"# parity BP[{prec}]: max|diff| max={err_bp:.2e} "
                   f"none={err_bp_none:.2e} argmax_agree={argmax_agree:.4f}"
                   f" {'OK' if am_ok else 'FAIL'}", file=sys.stderr)
+
+    # large-network fallback path (narrowed, nq-predicated Hankel rebuild)
+    w_sparse = w_src.copy()
+    w_sparse[:, ::2] = 0.0  # dead (station-phase, block) pairs
+    mb_ref2, ms_ref2 = ref.beamform(feat, mv_bp, w_ph, w_sparse,
+                                    reduce="max")
+    mb2, ms2 = beamform_pallas(feat, mv_bp, w_ph, w_sparse, reduce="max",
+                               precision="high", hoist_hankel=False)
+    err2 = float(np.abs(np.asarray(mb2) - mb_ref2).max())
+    am2 = float(np.mean(np.asarray(ms2) == ms_ref2))
+    if err2 > 2e-4 or am2 < 0.999:
+        ok = False
+    if verbose:
+        print(f"# parity BP[no-hoist,high,sparse]: max|diff|={err2:.2e} "
+              f"argmax_agree={am2:.4f} "
+              f"{'OK' if err2 <= 2e-4 and am2 >= 0.999 else 'FAIL'}",
+              file=sys.stderr)
     return ok
 
 

@@ -145,17 +145,24 @@ def _make_bp_kernel(*, B, M, S, n_sp, n_src, n_samp, n_q, strict, reduce_max,
         )
 
         def sp_body(sp, carry):
-            if hoist_hankel:
-                h_base = sp * 128
-            else:
-                # large-network fallback: rebuild per (source block, sp) —
-                # one roll, not 128 row copies
-                h_scratch[...] = build_g127(sp)
-                h_base = 0
             mv_row = mv_ref[pl.ds(sp, 1), :]  # (1, S)
             w_row = w_ref[pl.ds(sp, 1), :]    # (1, S)
             b0 = qbase_ref[g_s % 8, sp]  # 128-aligned local moveout base
             nq_sp = nq_ref[g_s % 8, sp]  # live q blocks for this block
+
+            if hoist_hankel:
+                h_base = sp * 128
+            else:
+                # large-network fallback: rebuild per (source block, sp) —
+                # one roll, not 128 row copies — SKIPPED outright when no
+                # source in the block uses this station-phase: with sparse
+                # source weights (e.g. closest-K stations) most (sp,
+                # block) pairs are dead and the roll dominated the VPU
+                h_base = 0
+
+                @pl.when(nq_sp > 0)
+                def _():
+                    h_scratch[...] = build_g127(sp)
 
             # unrolled at trace time, predicated per (sp, block): most
             # blocks of a smooth travel-time grid only span 1-2 octaves of
@@ -371,6 +378,7 @@ def beamform_pallas(
     src_block: int = 512,
     interpret: bool = False,
     precision: str = "highest",
+    hoist_hankel: bool = None,
 ):
     """Beamform via the fused Pallas kernel.
 
@@ -420,7 +428,7 @@ def beamform_pallas(
         jnp.asarray(lo_in), jnp.asarray(hi_in), jnp.asarray(g_pad),
         B=B, M=M, S=S, n_q=n_q, n_samp=n_samp, n_src=n_src,
         strict=(out_of_bounds == "strict"), reduce_max=(reduce == "max"),
-        interpret=interpret, mode=mode,
+        interpret=interpret, mode=mode, hoist_hankel=hoist_hankel,
     )
     if reduce == "max":
         val, idx = out

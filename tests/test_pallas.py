@@ -129,6 +129,23 @@ class TestPallasBeamform:
         np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
 
+    @pytest.mark.parametrize("prec", ["highest", "high"])
+    def test_no_hoist_narrowed_hankel(self, rng, prec):
+        """The large-network fallback (per-block narrowed, nq-predicated
+        Hankel rebuild) must match the hoisted path exactly.  Sparse
+        source weights exercise the dead (sp, block) skip."""
+        feats, mv, w_ph, w_src = self._problem(rng, n_src=40, max_mv=300)
+        w_src[:, ::2] = 0.0  # half the stations dead per source
+        want_v, want_i = ref.beamform(feats, mv, w_ph, w_src, reduce="max")
+        got_v, got_i = beamform_pallas(
+            feats, mv, w_ph, w_src, reduce="max", time_block=256,
+            src_block=16, interpret=True, precision=prec,
+            hoist_hankel=False,
+        )
+        tol = 1e-5 if prec == "highest" else 5e-4
+        np.testing.assert_allclose(np.asarray(got_v), want_v, atol=tol)
+        assert np.mean(np.asarray(got_i) == want_i) > 0.98
+
     def test_auto_chunking(self, rng, monkeypatch):
         """call_folded transparently chunks big problems (and stays
         bit-identical to the unchunked kernel)."""
