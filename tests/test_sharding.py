@@ -201,3 +201,24 @@ class TestBeamformShardedPallas:
                                     src_block=128, interpret=True)
         )
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_precision_ladder_sharded(self, rng):
+        """Sharded 'high' beamform matches the unsharded ladder kernel
+        bit-for-bit (same kernel per shard + exact collectives)."""
+        from seismic_bpmf_tpu.ops.pallas_bp import beamform_pallas
+        from seismic_bpmf_tpu.parallel import beamform_sharded_pallas
+
+        feats, mv, w_ph, w_src = _bp_problem(rng, n_samp=2048)
+        mesh = make_mesh({"src": 2, "time": 4})
+        want_v, want_i = beamform_pallas(
+            feats, mv, w_ph, w_src, reduce="max", time_block=256,
+            src_block=128, interpret=True, precision="high",
+        )
+        got_v, got_i = beamform_sharded_pallas(
+            feats, mv, w_ph, w_src, mesh, reduce="max", time_block=256,
+            src_block=128, interpret=True, precision="high",
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_v), np.asarray(want_v), rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
