@@ -39,12 +39,16 @@ CPU_BASELINE_GMACS = 2.0
 CPU_BASELINE_GPTS = 0.02
 
 
-def check_parity(verbose: bool = True) -> bool:
+def check_parity(verbose: bool = True, quick: bool = False) -> bool:
     """TPU-compiled Pallas kernels vs the NumPy oracles on small shapes.
 
     Guards against Mosaic lowering regressions that interpret-mode tests
     (the CPU suite) cannot see.  Reference semantics:
     BPMF/similarity_search.py:526-546 (MF), template_search.py:549-572 (BP).
+
+    quick=True gates only the MF variants the headline metric uses (each
+    kernel variant costs a 1-2 min remote AOT compile; the full 7-variant
+    gate runs under --check).
     """
     from seismic_bpmf_tpu.ops import reference as ref
     from seismic_bpmf_tpu.ops.pallas_bp import beamform_pallas
@@ -71,6 +75,8 @@ def check_parity(verbose: bool = True) -> bool:
         if verbose:
             print(f"# parity MF[{prec}]: max|diff|={err_mf:.2e} "
                   f"{'OK' if err_mf <= tol else 'FAIL'}", file=sys.stderr)
+    if quick:
+        return ok
 
     # --- beamformer, both reduce modes, highest + ladder ---
     n_src, n_ph, n_samp_bp = 200, 2, 8_192
@@ -344,7 +350,7 @@ def main():
         print(json.dumps(bench_phasenet()))
         return
 
-    if not args.no_check and not check_parity():
+    if not args.no_check and not check_parity(quick=True):
         print(json.dumps({
             "metric": "matched_filter_throughput",
             "value": 0.0,

@@ -10,10 +10,15 @@ from one grid source, then runs:
   -> catalog assembly with multiples dedup
   -> moment magnitudes
 
-Run: PYTHONPATH=. python examples/synthetic_day.py
+Run: python examples/synthetic_day.py
 """
 
 import os
+import sys
+
+# allow running from a repo checkout without installing the package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import tempfile
 import time
 

@@ -8,7 +8,12 @@ picker through the reference picker-callable protocol.
 Run: python examples/train_picker_synthetic.py [n_epochs]
 """
 
+import os
 import sys
+
+# allow running from a repo checkout without installing the package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import tempfile
 
 import numpy as np
