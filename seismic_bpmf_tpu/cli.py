@@ -245,7 +245,7 @@ def build_parser() -> argparse.ArgumentParser:
     bp.add_argument("--phases", nargs="+", default=["P", "S"])
     bp.add_argument("--engine", default="auto",
                     choices=["auto", "pallas", "onehot", "gather"])
-    bp.add_argument("--precision", default="highest",
+    bp.add_argument("--precision", default="high",
                     choices=["highest", "default"],
                     help="'highest' = f32 parity; 'default' = bf16 (~3x)")
     bp.add_argument("--picker-checkpoint",
@@ -268,7 +268,7 @@ def build_parser() -> argparse.ArgumentParser:
     mf.add_argument("--min-stations", type=int, default=3)
     mf.add_argument("--max-kurto", type=float, default=100.0,
                     help="CC-kurtosis sanity threshold (reference default)")
-    mf.add_argument("--precision", default="highest",
+    mf.add_argument("--precision", default="high",
                     choices=["highest", "default"],
                     help="'highest' = f32 parity; 'default' = bf16 (~2x)")
     mf.add_argument("--db", help="output directory for per-template detections")

@@ -34,7 +34,7 @@ class Beamformer:
         cfg: Config = DEFAULT_CONFIG,
         engine: str = "auto",
         mesh=None,
-        precision: str = "highest",
+        precision: str = "high",
     ):
         self.data = data
         self.network = network
@@ -44,8 +44,10 @@ class Beamformer:
         self.cfg = cfg
         self.engine = engine
         self.mesh = mesh
-        # 'highest' = f32 oracle parity; 'default' = bf16 MXU passes
-        # (~3x faster beamforming, ~1e-3 relative beam error)
+        # 'high' (default) = bf16-split ladder, ~3e-5 beam error at ~2x
+        # 'highest' throughput; 'highest' = 6-pass f32 oracle parity;
+        # 'default' = single bf16 pass (~2e-2, fastest).  Applies to the
+        # Pallas engines; the XLA fallbacks always run f32 HIGHEST.
         self.precision = precision
 
     # ------------------------------------------------------------------

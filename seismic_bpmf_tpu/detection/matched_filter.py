@@ -45,7 +45,7 @@ class MatchedFilter:
         cfg: Config = DEFAULT_CONFIG,
         mesh=None,
         engine: str = "auto",
-        precision: str = "highest",
+        precision: str = "high",
     ):
         self.template_group = template_group
         self.min_channels = min_channels
@@ -62,8 +62,10 @@ class MatchedFilter:
         self.cfg = cfg
         self.mesh = mesh
         self.engine = engine
-        # 'highest' = f32 oracle parity; 'default' = bf16 MXU passes
-        # (~2x faster CC, ~1e-3 relative error)
+        # 'high' (default) = bf16-split ladder, ~4e-7 CC error at ~2x
+        # 'highest' throughput; 'highest' = 6-pass f32 oracle parity;
+        # 'default' = single bf16 pass (~2e-4, fastest).  Applies to the
+        # Pallas engines; the XLA fallbacks always run f32 HIGHEST.
         self.precision = precision
 
     def _pallas_scan(self, run, templates, moveouts, weights,
@@ -79,7 +81,18 @@ class MatchedFilter:
 
         n_samp = self.data_arr.shape[-1]
         interpret = jax.default_backend() == "cpu"
-        key = (tuple(run.tolist()), n_samp, self.step, self.precision)
+        # the filters bake in template waveforms, moveouts AND channel
+        # weights, so the cache key must fingerprint their content —
+        # availability-driven weight changes between days must rebuild
+        import zlib
+
+        content = (
+            zlib.crc32(np.ascontiguousarray(templates).tobytes()),
+            zlib.crc32(np.ascontiguousarray(moveouts).tobytes()),
+            zlib.crc32(np.ascontiguousarray(weights).tobytes()),
+        )
+        key = (tuple(run.tolist()), n_samp, self.step, self.precision,
+               content)
         plans = getattr(self, "_pallas_plans", {})
         if key not in plans:
             # all chunk plans share one padded data geometry (global
@@ -99,6 +112,10 @@ class MatchedFilter:
                 )
                 for i in range(0, len(templates), template_chunk)
             ]
+            # bound device-resident filter memory across a campaign whose
+            # weights drift day to day: keep the few most recent plan sets
+            while len(plans) > 4:
+                plans.pop(next(iter(plans)))
             self._pallas_plans = plans
         data_pad = plans[key][0].pad_data(self.data_arr)
         outs = []

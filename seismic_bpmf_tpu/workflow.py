@@ -52,7 +52,7 @@ def backproject_day(
     n_max_stations: Optional[int] = None,
     engine: str = "auto",
     mesh=None,
-    precision: str = "highest",
+    precision: str = "high",
     output_file: Optional[str] = None,
 ):
     """One-day backprojection scan -> list of detected Events.
@@ -206,10 +206,16 @@ def matched_filter_day(
     weights_method: str = "simple",
     mesh=None,
     db_path: Optional[str] = None,
+    mf: Optional[MatchedFilter] = None,
     **mf_kwargs,
 ) -> Dict:
-    """One-day matched-filter scan -> {tid: [Events]} (notebook 8)."""
-    mf = MatchedFilter(template_group, cfg=cfg, mesh=mesh, **mf_kwargs)
+    """One-day matched-filter scan -> {tid: [Events]} (notebook 8).
+
+    Pass a `MatchedFilter` instance via `mf` to reuse it across days —
+    its device-resident template plans (filters uploaded once) and
+    compiled kernels then persist, so only the day's waveforms move."""
+    if mf is None:
+        mf = MatchedFilter(template_group, cfg=cfg, mesh=mesh, **mf_kwargs)
     mf.set_data(data)
     mf.set_weights_channels(method=weights_method, normalize=True)
     with GLOBAL_TIMER.stage("mf_scan"):
@@ -324,13 +330,24 @@ def scan_days(
     todo = [d for d in dates if str(d) not in done]
     pool = ThreadPoolExecutor(max_workers=1)
     pending = pool.submit(make_data, todo[0]) if todo else None
+    # one engine for the whole campaign: template plans upload once and
+    # compiled kernels persist; only the day's waveforms move per day
+    day_kwargs = {
+        k: mf_kwargs.pop(k)
+        for k in ("minimum_interevent_time", "threshold_window_dur",
+                  "weights_method")
+        if k in mf_kwargs
+    }
+    mesh = mf_kwargs.pop("mesh", None)
+    mf = MatchedFilter(template_group, cfg=cfg, mesh=mesh, **mf_kwargs)
     for i, date in enumerate(todo):
         key = str(date)
         data = pending.result()
         pending = (pool.submit(make_data, todo[i + 1])
                    if i + 1 < len(todo) else None)
         detections = matched_filter_day(
-            template_group, data, cfg=cfg, db_path=db_path, **mf_kwargs
+            template_group, data, cfg=cfg, db_path=db_path, mf=mf,
+            **day_kwargs,
         )
         results[key] = detections
         n = sum(len(v) for v in detections.values())
