@@ -54,6 +54,22 @@ class Catalog:
     def __getitem__(self, key):
         return self.catalog[key]
 
+    def event_count(self, start_date=None, end_date=None, freq: str = "1D",
+                    **kwargs):
+        """Binned seismicity-rate series (`utils.event_count`; the
+        reference applies BPMF/utils.py:1501 to catalog timings)."""
+        from ..utils import event_count as _event_count
+
+        times = self.catalog["origin_time"]
+        if start_date is None:
+            start_date = times.iloc[0].floor("D")
+        if end_date is None:
+            end_date = times.iloc[-1].ceil("D")
+        return _event_count(
+            times.dt.strftime("%Y-%m-%dT%H:%M:%S").values,
+            str(start_date), str(end_date), freq=freq, **kwargs,
+        )
+
     # ------------------------------------------------------------------
     @classmethod
     def read_from_events(cls, events: Sequence[Event],

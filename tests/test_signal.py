@@ -124,3 +124,14 @@ class TestStats:
         f, tt, sxx = spectrogram(x, 2.0, 0.5, sr)
         peak_f = f[np.argmax(sxx.mean(axis=1))]
         assert abs(peak_f - 12.0) < 1.0
+
+    def test_catalog_event_count(self):
+        from seismic_bpmf_tpu.data.catalog import Catalog
+
+        cat = Catalog(
+            [30.0, 30.1, 30.2], [40.0, 40.1, 40.2], [8.0, 9.0, 10.0],
+            ["2020-01-01T06:00:00", "2020-01-01T18:00:00",
+             "2020-01-02T12:00:00"],
+        )
+        counts = cat.event_count()
+        assert int(counts.sum()) == 3
