@@ -203,3 +203,56 @@ def test_sharded_day_scan_matches_unsharded(world):
             assert a.aux_data["cc"] == pytest.approx(
                 b.aux_data["cc"], abs=1e-4
             )
+
+
+def test_scan_days_reuses_template_plans(world, tmp_path, monkeypatch):
+    """A campaign builds the device-resident template plans ONCE; a change
+    in channel weights (e.g. availability) rebuilds them (the plan cache
+    fingerprints filter content)."""
+    import seismic_bpmf_tpu.ops.pallas_mf as pmf
+
+    w = world
+    bf, detections = workflow.backproject_day(
+        w["data"], w["net"], w["tts"], cfg=w["cfg"],
+        minimum_interevent_time=10.0, threshold_window_sec=150.0,
+        num_closest_stations=N_STA,
+    )
+    tg = workflow.build_templates(
+        detections, w["net"], cfg=w["cfg"], data_reader=data_reader_hdf5,
+    )
+    builds = []
+    orig_init = pmf.PallasMatchedFilterPlan.__init__
+
+    def counting_init(self, *a, **k):
+        builds.append(1)
+        return orig_init(self, *a, **k)
+
+    monkeypatch.setattr(pmf.PallasMatchedFilterPlan, "__init__",
+                        counting_init)
+    workflow.scan_days(
+        ["d1", "d2", "d3"], lambda d: w["data"], tg, cfg=w["cfg"],
+        minimum_interevent_time=5.0, threshold_window_dur=150.0,
+        min_channels=3, min_stations=2, max_kurto=1e6, engine="pallas",
+    )
+    n_first = len(builds)
+    assert n_first >= 1  # day 1 built the plans
+    # days 2-3 reused them
+    assert len(builds) == n_first
+
+    # engine-level: changed weights must miss the cache
+    from seismic_bpmf_tpu.detection.matched_filter import MatchedFilter
+
+    mf = MatchedFilter(tg, min_channels=3, min_stations=2, max_kurto=1e6,
+                       engine="pallas")
+    mf.set_data(w["data"])
+    mf.set_weights_channels(method="simple", normalize=True)
+    run = np.arange(tg.n_templates)
+    tpl = tg.waveforms_arr.astype(np.float32)
+    mv = tg.moveouts_arr
+    we = mf.weights_channels.astype(np.float32)
+    mf._pallas_scan(run, tpl, mv, we)
+    n_after_first = len(builds)
+    mf._pallas_scan(run, tpl, mv, we)
+    assert len(builds) == n_after_first  # identical content: cache hit
+    mf._pallas_scan(run, tpl, mv, we * 0.5)
+    assert len(builds) > n_after_first  # changed weights: rebuild
