@@ -207,12 +207,28 @@ class Beamformer:
         if engine == "pallas" and self.mesh is None:
             from ..ops.pallas_bp import PallasBeamformPlan
 
+            import zlib
+
             n_samp = waveform_features.shape[-1]
-            key = (reduce, out_of_bounds, n_samp, self.precision)
+            # the plan bakes in moveouts and both weight sets, so the key
+            # fingerprints their content — re-running set_weights* (e.g.
+            # new availability, new grid) must rebuild, not silently
+            # reuse stale device-resident tables
+            moveouts = self.moveouts
+            content = (
+                zlib.crc32(np.ascontiguousarray(moveouts).tobytes()),
+                zlib.crc32(
+                    np.ascontiguousarray(self.weights_phases).tobytes()
+                ),
+                zlib.crc32(
+                    np.ascontiguousarray(self.weights_sources).tobytes()
+                ),
+            )
+            key = (reduce, out_of_bounds, n_samp, self.precision, content)
             plans = getattr(self, "_pallas_plans", {})
             if key not in plans:
                 plans[key] = PallasBeamformPlan(
-                    self.moveouts,
+                    moveouts,
                     self.weights_phases,
                     self.weights_sources,
                     n_samp,
@@ -221,6 +237,8 @@ class Beamformer:
                     precision=self.precision,
                     **kwargs,
                 )
+                while len(plans) > 4:  # bound device-resident tables
+                    plans.pop(next(iter(plans)))
                 self._pallas_plans = plans
             out = plans[key](waveform_features)
             if reduce == "max":
