@@ -31,7 +31,9 @@ class Catalog:
             "longitude": np.asarray(longitudes, dtype=np.float64),
             "latitude": np.asarray(latitudes, dtype=np.float64),
             "depth": np.asarray(depths, dtype=np.float64),
-            "origin_time": pd.to_datetime(list(map(str, origin_times))),
+            "origin_time": pd.to_datetime(
+                list(map(str, origin_times)), format="ISO8601"
+            ),
         }
         for k, v in extra_fields.items():
             data[k] = v
@@ -61,12 +63,14 @@ class Catalog:
         from ..utils import event_count as _event_count
 
         times = self.catalog["origin_time"]
+        if len(times) == 0:
+            raise ValueError("event_count on an empty catalog")
         if start_date is None:
-            start_date = times.iloc[0].floor("D")
+            start_date = times.min().floor("D")
         if end_date is None:
-            end_date = times.iloc[-1].ceil("D")
+            end_date = times.max().ceil("D")
         return _event_count(
-            times.dt.strftime("%Y-%m-%dT%H:%M:%S").values,
+            times.dt.strftime("%Y-%m-%dT%H:%M:%S.%f").values,
             str(start_date), str(end_date), freq=freq, **kwargs,
         )
 

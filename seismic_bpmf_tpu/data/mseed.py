@@ -202,7 +202,7 @@ def _parse_record(buf: memoryview) -> Tuple[dict, int]:
     blk_ofs = u2(hdr[46:48])
 
     # walk blockettes for 1000 (encoding, word order, record length)
-    enc, word_big, rec_len = 11, True, 4096
+    enc, word_big, rec_len = 11, True, None
     ofs = blk_ofs
     while ofs:
         btype = u2(bytes(buf[ofs : ofs + 2]))
@@ -214,6 +214,27 @@ def _parse_record(buf: memoryview) -> Tuple[dict, int]:
         if nxt <= ofs:
             break
         ofs = nxt
+    if rec_len is None:
+        # legacy record without blockette 1000: infer the record length by
+        # scanning power-of-two offsets for the next valid fixed header
+        # (6 ASCII digits + quality code) or the end of the buffer, instead
+        # of silently assuming 4096 and dropping in-between records
+        for cand in (128, 256, 512, 1024, 2048, 4096):
+            if cand < _FIXED or cand > len(buf):
+                continue
+            if cand == len(buf):
+                rec_len = cand
+                break
+            head = bytes(buf[cand : cand + 7])
+            if head[:6].isdigit() and head[6:7] in b"DRQM":
+                rec_len = cand
+                break
+        if rec_len is None:
+            raise ValueError(
+                "miniSEED record lacks blockette 1000 and no subsequent "
+                "record header was found at a power-of-two offset; cannot "
+                "infer the record length"
+            )
 
     t0 = (
         np.datetime64(f"{year:04d}-01-01", "ns")
@@ -286,7 +307,10 @@ def _records_to_stream(recs: List[dict]) -> Stream:
 
 def merge_fill(stream: Stream, fill_value: float = 0.0) -> Stream:
     """Merge same-id trace segments onto a common time base, filling gaps
-    (the reference's `obspy.Stream.merge(fill_value=0)` behavior)."""
+    (the reference's `obspy.Stream.merge(fill_value=0)` behavior): gaps
+    get `fill_value`; overlap samples where the segments agree are kept
+    (obspy's `_cleanup` pass), while conflicting overlap samples are
+    discarded and replaced with `fill_value` (method-0 semantics)."""
     groups: Dict[str, List[Trace]] = {}
     for tr in stream:
         groups.setdefault(tr.id, []).append(tr)
@@ -300,9 +324,16 @@ def merge_fill(stream: Stream, fill_value: float = 0.0) -> Stream:
         t1 = max(tr.stats.endtime for tr in trs)
         n = int(round((t1 - t0) * sr)) + 1
         data = np.full(n, fill_value, np.float32)
+        written = np.zeros(n, bool)
+        conflict = np.zeros(n, bool)
         for tr in sorted(trs, key=lambda t: t.stats.starttime):
             i0 = int(round((tr.stats.starttime - t0) * sr))
-            data[i0 : i0 + len(tr.data)] = tr.data
+            seg = np.asarray(tr.data, np.float32)
+            sl = slice(i0, i0 + len(seg))
+            conflict[sl] |= written[sl] & (data[sl] != seg)
+            data[sl] = np.where(written[sl], data[sl], seg)
+            written[sl] = True
+        data[conflict] = fill_value
         merged = Trace(data, sampling_rate=sr, starttime=t0,
                        station=trs[0].stats.station,
                        network=trs[0].stats.network,

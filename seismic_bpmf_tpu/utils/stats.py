@@ -26,6 +26,12 @@ def weighted_linear_regression(x, y, w=None):
 
     Returns (slope, intercept, slope_err) like the reference
     (BPMF/utils.py:1334-1366).
+
+    Intentional divergence: the reference computes the residual variance as
+    ``sum(resid)**2`` (BPMF/utils.py:1363), which is ~0 by construction for
+    a least-squares fit with intercept, making its ``slope_err`` always
+    ~0.  This implementation uses the standard ``sum(resid**2)`` so the
+    returned error estimate is meaningful.
     """
     x = np.asarray(x, float)
     y = np.asarray(y, float)
@@ -39,7 +45,7 @@ def weighted_linear_regression(x, y, w=None):
     intercept = y_mean - slope * x_mean
     resid = intercept + slope * x - y
     n = x.size
-    s2 = resid.sum() ** 2 / max(n - 2, 1)
+    s2 = (resid**2).sum() / max(n - 2, 1)
     s2_slope = s2 / ((n - 1) * x_var)
     return slope, intercept, float(np.sqrt(s2_slope))
 
@@ -79,6 +85,13 @@ def event_count(
     labels each bin by its right edge, `offset` shifts bin edges by a
     fraction of `freq`, and the series is zero-padded to span the
     requested range.
+
+    `offset` (a fraction of `freq`) is implemented by shifting the event
+    times before binning and shifting the bin labels back, so it works for
+    any fixed-duration frequency (D/W/h/min/s/...).  Calendar-dependent
+    frequencies (M/Y) have no fixed duration and raise with a nonzero
+    offset (pandas silently ignores the offset there, which the reference
+    inherits).
     """
     import pandas as pd
 
@@ -94,9 +107,21 @@ def event_count(
     occurrence[start_date] = 0
     occurrence[end_date] = 0
     label = "right" if mode == "end" else "left"
+    shift = None
+    if offset != 0.0:
+        try:
+            shift = pd.Timedelta(freq) * float(offset)
+        except ValueError:
+            raise ValueError(
+                f"offset={offset} cannot be applied to calendar-dependent "
+                f"frequency {freq!r} (no fixed duration)"
+            ) from None
+        occurrence.index = occurrence.index - shift
     counts = occurrence.groupby(
-        pd.Grouper(freq=freq, offset=f"{offset}{freq[-1]}", label=label)
+        pd.Grouper(freq=freq, label=label)
     ).agg("sum")
+    if shift is not None:
+        counts.index = counts.index + shift
     first, last = counts.index[0], counts.index[-1]
     if first > start_date:
         counts[first - pd.Timedelta(freq)] = 0

@@ -83,6 +83,28 @@ def test_merge_fill_gap(tmp_path, rng):
     assert (data[200:] == 2).all()
 
 
+def test_merge_fill_overlap(tmp_path, rng):
+    """obspy method-0 parity: conflicting overlap samples become
+    fill_value; agreeing overlap samples are kept."""
+    sr = 25.0
+    x = np.arange(150, dtype=np.float32)
+    a = Trace(x[:100], station="G", channel="HHZ", sampling_rate=sr,
+              starttime=0.0)
+    # agreeing overlap: b repeats a's samples 50..99, then continues
+    b = Trace(x[50:150], station="G", channel="HHZ", sampling_rate=sr,
+              starttime=2.0)
+    merged = merge_fill(Stream([a, b]))
+    np.testing.assert_array_equal(merged[0].data, x)
+    # conflicting overlap: c disagrees on samples 50..99
+    c = Trace(x[50:150] + 1000.0, station="G", channel="HHZ",
+              sampling_rate=sr, starttime=2.0)
+    merged = merge_fill(Stream([a, c]))
+    data = merged[0].data
+    np.testing.assert_array_equal(data[:50], x[:50])
+    assert (data[50:100] == 0.0).all()
+    np.testing.assert_array_equal(data[100:], x[100:] + 1000.0)
+
+
 def test_data_reader_mseed_native_path(tmp_path, rng):
     """Tutorial folder convention read end to end without obspy."""
     # day 2012-07-26 = julian day 208

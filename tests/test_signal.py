@@ -82,6 +82,13 @@ class TestStats:
         y2 = np.where(x < 5, 3.0 * x, 0.0)
         slope2, _, _ = weighted_linear_regression(x, y2, w)
         assert abs(slope2 - 3.0) < 0.05
+        # slope_err is the standard OLS estimate, not the reference's
+        # always-~0 sum(resid)**2 quirk (documented divergence)
+        assert err > 0.0
+        _, _, err_noisy = weighted_linear_regression(
+            x, 2.5 * x - 1.0 + rng.normal(scale=1.0, size=50)
+        )
+        assert err_noisy > 10 * err
 
     def test_cov_mat_intersection(self):
         from seismic_bpmf_tpu.utils import cov_mat_intersection
@@ -103,6 +110,32 @@ class TestStats:
         assert int(counts.sum()) == 3
         # mode='end': events on Jan 1 are indexed at the Jan 2 bin edge
         assert counts[counts.index.strftime("%Y-%m-%d") == "2020-01-02"].iloc[0] == 2
+
+    def test_event_count_offset(self):
+        from seismic_bpmf_tpu.utils import event_count
+
+        times = ["2020-01-01T06:00:00", "2020-01-01T18:00:00"]
+        # offset=0.5 with '1D': bins run noon to noon, splitting the two
+        counts = event_count(times, "2020-01-01", "2020-01-03", freq="1D",
+                             offset=0.5)
+        assert int(counts.max()) == 1
+        # weekly offsets work too (fixed 7-day duration)
+        counts_w = event_count(times, "2020-01-01", "2020-03-01",
+                               freq="1W", offset=0.5)
+        assert int(counts_w.sum()) == 2
+        # calendar-dependent frequency has no fixed duration: raise
+        # instead of silently mis-binning
+        with pytest.raises(ValueError, match="calendar"):
+            event_count(times, "2020-01-01", "2020-06-01", freq="1ME",
+                        offset=0.5)
+        # offset=0 with an anchored frequency stays warning-free
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            counts = event_count(times, "2020-01-01", "2020-03-01",
+                                 freq="1W")
+        assert int(counts.sum()) == 2
 
     def test_running_mad(self, rng):
         from seismic_bpmf_tpu.utils import running_mad
@@ -135,3 +168,17 @@ class TestStats:
         )
         counts = cat.event_count()
         assert int(counts.sum()) == 3
+        # sub-second origin times survive the string round trip: an event
+        # 0.4 s before midnight must not be truncated into the next day
+        cat2 = Catalog(
+            [30.0, 30.1], [40.0, 40.1], [8.0, 9.0],
+            ["2020-01-01T23:59:59.6", "2020-01-02T12:00:00"],
+        )
+        counts2 = cat2.event_count()
+        assert counts2[
+            counts2.index.strftime("%Y-%m-%d") == "2020-01-02"
+        ].iloc[0] == 1
+        # empty catalog raises instead of IndexError
+        empty = Catalog([], [], [], [])
+        with pytest.raises(ValueError, match="empty"):
+            empty.event_count()
