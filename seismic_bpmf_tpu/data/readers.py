@@ -124,11 +124,9 @@ def data_reader_mseed(
     try:
         import obspy
     except ImportError:
+        # the native fallback covers attach_response too, via the
+        # pure-Python StationXML parser (data.stationxml)
         obspy = None
-        if attach_response:
-            raise ImportError(
-                "attach_response requires obspy (StationXML parsing)"
-            )
 
     t0 = np.datetime64(str(starttime).replace("Z", ""), "ns")
     year = t0.astype("datetime64[Y]")
@@ -167,7 +165,21 @@ def data_reader_mseed(
     out = Stream()
     for fn in files:
         out += read_mseed(fn, starttime=starttime, endtime=endtime)
-    return merge_fill(out)
+    out = merge_fill(out)
+    if attach_response:
+        from .stationxml import Inventory, read_inventory
+
+        # reference convention: StationXML per station under where/resp
+        # (BPMF/data_reader_examples.py:208); also accept a resp folder
+        # beside the data root (the obspy branch's layout above)
+        inv = Inventory()
+        for resp_dir in (
+            os.path.join(where, "resp"),
+            os.path.join(where, "..", "resp"),
+        ):
+            inv = inv + read_inventory(os.path.join(resp_dir, "*.xml"))
+        inv.attach(out)
+    return out
 
 
 def data_reader_pyasdf(

@@ -28,6 +28,9 @@ class TraceStats:
     location: str = ""
     sampling_rate: float = 1.0
     starttime: float = 0.0  # epoch seconds
+    # instrument response (data.stationxml.ChannelResponse), attached by
+    # readers with attach_response=True; consumed by ops.response
+    response: Optional[object] = None
 
     @property
     def component(self) -> str:

@@ -7,6 +7,8 @@ from .pallas_mf import PallasMatchedFilterPlan, matched_filter_pallas
 from .signal import bandpass_zerophase, preprocess_batch, resample_fourier
 from .cf import envelope, kurtosis, saturated_envelopes, scalar_kurtosis
 from .matched_filter import matched_filter
+from .response import (cosine_sac_taper, remove_response_arr,
+                       remove_response_stream)
 from .thresholds import (bp_detection_threshold,
                          time_dependent_threshold,
                          time_dependent_threshold_pd)
@@ -30,4 +32,7 @@ __all__ = [
     "time_dependent_threshold",
     "bp_detection_threshold",
     "time_dependent_threshold_pd",
+    "cosine_sac_taper",
+    "remove_response_arr",
+    "remove_response_stream",
 ]

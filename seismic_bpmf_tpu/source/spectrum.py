@@ -409,41 +409,206 @@ class Spectrum:
 # workflow functions (BPMF/spectrum.py:1500-2009)
 # ---------------------------------------------------------------------------
 
+def _condition_window_arr(
+    event,
+    duration_sec: float,
+    attach_response: bool,
+    integrate_to_displacement,
+    taper_percentage: float,
+    water_level_db: float,
+    pre_filt,
+):
+    """Detrend (constant + linear), cosine-taper, and convert the event's
+    current traces to displacement — by instrument-response deconvolution
+    when responses are attached, by time integration otherwise (reference
+    post-processing: BPMF/spectrum.py:1600-1619)."""
+    from scipy.signal.windows import tukey
+
+    from ..ops.response import remove_response_arr
+
+    sr = event.sr
+    arr = np.asarray(event.waveforms_arr, np.float64)
+    n = arr.shape[-1]
+    t = np.arange(n) - (n - 1) / 2.0
+    arr = arr - arr.mean(axis=-1, keepdims=True)
+    slope = (arr * t).sum(axis=-1, keepdims=True) / (t * t).sum()
+    arr = arr - slope * t
+    # obspy taper(p, type='cosine') ramps over p of the trace at each end
+    arr = arr * tukey(n, min(2.0 * taper_percentage, 1.0))
+
+    resp_map = {}
+    for tr in event.traces:
+        if getattr(tr.stats, "response", None) is not None:
+            resp_map[(tr.stats.station, tr.stats.component)] = (
+                tr.stats.response
+            )
+    aliases = getattr(event, "component_aliases", None) or {}
+    if attach_response and resp_map:
+        if pre_filt is None:
+            fnyq = sr / 2.0
+            pre_filt = [1.0 / duration_sec, 1.05 / duration_sec,
+                        0.95 * fnyq, 0.98 * fnyq]
+        responses = []
+        for sta in event.stations:
+            for c in event.components:
+                r = resp_map.get((sta, c))
+                if r is None:
+                    for alias in aliases.get(c, [c]):
+                        r = resp_map.get((sta, alias))
+                        if r is not None:
+                            break
+                responses.append(r)
+        arr = np.asarray(
+            remove_response_arr(
+                arr.astype(np.float32), responses, sr, output="DISP",
+                pre_filt=pre_filt, water_level_db=water_level_db,
+            ),
+            np.float64,
+        )
+    elif integrate_to_displacement or integrate_to_displacement is None:
+        arr = np.cumsum(arr, axis=-1) / sr
+        arr = arr - arr.mean(axis=-1, keepdims=True)
+    return arr.astype(np.float32)
+
+
 def extract_windows(
     event,
-    phase_window_sec: Dict[str, float] = None,
+    duration_sec: Optional[float] = None,
+    offset_ot_sec_noise: Optional[float] = None,
+    attach_response: bool = False,
+    phase_on_comp_p: Optional[Dict[str, str]] = None,
+    phase_on_comp_s: Optional[Dict[str, str]] = None,
+    offset_phase: Optional[Dict[str, float]] = None,
+    integrate_to_displacement=None,
+    taper_percentage: float = 0.25,
+    water_level_db: float = 60.0,
+    pre_filt=None,
+    data_reader=None,
+    phase_window_sec: Optional[Dict[str, float]] = None,
     noise_window_sec: float = 5.0,
-    integrate_to_displacement: bool = True,
+    **reader_kwargs,
 ):
-    """Extract {'noise', 'p', 's'} windows from an event's traces.
+    """Extract {'noise', 'p', 's'} displacement windows for one event.
 
-    Requires the event's waveforms (ground velocity) to be read; windows are
-    positioned from the event moveouts.  Returns arrays keyed by phase with
-    shape (n_stations, n_components, n_samples).
-    Reference parity: BPMF/spectrum.py:1500-1619 (simplified: instrument
-    response must already be removed by the data reader/preprocessing).
+    Faithful to the reference's three-stage extraction
+    (BPMF/spectrum.py:1500-1619): the noise window is a fixed absolute
+    window starting `offset_ot_sec_noise` seconds after the origin time
+    (negative = before, ending before the first P arrival); the P and S
+    windows are positioned **per station** at
+    ``origin_time + moveout_phase(station) - offset_phase[phase]``.  Each
+    window is detrended, cosine-tapered, and converted to displacement —
+    via native instrument-response deconvolution (`ops.response`) when
+    `attach_response` and responses are available, else by integrating
+    the (velocity) traces.
+
+    Two modes:
+      - reader mode (the event has a `data_reader`, the production path):
+        three `Event.read_waveforms` calls exactly like the reference;
+      - array mode (pre-read traces only): windows are sliced from the
+        already-loaded traces using the same per-station arrival-time
+        formula relative to the recorded read offsets.
+
+    Returns arrays keyed by phase, shape (n_stations, n_components,
+    n_samples), all with the same sample count (the spectra share one
+    frequency grid, like the reference's common `duration_sec`).
     """
     from ..utils.time import sec_to_samp
 
     phase_window_sec = phase_window_sec or {"p": 3.0, "s": 5.0}
-    sr = event.sr
-    arr = event.waveforms_arr  # (n_sta, n_comp, n)
-    if integrate_to_displacement:
-        arr = np.cumsum(arr, axis=-1) / sr
-        arr = arr - arr.mean(axis=-1, keepdims=True)
-    n_noise = int(sec_to_samp(noise_window_sec, sr=sr))
-    n_win = max(
-        int(sec_to_samp(phase_window_sec[ph], sr=sr))
-        for ph in phase_window_sec
+    if duration_sec is None:
+        duration_sec = max(phase_window_sec.values())
+    if offset_ot_sec_noise is None:
+        offset_ot_sec_noise = -(duration_sec + 1.0)
+    phase_on_comp_p = phase_on_comp_p or {
+        c: "P" for c in ("N", "1", "E", "2", "Z")
+    }
+    phase_on_comp_s = phase_on_comp_s or {
+        c: "S" for c in ("N", "1", "E", "2", "Z")
+    }
+    offset_phase = dict(offset_phase or {"P": 0.5, "S": 0.5})
+    reader = data_reader or getattr(event, "data_reader", None)
+    cond = lambda: _condition_window_arr(
+        event, duration_sec, attach_response, integrate_to_displacement,
+        taper_percentage, water_level_db, pre_filt,
     )
-    windows = {"noise": arr[..., :min(n_noise, arr.shape[-1])]}
-    offset_p = int(sec_to_samp(event.aux_data.get("offset_P", 1.0), sr=sr))
-    for ph in ("p", "s"):
-        start = offset_p
-        stop = min(start + n_win, arr.shape[-1])
-        windows[ph] = arr[..., start:stop]
-    n_min = min(w.shape[-1] for w in windows.values())
-    return {k: v[..., :n_min] for k, v in windows.items()}
+
+    if reader is not None:
+        windows = {}
+        event.read_waveforms(
+            duration_sec, time_shifted=False,
+            offset_ot=-offset_ot_sec_noise, data_reader=reader,
+            attach_response=attach_response, **reader_kwargs,
+        )
+        windows["noise"] = cond()
+        event.read_waveforms(
+            duration_sec, phase_on_comp=phase_on_comp_p,
+            offset_phase=offset_phase, time_shifted=True,
+            data_reader=reader, attach_response=attach_response,
+            **reader_kwargs,
+        )
+        windows["p"] = cond()
+        event.read_waveforms(
+            duration_sec, phase_on_comp=phase_on_comp_s,
+            offset_phase=offset_phase, time_shifted=True,
+            data_reader=reader, attach_response=attach_response,
+            **reader_kwargs,
+        )
+        windows["s"] = cond()
+        return windows
+
+    # array mode: slice per-station windows from the pre-read traces
+    sr = event.sr
+    arr = _condition_window_arr(
+        event, duration_sec, attach_response, integrate_to_displacement,
+        taper_percentage, water_level_db, pre_filt,
+    )
+    n = arr.shape[-1]
+    n_win = min(int(sec_to_samp(duration_sec, sr=sr)), n)
+    n_noise = min(int(sec_to_samp(noise_window_sec, sr=sr)), n)
+    aux = getattr(event, "aux_data", {}) or {}
+    mv = event.moveouts
+    from ..data.events import DEFAULT_PHASE_ON_COMP
+
+    def arrival_in_trace(sta, comp, target_phase):
+        """Seconds into the (sta, comp) trace of `target_phase`'s
+        arrival, from the read's recorded alignment (the trace starts at
+        ``arrival(ph_c) - offset_{ph_c}`` after a time-shifted read)."""
+        ph_c = str(
+            aux.get(f"phase_on_comp{comp}",
+                    DEFAULT_PHASE_ON_COMP.get(comp, "P"))
+        ).upper()
+        off_c = float(aux.get(f"offset_{ph_c}", 1.0))
+        col_t, col_c = f"moveouts_{target_phase}", f"moveouts_{ph_c}"
+        d_mv = 0.0
+        if (
+            hasattr(mv, "columns") and col_t in mv.columns
+            and col_c in mv.columns and sta in mv.index
+        ):
+            d_mv = float(mv.loc[sta, col_t]) - float(mv.loc[sta, col_c])
+        return off_c + d_mv
+
+    n_sta, n_comp = arr.shape[0], arr.shape[1]
+    out = {
+        "noise": np.zeros((n_sta, n_comp, n_noise), np.float32),
+        "p": np.zeros((n_sta, n_comp, n_win), np.float32),
+        "s": np.zeros((n_sta, n_comp, n_win), np.float32),
+    }
+    for s, sta in enumerate(event.stations):
+        for c, comp in enumerate(event.components):
+            starts = {}
+            for ph in ("P", "S"):
+                t_arr = arrival_in_trace(sta, comp, ph)
+                starts[ph] = int(
+                    sec_to_samp(t_arr - offset_phase[ph], sr=sr)
+                )
+            first = min(starts.values())
+            i0 = max(0, min(first, n) - n_noise)
+            out["noise"][s, c] = arr[s, c, i0 : i0 + n_noise]
+            for key, ph in (("p", "P"), ("s", "S")):
+                i0 = int(np.clip(starts[ph], 0, n - n_win))
+                out[key][s, c] = arr[s, c, i0 : i0 + n_win]
+    n_min = min(w.shape[-1] for w in out.values())
+    return {k: v[..., :n_min] for k, v in out.items()}
 
 
 def compute_moment_magnitude(
