@@ -107,30 +107,56 @@ def normalize_batch(
 def find_picks(phase_probability, threshold, **kwargs):
     """Peaks above threshold -> (probability, mean sample, std samples).
 
-    Reference parity: BPMF/utils.py:2039-2094 (probability-weighted pick
-    mean/uncertainty from the peak width interval).
+    Behavioral parity with BPMF/utils.py:2039-2094: each pick's timing is
+    the probability-weighted mean over the peak's width interval
+    [left_ips, right_ips], and its uncertainty is the square root of the
+    *unweighted* squared index deviations normalized by the interval's
+    probability mass (the reference's formula).  Vectorized over peaks:
+    prefix sums turn every interval statistic into an O(1) lookup, so no
+    per-peak Python loop.
     """
     kwargs.setdefault("width", 1)
     kwargs.setdefault("prominence", 0.9 * threshold)
-    peak_indexes, props = find_peaks(
-        phase_probability, height=threshold, **kwargs
-    )
-    values, means, stds = [], [], []
-    for i in range(len(peak_indexes)):
-        idx1 = int(props["left_ips"][i])
-        idx2 = int(props["right_ips"][i])
-        samples = np.arange(idx1, idx2 + 1)
-        prob = phase_probability[samples]
-        mean = np.sum(samples * prob) / prob.sum()
-        std = np.sqrt(np.sum((samples - mean) ** 2) / prob.sum())
-        values.append(phase_probability[peak_indexes[i]])
-        means.append(mean)
-        stds.append(std)
-    return (
-        np.atleast_1d(np.asarray(values)),
-        np.atleast_1d(np.asarray(means)),
-        np.atleast_1d(np.asarray(stds)),
-    )
+    prob = np.asarray(phase_probability, np.float64)
+    peaks, props = find_peaks(prob, height=threshold, **kwargs)
+    if len(peaks) == 0:
+        empty = np.zeros(0)
+        return empty, empty.copy(), empty.copy()
+    lo = props["left_ips"].astype(np.int64)
+    hi = props["right_ips"].astype(np.int64)  # inclusive
+
+    cum_p = np.concatenate([[0.0], np.cumsum(prob)])
+    cum_tp = np.concatenate([[0.0], np.cumsum(np.arange(len(prob)) * prob)])
+    mass = cum_p[hi + 1] - cum_p[lo]
+    mean = (cum_tp[hi + 1] - cum_tp[lo]) / mass
+
+    # closed forms for sum(k) and sum(k^2) over [lo, hi]
+    count = (hi - lo + 1).astype(np.float64)
+    sum_t = (lo + hi) * count / 2.0
+    sq = lambda m: m * (m + 1) * (2 * m + 1) / 6.0
+    sum_t2 = sq(hi.astype(np.float64)) - sq(lo.astype(np.float64) - 1.0)
+    dev2 = sum_t2 - 2.0 * mean * sum_t + count * mean**2
+    std = np.sqrt(dev2 / mass)
+    return prob[peaks], mean, std
+
+
+def _select_trigger(times, probas, uncs, prior, search_win_samp,
+                    before=None):
+    """One (time, proba, unc) from candidate triggers: the highest
+    probability, optionally Gaussian-reweighted toward `prior` and
+    restricted to triggers strictly before `before`.  Returns NaNs (and
+    the surviving candidate mask) when nothing qualifies."""
+    keep = np.ones(len(times), bool) if before is None else times < before
+    if not keep.any():
+        return (np.nan, np.nan, np.nan), keep
+    t, pr, un = times[keep], probas[keep], uncs[keep]
+    score = pr
+    if prior is not None:
+        score = pr * np.exp(
+            -((t - prior) ** 2) / (2.0 * search_win_samp**2)
+        )
+    j = int(np.argmax(score))
+    return (float(t[j]), float(pr[j]), float(un[j])), keep
 
 
 def get_picks(
@@ -139,77 +165,54 @@ def get_picks(
     prior_knowledge: pd.DataFrame = None,
     search_win_samp: int = 100,
 ) -> pd.DataFrame:
-    """Select one P and one S pick per station (S first, then the best P
-    before S; optional Gaussian prior reweighting).
+    """Select one P and one S pick per station.
 
-    Reference parity: BPMF/utils.py:2097-2200.
+    Behavioral parity with BPMF/utils.py:2097-2200: triggers inside the
+    initial `buffer_length` samples are dropped, the best S trigger is
+    chosen first (highest probability, optionally Gaussian-reweighted
+    toward a prior), then the best P trigger among those strictly before
+    the chosen S.  Input cells hold candidate arrays
+    ({P,S}_{picks,probas,unc}); the output holds one float32 scalar per
+    cell (NaN where no pick survives).
     """
-    columns = ["_picks", "_probas", "_unc"]
-    phases = ["P", "S"]
-    p_cols = ["P" + c for c in columns]
-    s_cols = ["S" + c for c in columns]
-    picks = picks.copy()
+    phases = ("P", "S")
+    cols = ("picks", "probas", "unc")
+    cand = {}
     for sta in picks.index:
-        if prior_knowledge is not None and sta in prior_knowledge.index:
-            prior_P = prior_knowledge.loc[sta, "P"]
-            prior_S = prior_knowledge.loc[sta, "S"]
-        else:
-            prior_P, prior_S = None, None
+        by_phase = {}
         for ph in phases:
-            arr = np.atleast_1d(picks.loc[sta, f"{ph}_picks"])
-            valid = arr > int(buffer_length)
-            for col in columns:
-                picks.at[sta, f"{ph}{col}"] = np.atleast_1d(
-                    picks.loc[sta, f"{ph}{col}"]
-                )[valid]
-        search_S = len(np.atleast_1d(picks.loc[sta, "S_picks"])) > 0
-        search_P = len(np.atleast_1d(picks.loc[sta, "P_picks"])) > 0
-        if not search_S:
-            for col in s_cols:
-                picks.at[sta, col] = np.nan
-        if not search_P:
-            for col in p_cols:
-                picks.at[sta, col] = np.nan
-        if search_S:
-            probas = np.atleast_1d(picks.loc[sta, "S_probas"])
-            if prior_S is None:
-                best = int(probas.argmax())
-            else:
-                tapered = probas * np.exp(
-                    -((np.atleast_1d(picks.loc[sta, "S_picks"]) - prior_S) ** 2)
-                    / (2.0 * search_win_samp**2)
+            t, pr, un = (
+                np.atleast_1d(picks.loc[sta, f"{ph}_{c}"]).astype(float)
+                for c in cols
+            )
+            keep = t > int(buffer_length)
+            by_phase[ph] = (t[keep], pr[keep], un[keep])
+        cand[sta] = by_phase
+
+    prior = {}
+    if prior_knowledge is not None:
+        for sta in picks.index:
+            if sta in prior_knowledge.index:
+                prior[sta] = (
+                    prior_knowledge.loc[sta, "P"],
+                    prior_knowledge.loc[sta, "S"],
                 )
-                best = int(tapered.argmax())
-            for col in s_cols:
-                picks.at[sta, col] = np.atleast_1d(picks.loc[sta, col])[best]
-            if search_P:
-                valid_P = (
-                    np.atleast_1d(picks.loc[sta, "P_picks"])
-                    < picks.loc[sta, "S_picks"]
-                )
-                for col in p_cols:
-                    picks.at[sta, col] = np.atleast_1d(
-                        picks.loc[sta, col]
-                    )[valid_P]
-                if len(np.atleast_1d(picks.loc[sta, "P_picks"])) == 0:
-                    for col in p_cols:
-                        picks.at[sta, col] = np.nan
-                    search_P = False
-        if search_P:
-            probas = np.atleast_1d(picks.loc[sta, "P_probas"])
-            if prior_P is None:
-                best = int(probas.argmax())
-            else:
-                tapered = probas * np.exp(
-                    -((np.atleast_1d(picks.loc[sta, "P_picks"]) - prior_P) ** 2)
-                    / (2.0 * search_win_samp**2)
-                )
-                best = int(tapered.argmax())
-            for col in p_cols:
-                picks.at[sta, col] = np.atleast_1d(picks.loc[sta, col])[best]
-    for col in picks:
-        picks[col] = np.float32(picks[col])
-    return picks
+
+    out = {f"{ph}_{c}": [] for ph in phases for c in cols}
+    for sta in picks.index:
+        prior_p, prior_s = prior.get(sta, (None, None))
+        s_pick, _ = _select_trigger(
+            *cand[sta]["S"], prior_s, search_win_samp
+        )
+        p_pick, _ = _select_trigger(
+            *cand[sta]["P"], prior_p, search_win_samp,
+            before=None if np.isnan(s_pick[0]) else s_pick[0],
+        )
+        for ph, sel in (("P", p_pick), ("S", s_pick)):
+            for c, v in zip(cols, sel):
+                out[f"{ph}_{c}"].append(v)
+    result = pd.DataFrame(out, index=picks.index.copy())
+    return result.astype(np.float32)
 
 
 def detect_peaks(
