@@ -457,12 +457,23 @@ class Event:
         self.picks = picks
         return picks
 
-    def remove_outlier_picks(self, max_moveout_sec: float = 60.0):
-        """Drop picks implying absurd moveouts (reference:
-        BPMF/dataset.py:2464-2520, simplified criterion)."""
+    def remove_outlier_picks(self, max_diff_percent: float = 25.0,
+                             min_tt: float = 2.0):
+        """Drop picks whose deviation from the predicted arrival time
+        exceeds `max_diff_percent` of the predicted travel time.
+
+        Reference parity: BPMF/dataset.py:2464-2520.  The predicted
+        arrival comes from the `arrival_times` table when present (e.g.
+        set by NLLoc relocation, columns ``{ph}_abs_arrival_times`` /
+        ``{ph}_tt_sec``), else from ``origin_time + moveout``.  Picks
+        with predicted travel time below `min_tt` are always kept (the
+        relative criterion is meaningless near zero), and the travel
+        time is floored at 5 samples like the reference.
+        """
         if not hasattr(self, "picks"):
             return
         ot = self.origin_time_epoch
+        at = getattr(self, "arrival_times", None)
         for ph in ("P", "S"):
             col = f"{ph}_abs_picks"
             if col not in self.picks.columns:
@@ -471,7 +482,33 @@ class Event:
                 t = self.picks.loc[sta, col]
                 if pd.isnull(t):
                     continue
-                if abs(epoch_from_utc(np.datetime64(t)) - ot) > max_moveout_sec:
+                if (
+                    at is not None and sta in at.index
+                    and f"{ph}_tt_sec" in at.columns
+                    and not pd.isnull(at.loc[sta, f"{ph}_tt_sec"])
+                ):
+                    predicted_tt = float(at.loc[sta, f"{ph}_tt_sec"])
+                    predicted = epoch_from_utc(np.datetime64(
+                        at.loc[sta, f"{ph}_abs_arrival_times"]
+                    ))
+                elif (
+                    sta in self.moveouts.index
+                    and f"moveouts_{ph}" in self.moveouts.columns
+                ):
+                    predicted_tt = float(
+                        self.moveouts.loc[sta, f"moveouts_{ph}"]
+                    )
+                    predicted = ot + predicted_tt
+                else:
+                    continue
+                if predicted_tt < min_tt:
+                    continue
+                predicted_tt = max(predicted_tt, 5.0 / self.sr)
+                pick = epoch_from_utc(np.datetime64(t))
+                diff_percent = (
+                    100.0 * abs(pick - predicted) / predicted_tt
+                )
+                if diff_percent > max_diff_percent:
                     for c in (f"{ph}_picks", f"{ph}_probas", f"{ph}_unc"):
                         if c in self.picks.columns:
                             self.picks.loc[sta, c] = np.nan

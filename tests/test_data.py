@@ -176,6 +176,61 @@ class TestEvent:
         ev = _make_event(rng)
         assert list(ev.n_closest_stations(1)) == ["ST1"]
 
+    def test_remove_outlier_picks(self, rng):
+        """Reference criterion (BPMF/dataset.py:2464-2520): drop picks
+        deviating from the predicted arrival by >25% of the predicted
+        travel time; short travel times are exempt."""
+        # moveouts large enough that min_tt=2.0 does not exempt them
+        ev = Event(
+            "2012-07-26T01:02:03.5",
+            np.array([[4.0, 8.0], [5.0, 10.0]], np.float32),
+            ["ST1", "ST2"], ["P", "S"], sampling_rate=25.0,
+        )
+        ot = ev.origin_time_epoch
+
+        def ts(sec):
+            return pd.Timestamp(
+                np.datetime64(int((ot + sec) * 1e9), "ns")
+            )
+
+        ev.picks = pd.DataFrame(
+            {
+                # ST1 P on time (4.0 predicted, 4.2 picked: 5% ok);
+                # ST2 P off by 2.0 s on 5.0 s tt = 40% -> dropped
+                "P_picks": [105.0, 175.0],
+                "P_probas": [0.9, 0.8],
+                "P_unc": [1.0, 1.0],
+                "P_abs_picks": [ts(4.2), ts(7.0)],
+                # ST1 S off by 3 s on 8 s tt = 37.5% -> dropped;
+                # ST2 S on time
+                "S_picks": [275.0, 251.0],
+                "S_probas": [0.7, 0.6],
+                "S_unc": [1.0, 1.0],
+                "S_abs_picks": [ts(11.0), ts(10.05)],
+            },
+            index=pd.Index(["ST1", "ST2"], name="stations"),
+        )
+        ev.remove_outlier_picks(max_diff_percent=25.0)
+        assert not pd.isnull(ev.picks.loc["ST1", "P_abs_picks"])
+        assert pd.isnull(ev.picks.loc["ST2", "P_abs_picks"])
+        assert np.isnan(ev.picks.loc["ST2", "P_picks"])
+        assert pd.isnull(ev.picks.loc["ST1", "S_abs_picks"])
+        assert not pd.isnull(ev.picks.loc["ST2", "S_abs_picks"])
+        # min_tt exemption: tiny predicted travel time keeps a wild pick
+        ev2 = Event(
+            "2012-07-26T01:02:03.5",
+            np.array([[0.5, 1.0]], np.float32), ["ST1"], ["P", "S"],
+            sampling_rate=25.0,
+        )
+        ev2.picks = pd.DataFrame(
+            {"P_picks": [50.0], "P_probas": [0.9], "P_unc": [1.0],
+             "P_abs_picks": [pd.Timestamp(np.datetime64(
+                 int((ev2.origin_time_epoch + 2.0) * 1e9), "ns"))]},
+            index=pd.Index(["ST1"], name="stations"),
+        )
+        ev2.remove_outlier_picks(max_diff_percent=25.0, min_tt=2.0)
+        assert not pd.isnull(ev2.picks.loc["ST1", "P_abs_picks"])
+
 
 def _template_with_waveforms(rng, tmp_path):
     ev = _make_event(rng)
