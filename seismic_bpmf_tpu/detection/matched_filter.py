@@ -398,15 +398,24 @@ class MatchedFilter:
                 i += 1
         return np.asarray(keep, dtype=np.int64)
 
-    def _batch_extract(self, white_noise, max_candidates=4096):
+    MAX_CANDIDATES = 1024
+    MAX_CANDIDATE_BLOCKS = 256
+
+    def _batch_extract(self, white_noise, fetch: bool = True):
         """Threshold + top-k candidate extraction for every device-resident
         CC row of the current chunk in ONE device program and one host
         fetch (the per-template path costs a device->host round trip per
         template, which dominates over a remote/tunneled accelerator).
 
-        Populates `self._cand_cache[tid]`; returns the white-noise fill
-        actually used (so any host fallback sees the same thresholds)."""
+        With ``fetch=False`` only the device program is dispatched
+        (handles stored in `self._cand_pending`); call
+        `_batch_extract_collect` later — the device queue then overlaps
+        this chunk's extraction with the next chunk's CC scan.
+
+        Returns the white-noise fill actually used (so any fallback path
+        sees the same thresholds)."""
         self._cand_cache = {}
+        self._cand_pending = None
         if self.anomalous_cdf_at_mean_plus_1sig > 0.0:
             return white_noise
         dev_tids = [
@@ -431,26 +440,44 @@ class MatchedFilter:
             ],
             np.float32,
         )
-        idx, cc_vals, thr_vals, n_above, kurto = batch_candidates(
+        out = batch_candidates(
             jnp.stack([self.cc[tid] for tid in dev_tids]),
             caps,
             int(sec_to_samp(self.threshold_window_dur, sr=sr)),
             self.cfg.n_dev_mf_threshold,
             overlap=self.overlap,
             white_noise=white_noise,
-            k=max_candidates,
+            k=self.MAX_CANDIDATES,
+            k_blocks=self.MAX_CANDIDATE_BLOCKS,
             threshold_type=self.threshold_type,
         )
-        idx, cc_vals, thr_vals, n_above, kurto = (
-            np.asarray(idx), np.asarray(cc_vals), np.asarray(thr_vals),
-            np.asarray(n_above), np.asarray(kurto),
+        self._cand_pending = (dev_tids, out)
+        if fetch:
+            self._batch_extract_collect()
+        return white_noise
+
+    def _batch_extract_collect(self):
+        """Fetch a dispatched `_batch_extract` program's results into
+        `self._cand_cache`.  Rows where the two-stage extraction's
+        block bound failed are left uncached (the per-template device
+        path re-extracts them exactly); returns those tids."""
+        if self._cand_pending is None:
+            return []
+        dev_tids, out = self._cand_pending
+        self._cand_pending = None
+        idx, cc_vals, thr_vals, n_above, kurto, blocks_hit = (
+            np.asarray(a) for a in out
         )
+        needs_rerun = []
         for j, tid in enumerate(dev_tids):
+            if blocks_hit[j] > self.MAX_CANDIDATE_BLOCKS:
+                needs_rerun.append(tid)
+                continue
             self._cand_cache[tid] = (
                 idx[j], cc_vals[j], thr_vals[j], int(n_above[j]),
                 float(kurto[j]),
             )
-        return white_noise
+        return needs_rerun
 
     def _candidates_device(self, tid, cc_dev, weights_t, white_noise,
                            max_candidates=4096):
@@ -661,7 +688,12 @@ class MatchedFilter:
         **kwargs,
     ) -> Dict:
         """Full scan with optional template chunking bounded by
-        `max_memory_gb` (reference: BPMF/similarity_search.py:726-807)."""
+        `max_memory_gb` (reference: BPMF/similarity_search.py:726-807).
+
+        On the device path, each chunk's CC scan AND its batched
+        threshold/top-k extraction are dispatched back to back before any
+        result is fetched, so chunk N's extraction and host fetch overlap
+        chunk N+1's scan on the device queue."""
         from time import time as give_time
 
         self.extract_peak_amplitudes = extract_peak_amplitudes
@@ -676,22 +708,110 @@ class MatchedFilter:
             n_chunk = tg.n_templates
         detections: Dict = {}
         t_mf = t_det = 0.0
-        for lo in range(0, tg.n_templates, n_chunk):
-            tids_chunk = tg.tids[lo : lo + n_chunk]
+
+        pipelined = (
+            self._use_pallas()
+            and self.anomalous_cdf_at_mean_plus_1sig <= 0.0
+        )
+        if pipelined:
+            self.minimum_interevent_time = minimum_interevent_time
+            self.threshold_window_dur = threshold_window_dur
+            self.overlap = overlap
+            self.sanity_check = sanity_check
+            white_noise = kwargs.get("white_noise")
+            contexts = []
             t0 = give_time()
-            self.compute_cc_time_series(tids=tids_chunk)
+            for lo in range(0, tg.n_templates, n_chunk):
+                tids_chunk = tg.tids[lo : lo + n_chunk]
+                self.compute_cc_time_series(tids=tids_chunk)
+                white_noise = self._batch_extract(white_noise, fetch=False)
+                # keep only host rows (invalid templates) + the pending
+                # extraction handles; dropping the device CC references
+                # lets each chunk's buffers free right after its
+                # extraction program runs
+                ctx = {
+                    "tids_chunk": list(tids_chunk),
+                    "tids_subset": self.tids_subset,
+                    "weights": self._weights_arr,
+                    "pending": self._cand_pending,
+                }
+                if self._cand_pending is None:
+                    # tiny chunk (<2 device rows): no batch program was
+                    # dispatched — keep the full CC dict for the
+                    # per-template path
+                    ctx["cc_full"] = self.cc
+                else:
+                    ctx["host_cc"] = {
+                        tid: cc for tid, cc in self.cc.items()
+                        if isinstance(cc, np.ndarray)
+                    }
+                contexts.append(ctx)
+                self._cand_pending = None
+                self.cc = {}
             t_mf += give_time() - t0
+
             t0 = give_time()
-            detections.update(
-                self.find_detections(
-                    minimum_interevent_time,
-                    threshold_window_dur=threshold_window_dur,
-                    overlap=overlap,
-                    sanity_check=sanity_check,
-                    verbose=verbose,
-                )
-            )
+            import jax.numpy as jnp
+
+            placeholder = jnp.zeros((2,), jnp.float32)
+            for ctx in contexts:
+                self.tids_subset = ctx["tids_subset"]
+                self._weights_arr = ctx["weights"]
+                self._cand_pending = ctx["pending"]
+                self._cand_cache = {}
+                if "cc_full" in ctx:
+                    self.cc = ctx["cc_full"]
+                    for tid in list(self.cc.keys()):
+                        detections[tid] = self._find_detections_t(
+                            tid, white_noise=white_noise
+                        )
+                    continue
+                needs_rerun = set(self._batch_extract_collect())
+                overflowed = [
+                    tid for tid, c in self._cand_cache.items()
+                    if c[3] > len(c[0])
+                ]
+                if needs_rerun or overflowed:
+                    # rare: regenerate this chunk's CC rows (plans are
+                    # cached, only the scan reruns) for the exact
+                    # re-extraction / host fallback
+                    cache = self._cand_cache
+                    self.compute_cc_time_series(tids=ctx["tids_chunk"])
+                    self._cand_cache = cache
+                    for tid in needs_rerun:
+                        self._cand_cache.pop(tid, None)
+                else:
+                    self.cc = {
+                        tid: (ctx["host_cc"][tid]
+                              if tid in ctx["host_cc"] else placeholder)
+                        for tid in ctx["tids_subset"]
+                    }
+                for tid in list(self.cc.keys()):
+                    detections[tid] = self._find_detections_t(
+                        tid, white_noise=white_noise
+                    )
+                    if verbose > 0:
+                        print(f"Template {tid} detected "
+                              f"{len(detections[tid])} events.")
             t_det += give_time() - t0
+        else:
+            for lo in range(0, tg.n_templates, n_chunk):
+                tids_chunk = tg.tids[lo : lo + n_chunk]
+                t0 = give_time()
+                self.compute_cc_time_series(tids=tids_chunk)
+                t_mf += give_time() - t0
+                t0 = give_time()
+                detections.update(
+                    self.find_detections(
+                        minimum_interevent_time,
+                        threshold_window_dur=threshold_window_dur,
+                        overlap=overlap,
+                        sanity_check=sanity_check,
+                        verbose=verbose,
+                        white_noise=kwargs.get("white_noise"),
+                    )
+                )
+                t_det += give_time() - t0
         if verbose > -1:
             print(f"Total time computing CCs: {t_mf:.2f}s")
             print(f"Total time finding detections: {t_det:.2f}s")

@@ -229,10 +229,11 @@ def _tdt_mad_kernel(ts, noise, num_dev, *, window, shift, n_win):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("win", "shift", "n_win", "k", "threshold_type"),
+    static_argnames=("win", "shift", "n_win", "k", "k_blocks",
+                     "threshold_type"),
 )
 def _batch_candidates_kernel(ts, gauss, num_dev, caps, *, win, shift,
-                             n_win, k, threshold_type="rms"):
+                             n_win, k, k_blocks, threshold_type="rms"):
     def one(x, cap):
         if threshold_type == "rms":
             thr = _tdt_rms_kernel(
@@ -243,7 +244,7 @@ def _batch_candidates_kernel(ts, gauss, num_dev, caps, *, win, shift,
                 x, gauss, num_dev, window=win, shift=shift, n_win=n_win
             )
         thr = jnp.minimum(thr, cap)
-        return _candidate_extract_kernel(x, thr, k)
+        return _candidate_extract_two_stage(x, thr, k, k_blocks)
 
     return jax.vmap(one)(ts, caps)
 
@@ -255,16 +256,20 @@ def batch_candidates(
     num_dev: float,
     overlap: float = 0.66,
     white_noise=None,
-    k: int = 4096,
+    k: int = 1024,
+    k_blocks: int = 256,
     threshold_type: str = "rms",
 ):
     """Thresholds + top-k candidate extraction for a whole template chunk
     in ONE device program and one host fetch.
 
     cc : (n_templates, n_corr) device CC stack; caps: per-template absolute
-    CC ceiling.  Returns (idx, cc_vals, thr_vals, n_above, kurto), each with
-    a leading template axis.  Semantics per row match
-    `time_dependent_threshold(threshold_type=...)` + `detect_candidates`.
+    CC ceiling.  Returns (idx, cc_vals, thr_vals, n_above, kurto,
+    blocks_hit), each with a leading template axis.  Semantics per row
+    match `time_dependent_threshold(threshold_type=...)` +
+    `detect_candidates`, EXACT when `n_above <= k` and
+    `blocks_hit <= k_blocks` (the two-stage extraction's validity bounds
+    — the caller must fall back per row otherwise).
     """
     ts = jnp.asarray(cc, jnp.float32)
     n = ts.shape[-1]
@@ -287,25 +292,64 @@ def batch_candidates(
     return _batch_candidates_kernel(
         ts, gauss, jnp.float32(num_dev),
         jnp.asarray(caps, jnp.float32),
-        win=win, shift=shift, n_win=n_win, k=k,
+        win=win, shift=shift, n_win=n_win, k=k, k_blocks=k_blocks,
         threshold_type=threshold_type,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _candidate_extract_kernel(cc, thr, k: int):
-    excess = cc - thr
-    vals, idx = jax.lax.top_k(excess, k)
-    n_above = jnp.sum(excess > 0.0)
-    cc_vals = cc[idx]
-    thr_vals = thr[idx]
-    # 4th-moment stats for the kurtosis sanity check
+def _cc_kurtosis(cc):
+    """4th-moment excess kurtosis of the CC series (sanity check)."""
     mu = jnp.mean(cc)
     d = cc - mu
     m2 = jnp.mean(d * d)
     m4 = jnp.mean(d**4)
-    kurto = jnp.where(m2 > 0, m4 / (m2 * m2) - 3.0, 0.0)
-    return idx, cc_vals, thr_vals, n_above, kurto
+    return jnp.where(m2 > 0, m4 / (m2 * m2) - 3.0, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _candidate_extract_kernel(cc, thr, k: int):
+    """One-stage exact extraction: top-k lags by threshold excess over the
+    full series.  Correct for any candidate distribution, but the top_k
+    sorts the whole multi-million-sample series."""
+    excess = cc - thr
+    vals, idx = jax.lax.top_k(excess, k)
+    n_above = jnp.sum(excess > 0.0)
+    return idx, cc[idx], thr[idx], n_above, _cc_kurtosis(cc)
+
+
+CANDIDATE_BLOCK = 512
+
+
+def _candidate_extract_two_stage(cc, thr, k: int, k_blocks: int):
+    """Two-stage exact extraction: above-threshold samples are rare and
+    clustered, so reduce the series into `CANDIDATE_BLOCK`-sample blocks,
+    take the `k_blocks` blocks with the most above-threshold samples
+    (one O(n) streaming pass + a top_k over n/block elements), and run
+    the expensive top_k only on the gathered blocks.  Exact whenever at
+    most `k_blocks` blocks contain candidates; `blocks_hit` reports when
+    that bound fails so the caller can fall back to the one-stage kernel.
+
+    Returns (idx, cc_vals, thr_vals, n_above, kurto, blocks_hit).
+    """
+    block = CANDIDATE_BLOCK
+    n = cc.shape[0]
+    n_blocks = -(-n // block)
+    pad = n_blocks * block - n
+    excess = cc - thr
+    excess_p = jnp.pad(excess, (0, pad), constant_values=-jnp.inf)
+    eb = excess_p.reshape(n_blocks, block)
+    counts = jnp.sum(eb > 0.0, axis=-1)
+    n_above = jnp.sum(counts)
+    blocks_hit = jnp.sum(counts > 0)
+    # blocks ordered by candidate count; ties include empty blocks, which
+    # contribute nothing (their excess never tops the k selection)
+    _, bidx = jax.lax.top_k(counts, min(k_blocks, n_blocks))
+    flat = eb[bidx].reshape(-1)
+    _, pos = jax.lax.top_k(flat, min(k, flat.shape[0]))
+    idx = bidx[pos // block] * block + pos % block
+    idx = jnp.minimum(idx, n - 1)  # padded lanes are never above threshold
+    return (idx, cc[idx], thr[idx], n_above, _cc_kurtosis(cc),
+            blocks_hit)
 
 
 def detect_candidates(cc, threshold, k: int = 2048):

@@ -275,11 +275,12 @@ class TestBatchCandidates:
         wn = rng.normal(size=500).astype(np.float32)
         caps = np.linspace(0.3, 0.8, n_tp).astype(np.float32)
 
-        idx_b, ccv_b, thv_b, na_b, k_b = (
+        idx_b, ccv_b, thv_b, na_b, k_b, bh_b = (
             np.asarray(x) for x in batch_candidates(
                 jnp.asarray(cc), caps, 600, 8.0, white_noise=wn, k=64,
             )
         )
+        assert np.all(bh_b <= 256)  # two-stage bound holds here
         for t in range(n_tp):
             thr = time_dependent_threshold(
                 cc[t], 600, 8.0, white_noise=wn
@@ -295,6 +296,65 @@ class TestBatchCandidates:
             np.testing.assert_array_equal(order_a, order_b)
             np.testing.assert_allclose(float(kurto), k_b[t], rtol=1e-5)
 
+    def test_two_stage_extraction_exact_and_overflow_flag(self):
+        """The two-stage block extraction returns exactly the
+        above-threshold set while candidates span <= k_blocks blocks, and
+        reports blocks_hit so callers can fall back when they don't."""
+        import jax.numpy as jnp
+
+        from seismic_bpmf_tpu.ops.thresholds import (
+            CANDIDATE_BLOCK,
+            _candidate_extract_kernel,
+            _candidate_extract_two_stage,
+        )
+
+        rng = np.random.default_rng(11)
+        n = 300 * CANDIDATE_BLOCK + 37  # non-multiple exercises padding
+        cc = rng.normal(size=n).astype(np.float32) * 0.01
+        thr = np.full(n, 0.3, np.float32)
+        # clustered candidates: dense runs in a handful of blocks,
+        # including one straddling a block boundary and one in the ragged
+        # tail block
+        spots = [5 * CANDIDATE_BLOCK + 10, 7 * CANDIDATE_BLOCK - 3,
+                 200 * CANDIDATE_BLOCK + 100, n - 20]
+        for s in spots:
+            cc[s : s + 8] += 0.5 + 0.01 * rng.random(8).astype(np.float32)
+        want = np.flatnonzero(cc > thr)
+
+        out = _candidate_extract_two_stage(
+            jnp.asarray(cc), jnp.asarray(thr), 64, 16
+        )
+        idx, ccv, thv, na, kurto, bh = (np.asarray(a) for a in out)
+        assert int(na) == len(want)
+        assert int(bh) <= 16
+        np.testing.assert_array_equal(np.sort(idx[: int(na)]), want)
+        np.testing.assert_allclose(
+            np.sort(ccv[: int(na)]), np.sort(cc[want]), rtol=1e-6
+        )
+        # agreement with the one-stage kernel
+        idx1, ccv1, thv1, na1, k1 = (
+            np.asarray(a)
+            for a in _candidate_extract_kernel(
+                jnp.asarray(cc), jnp.asarray(thr), 64
+            )
+        )
+        assert int(na1) == int(na)
+        np.testing.assert_array_equal(
+            np.sort(idx1[: int(na)]), np.sort(idx[: int(na)])
+        )
+        np.testing.assert_allclose(float(k1), float(kurto), rtol=1e-5)
+
+        # scattered candidates in more blocks than k_blocks: flag trips
+        cc2 = rng.normal(size=n).astype(np.float32) * 0.01
+        blocks = rng.choice(n // CANDIDATE_BLOCK, size=40, replace=False)
+        for b in blocks:
+            cc2[b * CANDIDATE_BLOCK + 17] += 0.5
+        out2 = _candidate_extract_two_stage(
+            jnp.asarray(cc2), jnp.asarray(thr), 64, 16
+        )
+        assert int(np.asarray(out2[5])) == 40  # blocks_hit reported
+        assert 40 > 16  # caller must fall back
+
     def test_batch_candidates_mad(self):
         import jax.numpy as jnp
 
@@ -309,7 +369,7 @@ class TestBatchCandidates:
             cc[t, rng.integers(100, n, size=3)] += 0.5
         wn = rng.normal(size=n).astype(np.float32)
         caps = np.full(n_tp, 0.8, np.float32)
-        idx_b, ccv_b, thv_b, na_b, _ = (
+        idx_b, ccv_b, thv_b, na_b, _, _ = (
             np.asarray(x) for x in batch_candidates(
                 jnp.asarray(cc), caps, 600, 8.0, white_noise=wn, k=32,
                 threshold_type="mad",

@@ -241,3 +241,52 @@ class TestDeviceDetectionPath:
         for (t1, c1), (t2, c2) in zip(host, device):
             assert abs(t1 - t2) < 1e-6
             assert abs(c1 - c2) < 2e-3
+
+    def test_pipelined_chunked_scan_matches_host(self, mini_world,
+                                                 template_group):
+        """`run_matched_filter_search` on the device path dispatches every
+        chunk's CC + extraction before fetching (overlapped pipeline) and
+        drops CC buffers between chunks; detections must equal the
+        sequential host path on a multi-template, multi-chunk bank."""
+        w = mini_world
+        tp0 = template_group.templates[0]
+        tps = []
+        for tid in range(4):
+            tp = Template.init_from_event(tp0)
+            tp.set_aux_data({"tid": tid})
+            tp.id = str(tid)
+            tps.append(tp)
+        tg = TemplateGroup(tps, w["net"])
+        white_noise = np.random.default_rng(0).normal(size=500).astype(
+            np.float32
+        )
+
+        def run(engine):
+            mf = MatchedFilter(
+                tg, min_channels=3, min_stations=2, max_kurto=1e6,
+                cfg=w["cfg"], engine=engine,
+            )
+            mf.set_data(w["data"])
+            mf.set_weights_channels(method="simple", normalize=True)
+            # force 2 templates per chunk
+            mf.max_memory_gb = 2.01 * mf.memory_cc_time_series_gb
+            dets = mf.run_matched_filter_search(
+                minimum_interevent_time=5.0, threshold_window_dur=200.0,
+                verbose=-1, white_noise=white_noise,
+            )
+            return {
+                tid: sorted(
+                    (d.origin_time_epoch, round(d.aux_data["cc"], 4))
+                    for d in evs
+                )
+                for tid, evs in dets.items()
+            }
+
+        host = run("xla")
+        device = run("pallas")
+        assert set(host) == set(device) and len(host) == 4
+        for tid in host:
+            assert len(host[tid]) == len(device[tid]) >= 2
+            for (t1, c1), (t2, c2) in zip(host[tid], device[tid]):
+                assert abs(t1 - t2) < 1e-6
+                assert abs(c1 - c2) < 2e-3
