@@ -54,13 +54,17 @@ def backproject_day(
     mesh=None,
     precision: str = "high",
     output_file: Optional[str] = None,
+    bf: Optional[Beamformer] = None,
 ):
     """One-day backprojection scan -> list of detected Events.
 
     feature_fn(data_arr) -> (features, availability); defaults to
     MAD-standardized envelopes.  With a PhaseNet picker use
     `phasenet_feature_fn`.
-    """
+
+    Pass a `Beamformer` instance via `bf` to reuse it across days — its
+    content-fingerprinted plan cache (compiled kernels + device-resident
+    moveouts/weights) then persists, so only the day's features move."""
     with GLOBAL_TIMER.stage("bp_features"):
         arr = data.get_np_array(network.stations)
         if feature_fn is None:
@@ -70,11 +74,14 @@ def backproject_day(
             # may return a device array (e.g. phasenet_feature_fn's
             # device path) — keep it resident; the engines accept both
             features = feature_fn(arr)
-    bf = Beamformer(
-        data=data, network=network, phases=list(phases),
-        travel_times=travel_times, cfg=cfg, engine=engine, mesh=mesh,
-        precision=precision,
-    )
+    if bf is None:
+        bf = Beamformer(
+            data=data, network=network, phases=list(phases),
+            travel_times=travel_times, cfg=cfg, engine=engine, mesh=mesh,
+            precision=precision,
+        )
+    else:
+        bf.set_data(data)
     n_feat_comp = int(features.shape[1])
     if n_feat_comp == network.n_components:
         # waveform-derived features (e.g. envelopes): P on vertical,
@@ -298,28 +305,44 @@ def compute_magnitudes(events, network: Network, fallback_mw_star=True,
 def scan_days(
     dates: Sequence,
     make_data: Callable,
-    template_group: TemplateGroup,
+    template_group: Optional[TemplateGroup] = None,
     cfg: Config = DEFAULT_CONFIG,
     state_file: Optional[str] = None,
     db_path: Optional[str] = None,
-    **mf_kwargs,
+    stage: str = "mf",
+    network: Optional[Network] = None,
+    travel_times: Optional[TravelTimes] = None,
+    **stage_kwargs,
 ) -> Dict:
-    """Multi-day matched-filter campaign with checkpoint/resume.
+    """Multi-day detection campaign with checkpoint/resume.
 
     The reference runs one POSIX process per day with lock-file-synchronized
-    writers (SURVEY.md section 2.4 P6); here days run sequentially on the
-    chip (or sharded over a mesh via `mesh=` in mf_kwargs) and progress is
-    checkpointed to a JSON state file so an interrupted campaign resumes at
-    the first unfinished day.
+    writers (SURVEY.md section 2.4 P6; day loops in notebooks 5 and 8 +
+    BPMF/utils.py:1883-1958); here days run sequentially on the chip (or
+    sharded over a mesh via `mesh=` in stage_kwargs) and progress is
+    checkpointed to a JSON state file so an interrupted campaign resumes
+    at the first unfinished day.
 
-    make_data(date) -> a `Data` instance with waveforms read.
-    Returns {date: {tid: [events]}}.
+    stage='mf' (requires `template_group`) runs `matched_filter_day` and
+    returns {date: {tid: [events]}}; stage='bp' (requires `network` +
+    `travel_times`) runs `backproject_day` and returns
+    {date: [events]}, writing per-day ``raw_bp_<date>.h5`` files under
+    `db_path`.  Both keep ONE campaign-persistent engine: plans upload
+    once and compiled kernels persist, only each day's waveforms move.
 
-    The next day's waveforms are read on a background thread while the
-    current day computes (the reference's ThreadPool IO, SURVEY.md §2.4 P7).
+    make_data(date) -> a `Data` instance with waveforms read.  The next
+    day's waveforms are read on a background thread while the current day
+    computes (the reference's ThreadPool IO, SURVEY.md §2.4 P7).
     """
     import json
     from concurrent.futures import ThreadPoolExecutor
+
+    if stage not in ("mf", "bp"):
+        raise ValueError(f"stage must be 'mf' or 'bp', got {stage!r}")
+    if stage == "mf" and template_group is None:
+        raise ValueError("stage='mf' requires template_group")
+    if stage == "bp" and (network is None or travel_times is None):
+        raise ValueError("stage='bp' requires network and travel_times")
 
     done = {}
     if state_file is not None and os.path.isfile(state_file):
@@ -330,27 +353,46 @@ def scan_days(
     todo = [d for d in dates if str(d) not in done]
     pool = ThreadPoolExecutor(max_workers=1)
     pending = pool.submit(make_data, todo[0]) if todo else None
-    # one engine for the whole campaign: template plans upload once and
-    # compiled kernels persist; only the day's waveforms move per day
-    day_kwargs = {
-        k: mf_kwargs.pop(k)
-        for k in ("minimum_interevent_time", "threshold_window_dur",
-                  "weights_method")
-        if k in mf_kwargs
-    }
-    mesh = mf_kwargs.pop("mesh", None)
-    mf = MatchedFilter(template_group, cfg=cfg, mesh=mesh, **mf_kwargs)
+
+    if stage == "mf":
+        day_kwargs = {
+            k: stage_kwargs.pop(k)
+            for k in ("minimum_interevent_time", "threshold_window_dur",
+                      "weights_method")
+            if k in stage_kwargs
+        }
+        mesh = stage_kwargs.pop("mesh", None)
+        engine = MatchedFilter(template_group, cfg=cfg, mesh=mesh,
+                               **stage_kwargs)
+
+        def run_day(date, data):
+            dets = matched_filter_day(
+                template_group, data, cfg=cfg, db_path=db_path,
+                mf=engine, **day_kwargs,
+            )
+            return dets, sum(len(v) for v in dets.values())
+    else:
+        bf_holder = {"bf": None}
+
+        def run_day(date, data):
+            out = None
+            if db_path is not None:
+                os.makedirs(db_path, exist_ok=True)
+                out = os.path.join(db_path, f"raw_bp_{date}.h5")
+            bf, dets = backproject_day(
+                data, network, travel_times, cfg=cfg, output_file=out,
+                bf=bf_holder["bf"], **stage_kwargs,
+            )
+            bf_holder["bf"] = bf
+            return dets, len(dets)
+
     for i, date in enumerate(todo):
         key = str(date)
         data = pending.result()
         pending = (pool.submit(make_data, todo[i + 1])
                    if i + 1 < len(todo) else None)
-        detections = matched_filter_day(
-            template_group, data, cfg=cfg, db_path=db_path, mf=mf,
-            **day_kwargs,
-        )
+        detections, n = run_day(date, data)
         results[key] = detections
-        n = sum(len(v) for v in detections.values())
         done[key] = {"n_detections": n}
         if state_file is not None:
             with open(state_file, "w") as f:

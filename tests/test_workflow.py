@@ -139,6 +139,61 @@ def test_scan_days_resume(world, tmp_path):
     assert r2 == {} and len(calls) == 2
 
 
+def test_scan_days_bp_campaign(world, tmp_path):
+    """BP campaign through scan_days: per-day detections + raw_bp_<date>
+    files + the same resume state, with ONE campaign-persistent
+    Beamformer (its plans upload once)."""
+    import os
+
+    w = world
+    state = str(tmp_path / "bp_campaign.json")
+    db = str(tmp_path / "bp_db")
+    calls = []
+    engines = []
+
+    orig = workflow.backproject_day
+
+    def spy(*a, **k):
+        out = orig(*a, **k)
+        engines.append(id(out[0]))
+        return out
+
+    workflow.backproject_day, restore = spy, orig
+    try:
+        r1 = workflow.scan_days(
+            ["d1", "d2"], lambda d: (calls.append(d) or w["data"]),
+            cfg=w["cfg"], state_file=state, db_path=db, stage="bp",
+            network=w["net"], travel_times=w["tts"],
+            minimum_interevent_time=10.0, threshold_window_sec=150.0,
+            num_closest_stations=N_STA,
+        )
+    finally:
+        workflow.backproject_day = restore
+    assert set(r1.keys()) == {"d1", "d2"} and len(calls) == 2
+    # the two injected events are found every day
+    for key in ("d1", "d2"):
+        assert len(r1[key]) >= 2
+        assert all(hasattr(ev, "aux_data") for ev in r1[key])
+    # the SAME Beamformer instance served both days
+    assert len(set(engines)) == 1
+    assert os.path.isfile(os.path.join(db, "raw_bp_d1.h5"))
+    assert os.path.isfile(os.path.join(db, "raw_bp_d2.h5"))
+    # resume: nothing re-run
+    r2 = workflow.scan_days(
+        ["d1", "d2"], lambda d: (calls.append(d) or w["data"]),
+        cfg=w["cfg"], state_file=state, db_path=db, stage="bp",
+        network=w["net"], travel_times=w["tts"],
+        minimum_interevent_time=10.0, threshold_window_sec=150.0,
+        num_closest_stations=N_STA,
+    )
+    assert r2 == {} and len(calls) == 2
+    # stage validation
+    with pytest.raises(ValueError, match="stage='bp' requires"):
+        workflow.scan_days(["d1"], lambda d: w["data"], stage="bp")
+    with pytest.raises(ValueError, match="template_group"):
+        workflow.scan_days(["d1"], lambda d: w["data"], stage="mf")
+
+
 def test_backproject_with_phasenet_features(world):
     """The picker-probability feature path (2 feature channels) flows
     through backproject_day end to end (untrained net: no detection count
