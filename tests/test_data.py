@@ -119,6 +119,82 @@ class TestHDF5Data:
         assert bool(avail.loc["ST1"]) and not bool(avail.loc["ST9"])
 
 
+def test_data_reader_pyasdf_path(rng, monkeypatch):
+    """Exercise the pyasdf reader body with a stub module implementing the
+    `ASDFDataSet.waveforms.<tag>` surface the reader consumes (the real
+    dependency is absent here; the code path itself must still run —
+    reference contract BPMF/data_reader_examples.py:47-113)."""
+    import sys
+    import types
+
+    from seismic_bpmf_tpu.data.readers import data_reader_pyasdf
+
+    class _TS:
+        def __init__(self, t):
+            self.timestamp = t
+
+    class _Stats:
+        def __init__(self, sta):
+            self.station, self.network = sta, "XX"
+            self.channel, self.location = "HHZ", "00"
+            self.sampling_rate = 25.0
+            self.starttime = _TS(1343260800.0)
+
+    class _FakeTrace:
+        def __init__(self, sta, data):
+            self.stats = _Stats(sta)
+            self.data = data
+
+    class _StationAccessor:
+        def __init__(self, sta, data):
+            self.raw_recording = [_FakeTrace(sta, data)]
+
+    class _Waveforms:
+        def __init__(self, rng):
+            self._d = {
+                "XX.ST1": _StationAccessor(
+                    "ST1", rng.normal(size=500).astype(np.float32)),
+                "XX.ST2": _StationAccessor(
+                    "ST2", rng.normal(size=500).astype(np.float32)),
+            }
+
+        def list(self):
+            return sorted(self._d)
+
+        def __getitem__(self, k):
+            return self._d[k]
+
+    class _FakeDataSet:
+        def __init__(self, where, mode="r"):
+            self.waveforms = _Waveforms(np.random.default_rng(3))
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    fake = types.ModuleType("pyasdf")
+    fake.ASDFDataSet = _FakeDataSet
+    monkeypatch.setitem(sys.modules, "pyasdf", fake)
+
+    st = data_reader_pyasdf("whatever.h5", stations=["ST1"])
+    assert len(st) == 1
+    assert st[0].stats.station == "ST1"
+    assert st[0].stats.sampling_rate == 25.0
+    assert len(st[0].data) == 500
+    # without the station filter both stations come back
+    st2 = data_reader_pyasdf("whatever.h5")
+    assert sorted(tr.stats.station for tr in st2) == ["ST1", "ST2"]
+    # time slicing applies
+    st3 = data_reader_pyasdf(
+        "whatever.h5",
+        starttime=np.datetime64("2012-07-26T00:00:04"),
+        endtime=np.datetime64("2012-07-26T00:00:08"),
+    )
+    assert len(st3[0].data) <= 101
+
+
 def _make_event(rng):
     moveouts = np.array([[1.0, 2.0], [1.5, 3.0]], np.float32)
     ev = Event(
