@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""MF kernel configuration sweep: lag-block depth (B) x template-chunk
+size, at 'high' precision, on the headline day shape.  Picks the fastest
+(B, chunk) to promote as the production default (BENCHMARKS.md Caveats:
+deeper lag blocks amortize the per-block Hankel/split VPU work; larger
+template chunks amortize it across more templates).
+
+    python scripts/mf_variants.py [n_tp] [combos...]
+    # combos as B:chunk, e.g. 4096:128 8192:128 8192:256
+"""
+
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax.numpy as jnp
+
+    from seismic_bpmf_tpu.ops.pallas_mf import PallasMatchedFilterPlan
+
+    n_tp = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    combos = [
+        tuple(map(int, c.split(":")))
+        for c in (sys.argv[2:] or ["4096:128", "8192:128", "8192:256",
+                                   "16384:128"])
+    ]
+    rng = np.random.default_rng(0)
+    n_sta, n_comp, L = 10, 3, 200
+    n_samp = 2_160_000
+    data = rng.normal(size=(n_sta, n_comp, n_samp)).astype(np.float32)
+    tp = rng.normal(size=(n_tp, n_sta, n_comp, L)).astype(np.float32)
+    mv = rng.integers(0, 400, size=(n_tp, n_sta, n_comp)).astype(np.int32)
+    w = np.full((n_tp, n_sta, n_comp), 1.0 / (n_sta * n_comp), np.float32)
+
+    # oracle slice for a correctness spot-check (first 2 templates,
+    # decimated lags)
+    from seismic_bpmf_tpu.ops import reference as ref
+
+    cc_ref = ref.matched_filter(tp[:2], mv[:2], w[:2], data)
+
+    for B, chunk in combos:
+        try:
+            t0 = time.time()
+            plans = [
+                PallasMatchedFilterPlan(
+                    tp[i:i + chunk], mv[i:i + chunk], w[i:i + chunk],
+                    n_samp, precision="high", lag_block=B,
+                    pad_left=0, max_moveout=400,
+                )
+                for i in range(0, n_tp, chunk)
+            ]
+            data_pad = plans[0].pad_data(data)
+
+            def run():
+                outs = [plan(data_pad) for plan in plans]
+                return [np.asarray(o[:, ::200000]) for o in outs]
+
+            run()
+            t_compile = time.time() - t0
+            times = []
+            for _ in range(3):
+                t0 = time.time()
+                run()
+                times.append(time.time() - t0)
+            dt = min(times)
+            n_corr = plans[0].n_corr_unit
+            gmacs = n_tp * n_sta * n_comp * n_corr * L / dt / 1e9
+            err = float(
+                np.abs(
+                    np.asarray(plans[0](data_pad)[:2, : cc_ref.shape[1]])
+                    - cc_ref
+                ).max()
+            )
+            print(f"B={B:6d} chunk={chunk:4d}: {dt:6.3f} s/day "
+                  f"{gmacs:6.0f} GMAC/s  err={err:.2e} "
+                  f"(compile {t_compile:.0f}s)", flush=True)
+        except Exception as e:
+            print(f"B={B:6d} chunk={chunk:4d}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:200]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
