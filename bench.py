@@ -28,6 +28,7 @@ for the same computation (the reference publishes no numbers; BASELINE.json
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -358,7 +359,30 @@ def main():
             "vs_baseline": 0.0,
         }))
         sys.exit(1)
-    print(json.dumps(bench_mf(precision=args.precision or "high")))
+    result = bench_mf(precision=args.precision or "high")
+    # secondary driver-visible figures (stderr comment lines + extras
+    # file); BENCH_QUICK=1 skips them
+    if not os.environ.get("BENCH_QUICK"):
+        extras = {}
+        for name, fn in (
+            ("beamform", lambda: bench_bp(n_src=10_000, budget_s=30.0,
+                                          precision="high")),
+            ("phasenet", bench_phasenet),
+        ):
+            try:
+                r = fn()
+                extras[name] = r
+                print(f"# {r['metric']}: {r['value']} {r['unit']}",
+                      file=sys.stderr)
+            except Exception as e:  # never lose the headline to an extra
+                print(f"# {name} extra failed: {type(e).__name__}: "
+                      f"{str(e)[:160]}", file=sys.stderr)
+        try:
+            with open("BENCH_EXTRAS.json", "w") as fh:
+                json.dump(extras, fh, indent=1)
+        except OSError:
+            pass
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

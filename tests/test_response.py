@@ -305,6 +305,107 @@ class TestExtractWindowsPositioning:
                 assert np.max(np.abs(windows["noise"][s, c])) < 0.2
 
 
+class TestMomentRecovery:
+    def test_mw_recovered_from_counts_with_known_response(self):
+        """The full physical-units chain: displacement encoding a known
+        seismic moment -> counts through a known instrument response ->
+        native deconvolution via extract_windows -> spectral fit recovers
+        the injected Mw (the reference's obspy-based chain,
+        BPMF/spectrum.py:1500-2009, done natively)."""
+        import pandas as pd
+
+        from seismic_bpmf_tpu.data import Network
+        from seismic_bpmf_tpu.data.events import Event
+        from seismic_bpmf_tpu.data.stream import Stream, Trace
+        from seismic_bpmf_tpu.source import (
+            compute_moment_magnitude,
+            moment_to_magnitude,
+        )
+        from seismic_bpmf_tpu.utils.geo import compute_distances
+
+        sr, fc, M0 = 100.0, 5.0, 1.0e13
+        rho, vp, vs = 2700.0, 6000.0, 3500.0
+        rad_P = np.sqrt(4.0 / 15.0)
+        rad_S = np.sqrt(2.0 / 5.0)
+        md = pd.DataFrame({
+            "stations": ["ST1", "ST2", "ST3"],
+            "networks": ["XX"] * 3,
+            "latitude": [40.05, 40.10, 40.15],
+            "longitude": [30.05, 30.12, 30.08],
+            "elevation_m": [0.0] * 3,
+        })
+        net = Network.from_dataframe(md)
+        ev_lon, ev_lat, ev_dep = 30.08, 40.09, 8.0
+        sel = net.metadata
+        dist_km = compute_distances(
+            [ev_lon], [ev_lat], [ev_dep],
+            sel["longitude"].values, sel["latitude"].values,
+            sel["depth_km"].values,
+        )[0]
+
+        duration = 4.0
+        n_win = int(duration * sr)
+        mv = np.array([[3.0, 8.0]] * 3, np.float32)  # P, S (sec)
+        ev = Event("2012-07-26T01:00:00", mv, list(net.stations),
+                   ["P", "S"], latitude=ev_lat, longitude=ev_lon,
+                   depth=ev_dep, sampling_rate=sr)
+        ev.set_aux_data({"offset_P": 3.0, "offset_S": 8.0})
+
+        def brune_pulse(omega0):
+            """Real window whose repo-convention displacement spectrum
+            2|X_k|/n equals omega0 / (1 + (f/fc)^2)."""
+            f = np.fft.rfftfreq(n_win, d=1.0 / sr)
+            amp = omega0 / (1.0 + (f / fc) ** 2)
+            xk = amp * n_win / 2.0
+            # linear phase centers the pulse in the window
+            xk = xk * np.exp(-2j * np.pi * f * (n_win / 2) / sr)
+            return np.fft.irfft(xk, n_win)
+
+        n = int(16.0 * sr)
+        ev.traces = Stream()
+        for s, sta in enumerate(net.stations):
+            r_m = 1000.0 * dist_km[s]
+            corr_p = (4 * np.pi * np.sqrt(rho) * np.sqrt(rho)
+                      * np.sqrt(vp) * vp**2.5 * r_m / rad_P)
+            corr_s = (4 * np.pi * np.sqrt(rho) * np.sqrt(rho)
+                      * np.sqrt(vs) * vs**2.5 * r_m / rad_S)
+            for cp in "NEZ":
+                d = np.zeros(n)
+                # P pulse on Z, S pulse on N (RSS over components then
+                # equals the single-channel amplitude)
+                if cp == "Z":
+                    i0 = int((3.0 - 0.5) * sr)
+                    d[i0:i0 + n_win] += brune_pulse(M0 / corr_p)
+                if cp == "N":
+                    i0 = int((8.0 - 0.5) * sr)
+                    d[i0:i0 + n_win] += brune_pulse(M0 / corr_s)
+                counts = _forward_counts_from_disp(d, sr)
+                tr = Trace(counts.astype(np.float32), station=sta,
+                           network="XX", channel=f"HH{cp}",
+                           sampling_rate=sr)
+                tr.stats.response = _response()
+                ev.traces += tr
+        ev.duration = n / sr
+
+        from seismic_bpmf_tpu.source import extract_windows
+
+        windows = extract_windows(
+            ev, duration_sec=duration, attach_response=True,
+            taper_percentage=0.0, noise_window_sec=duration,
+            offset_phase={"P": 0.5, "S": 0.5},
+            pre_filt=(0.2, 0.5, 45.0, 49.0),
+        )
+        spec = compute_moment_magnitude(
+            ev, net, windows=windows, Q0=1e9, rho=rho, vp=vp, vs=vs,
+            snr_threshold=2.0,
+        )
+        assert spec.fit_success
+        mw_inj = float(moment_to_magnitude(M0))
+        assert abs(spec.Mw - mw_inj) < 0.25, (
+            f"recovered Mw {spec.Mw:.2f} vs injected {mw_inj:.2f}"
+        )
+
+
 class TestExtractWindowsResponse:
     def test_displacement_recovered_through_extract_windows(self, rng):
         """counts-with-known-response traces -> displacement windows whose
