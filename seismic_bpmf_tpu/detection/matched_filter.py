@@ -321,6 +321,10 @@ class MatchedFilter:
                 import jax.numpy as jnp
 
                 cc_sums = jnp.nan_to_num(jnp.asarray(cc_sums))
+                # keep the whole chunk stacked: the batched extraction
+                # consumes it directly (slicing rows out and re-stacking
+                # costs ~2 device dispatches per template)
+                self._cc_stack = ([tg.tids[t] for t in run], cc_sums)
                 for i, t in enumerate(run):
                     # rows stay device-resident; detection extraction pulls
                     # only top-k candidates to the host
@@ -440,8 +444,11 @@ class MatchedFilter:
             ],
             np.float32,
         )
+        stack_tids, stack = getattr(self, "_cc_stack", (None, None))
+        cc_in = (stack if stack_tids == dev_tids
+                 else jnp.stack([self.cc[tid] for tid in dev_tids]))
         out = batch_candidates(
-            jnp.stack([self.cc[tid] for tid in dev_tids]),
+            cc_in,
             caps,
             int(sec_to_samp(self.threshold_window_dur, sr=sr)),
             self.cfg.n_dev_mf_threshold,
