@@ -325,10 +325,11 @@ class MatchedFilter:
                 # consumes it directly (slicing rows out and re-stacking
                 # costs ~2 device dispatches per template)
                 self._cc_stack = ([tg.tids[t] for t in run], cc_sums)
-                for i, t in enumerate(run):
-                    # rows stay device-resident; detection extraction pulls
-                    # only top-k candidates to the host
-                    self.cc[tg.tids[t]] = cc_sums[i]
+                if not getattr(self, "_defer_rows", False):
+                    for i, t in enumerate(run):
+                        # rows stay device-resident; detection extraction
+                        # pulls only top-k candidates to the host
+                        self.cc[tg.tids[t]] = cc_sums[i]
             else:
                 cc_sums = np.array(cc_sums)  # writable host copy
                 cc_sums[np.isnan(cc_sums)] = 0.0
@@ -422,12 +423,23 @@ class MatchedFilter:
         self._cand_pending = None
         if self.anomalous_cdf_at_mean_plus_1sig > 0.0:
             return white_noise
-        dev_tids = [
-            tid for tid, cc in self.cc.items()
-            if not isinstance(cc, np.ndarray) and cc.ndim == 1
-            and cc.shape[0] > 1
-        ]
+        stack_tids, stack = getattr(self, "_cc_stack", (None, None))
+        if (
+            stack_tids is not None
+            and stack.ndim == 2 and stack.shape[-1] > 1
+            and set(stack_tids) <= set(self.tids_subset)
+        ):
+            # the chunk's device rows, without touching (= materializing)
+            # per-row slices of the stack
+            dev_tids = list(stack_tids)
+        else:
+            dev_tids = [
+                tid for tid, cc in self.cc.items()
+                if not isinstance(cc, np.ndarray) and cc.ndim == 1
+                and cc.shape[0] > 1
+            ]
         if len(dev_tids) < 2:
+            self._materialize_rows()
             return white_noise
         import jax.numpy as jnp
 
@@ -462,6 +474,15 @@ class MatchedFilter:
         if fetch:
             self._batch_extract_collect()
         return white_noise
+
+    def _materialize_rows(self):
+        """Ensure per-tid CC rows exist for paths that read them (deferred
+        materialization skips them during pipelined dispatch)."""
+        stack_tids, stack = getattr(self, "_cc_stack", (None, None))
+        if stack_tids is not None:
+            for i, tid in enumerate(stack_tids):
+                if tid not in self.cc:
+                    self.cc[tid] = stack[i]
 
     def _batch_extract_collect(self):
         """Fetch a dispatched `_batch_extract` program's results into
@@ -728,6 +749,10 @@ class MatchedFilter:
             white_noise = kwargs.get("white_noise")
             contexts = []
             t0 = give_time()
+            # defer per-row CC materialization: the dispatch loop only
+            # needs the stacked chunk (each row slice is its own device
+            # dispatch; rows regenerate from cached plans on fallback)
+            self._defer_rows = True
             for lo in range(0, tg.n_templates, n_chunk):
                 tids_chunk = tg.tids[lo : lo + n_chunk]
                 self.compute_cc_time_series(tids=tids_chunk)
@@ -755,6 +780,8 @@ class MatchedFilter:
                 contexts.append(ctx)
                 self._cand_pending = None
                 self.cc = {}
+                self._cc_stack = (None, None)
+            self._defer_rows = False
             t_mf += give_time() - t0
 
             t0 = give_time()

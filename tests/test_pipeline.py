@@ -261,15 +261,16 @@ class TestDeviceDetectionPath:
             np.float32
         )
 
-        def run(engine):
+        def run(engine, per_chunk=2):
             mf = MatchedFilter(
                 tg, min_channels=3, min_stations=2, max_kurto=1e6,
                 cfg=w["cfg"], engine=engine,
             )
             mf.set_data(w["data"])
             mf.set_weights_channels(method="simple", normalize=True)
-            # force 2 templates per chunk
-            mf.max_memory_gb = 2.01 * mf.memory_cc_time_series_gb
+            mf.max_memory_gb = (
+                per_chunk + 0.01
+            ) * mf.memory_cc_time_series_gb
             dets = mf.run_matched_filter_search(
                 minimum_interevent_time=5.0, threshold_window_dur=200.0,
                 verbose=-1, white_noise=white_noise,
@@ -284,9 +285,13 @@ class TestDeviceDetectionPath:
 
         host = run("xla")
         device = run("pallas")
-        assert set(host) == set(device) and len(host) == 4
-        for tid in host:
-            assert len(host[tid]) == len(device[tid]) >= 2
-            for (t1, c1), (t2, c2) in zip(host[tid], device[tid]):
-                assert abs(t1 - t2) < 1e-6
-                assert abs(c1 - c2) < 2e-3
+        # ragged chunking: last chunk holds a single template (exercises
+        # the no-batch-program context path)
+        device_ragged = run("pallas", per_chunk=3)
+        for got in (device, device_ragged):
+            assert set(host) == set(got) and len(host) == 4
+            for tid in host:
+                assert len(host[tid]) == len(got[tid]) >= 2
+                for (t1, c1), (t2, c2) in zip(host[tid], got[tid]):
+                    assert abs(t1 - t2) < 1e-6
+                    assert abs(c1 - c2) < 2e-3
