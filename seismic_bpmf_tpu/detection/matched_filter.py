@@ -46,6 +46,7 @@ class MatchedFilter:
         mesh=None,
         engine: str = "auto",
         precision: str = "high",
+        template_chunk: int = 128,
     ):
         self.template_group = template_group
         self.min_channels = min_channels
@@ -67,9 +68,12 @@ class MatchedFilter:
         # 'default' = single bf16 pass (~2e-4, fastest).  Applies to the
         # Pallas engines; the XLA fallbacks always run f32 HIGHEST.
         self.precision = precision
+        # templates per fused-kernel plan: larger chunks amortize the
+        # per-channel Hankel build across more templates (VMEM-bounded)
+        self.template_chunk = template_chunk
 
     def _pallas_scan(self, run, templates, moveouts, weights,
-                     template_chunk: int = 64):
+                     template_chunk: Optional[int] = None):
         """Run the fused Pallas kernel with per-template-chunk plans cached
         across days (the filter build + transfer happens once per template
         set; only the day's data moves)."""
@@ -79,6 +83,8 @@ class MatchedFilter:
 
         import jax
 
+        if template_chunk is None:
+            template_chunk = self.template_chunk
         n_samp = self.data_arr.shape[-1]
         interpret = jax.default_backend() == "cpu"
         # the filters bake in template waveforms, moveouts AND channel
