@@ -40,17 +40,31 @@ def main():
 
     cc_ref = ref.matched_filter(tp[:2], mv[:2], w[:2], data)
 
+    import jax
+
+    def make_plans(B, chunk, prec):
+        plans = []
+        for i in range(0, n_tp, chunk):
+            p = PallasMatchedFilterPlan(
+                tp[i:i + chunk], mv[i:i + chunk], w[i:i + chunk],
+                n_samp,
+                precision=("highest" if prec == "xla-high" else prec),
+                lag_block=B, pad_left=0, max_moveout=400,
+            )
+            if prec == "xla-high":
+                # XLA's 3-pass f32 HIGH instead of the manual bf16 split:
+                # same MXU pass count as 'high' for the corr sweep, no
+                # per-channel VPU split work
+                p.precision = jax.lax.Precision.HIGH
+            plans.append(p)
+        return plans
+
+    precs = ["high", "xla-high"]
     for B, chunk in combos:
+      for prec in precs:
         try:
             t0 = time.time()
-            plans = [
-                PallasMatchedFilterPlan(
-                    tp[i:i + chunk], mv[i:i + chunk], w[i:i + chunk],
-                    n_samp, precision="high", lag_block=B,
-                    pad_left=0, max_moveout=400,
-                )
-                for i in range(0, n_tp, chunk)
-            ]
+            plans = make_plans(B, chunk, prec)
             data_pad = plans[0].pad_data(data)
 
             def run():
@@ -73,12 +87,12 @@ def main():
                     - cc_ref
                 ).max()
             )
-            print(f"B={B:6d} chunk={chunk:4d}: {dt:6.3f} s/day "
+            print(f"B={B:6d} chunk={chunk:4d} {prec:9s}: {dt:6.3f} s/day "
                   f"{gmacs:6.0f} GMAC/s  err={err:.2e} "
                   f"(compile {t_compile:.0f}s)", flush=True)
         except Exception as e:
-            print(f"B={B:6d} chunk={chunk:4d}: FAILED {type(e).__name__}: "
-                  f"{str(e)[:200]}", flush=True)
+            print(f"B={B:6d} chunk={chunk:4d} {prec:9s}: FAILED "
+                  f"{type(e).__name__}: {str(e)[:200]}", flush=True)
 
 
 if __name__ == "__main__":
