@@ -7,7 +7,7 @@ from .network import Network
 from .readers import data_reader_hdf5, data_reader_mseed, write_hdf5_continuous
 from .stationxml import ChannelResponse, Inventory, read_inventory
 from .stream import Stream, Trace
-from .travel_times import TravelTimes
+from .travel_times import TravelTimes, get_moveout_array, load_travel_times
 from .waveforms import Data, get_np_array
 
 __all__ = [
@@ -27,6 +27,8 @@ __all__ = [
     "TravelTimes",
     "data_reader_hdf5",
     "data_reader_mseed",
+    "get_moveout_array",
     "get_np_array",
+    "load_travel_times",
     "write_hdf5_continuous",
 ]

@@ -196,3 +196,64 @@ def grid_travel_times(
         receiver_longitudes, receiver_latitudes, receiver_depths,
     )
     return d / vp_km_s, d / vs_km_s
+
+
+def load_travel_times(path, phases, source_indexes=None,
+                      return_coords=False, stations=None):
+    """Function-level travel-time loader (BPMF/utils.py:590-659 API).
+
+    Returns a station-indexed DataFrame with one column per phase, each
+    cell holding the flat per-source travel-time vector; with
+    `source_indexes`, sources are selected by flat grid index and
+    returned in grid order (the reference's boolean-mask semantics).
+    The class-based `TravelTimes` container is the framework's native
+    interface; this wrapper preserves the reference's functional one.
+    """
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        grid_shape = f["source_coordinates"]["depth"].shape
+        mask = None
+        if source_indexes is not None:
+            mask = np.zeros(grid_shape, dtype=bool)
+            mask[np.unravel_index(np.asarray(source_indexes), grid_shape)] = True
+        sta_all = sorted(
+            {s for ph in phases for s in f[f"tt_{ph}"].keys()}
+        )
+        rows = [s for s in sta_all if stations is None or s in stations]
+        tts = pd.DataFrame(columns=list(phases), index=rows)
+        for ph in phases:
+            for sta in rows:
+                if sta not in f[f"tt_{ph}"]:
+                    continue
+                v = f[f"tt_{ph}"][sta][()]
+                tts.loc[sta, ph] = (
+                    v[mask].ravel() if mask is not None else v.ravel()
+                )
+        if return_coords:
+            n = (len(source_indexes) if source_indexes is not None
+                 else int(np.prod(grid_shape)))
+            idx = (np.asarray(source_indexes) if source_indexes is not None
+                   else np.arange(n))
+            coords = pd.DataFrame(
+                columns=["longitude", "latitude", "depth"], index=idx
+            )
+            for c in f["source_coordinates"].keys():
+                v = f["source_coordinates"][c][()]
+                coords[c] = (v[mask].ravel() if mask is not None
+                             else v.ravel())
+    if return_coords:
+        return tts, coords
+    return tts
+
+
+def get_moveout_array(tts, stations, phases):
+    """(n_sources, n_stations, n_phases) array from `load_travel_times`
+    output, ordered by `stations`/`phases` (BPMF/utils.py:563-588 API;
+    values stay in seconds)."""
+    cols = np.stack(
+        [np.asarray(tts[ph][sta], dtype=float)
+         for sta in stations for ph in phases],
+        axis=-1,
+    )
+    return cols.reshape(-1, len(stations), len(phases))

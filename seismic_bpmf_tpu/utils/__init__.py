@@ -1,5 +1,10 @@
 """Host-side utilities (time conversion, geodesy, clustering, logging)."""
 
+from .geo import (
+    compute_distances,
+    two_point_distance,
+    two_point_epicentral_distance,
+)
 from .stats import (
     cov_mat_intersection,
     event_count,
@@ -28,6 +33,9 @@ __all__ = [
     "event_count",
     "running_mad",
     "spectrogram",
+    "compute_distances",
+    "two_point_distance",
+    "two_point_epicentral_distance",
 ]
 
 

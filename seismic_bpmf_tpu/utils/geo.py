@@ -48,6 +48,12 @@ def two_point_distance(lon1, lat1, depth1, lon2, lat2, depth2):
     return np.sqrt(d_epi**2 + (np.asarray(depth1) - np.asarray(depth2)) ** 2)
 
 
+def two_point_epicentral_distance(lat_1, lon_1, lat_2, lon_2):
+    """Surface (epicentral) distance in km; note the reference's
+    (lat, lon) argument order (BPMF/utils.py:1778-1802)."""
+    return geodesic_distance_km(lon_1, lat_1, lon_2, lat_2)
+
+
 def compute_distances(
     source_longitudes,
     source_latitudes,

@@ -119,6 +119,47 @@ class TestHDF5Data:
         assert bool(avail.loc["ST1"]) and not bool(avail.loc["ST9"])
 
 
+def test_functional_travel_time_api(rng, tmp_path):
+    """`load_travel_times` / `get_moveout_array` (BPMF/utils.py:563-659
+    functional API) against the same HDF5 contract as the TravelTimes
+    container, incl. flat-index source subsetting in grid order."""
+    from seismic_bpmf_tpu.data import (
+        TravelTimes, get_moveout_array, load_travel_times,
+    )
+
+    n_src = 12
+    tt_p = {f"S{i}": rng.uniform(1, 5, n_src).astype(np.float32)
+            for i in range(3)}
+    tt_s = {k: (v * 1.7).astype(np.float32) for k, v in tt_p.items()}
+    path = str(tmp_path / "tts.h5")
+    TravelTimes.write_table(
+        path, {"P": tt_p, "S": tt_s},
+        {"longitude": np.linspace(30, 31, n_src),
+         "latitude": np.linspace(40, 41, n_src),
+         "depth": np.full(n_src, 8.0)},
+    )
+    tts = load_travel_times(path, ["P", "S"])
+    np.testing.assert_allclose(tts["P"]["S1"], tt_p["S1"])
+    arr = get_moveout_array(tts, ["S0", "S2"], ["P", "S"])
+    assert arr.shape == (n_src, 2, 2)
+    np.testing.assert_allclose(arr[:, 1, 1], tt_s["S2"])
+    # flat-index subsetting, grid order; coords follow
+    sub, coords = load_travel_times(
+        path, ["P"], source_indexes=np.array([7, 2, 5]),
+        return_coords=True, stations=["S0"],
+    )
+    np.testing.assert_allclose(sub["P"]["S0"], tt_p["S0"][[2, 5, 7]])
+    np.testing.assert_allclose(
+        np.sort(coords["depth"].values.astype(float)), [8.0, 8.0, 8.0]
+    )
+    assert list(sub.index) == ["S0"]
+
+    from seismic_bpmf_tpu.utils import two_point_epicentral_distance
+
+    d = two_point_epicentral_distance(40.0, 30.0, 41.0, 30.0)
+    assert 105.0 < d < 115.0  # ~1 degree of latitude
+
+
 def test_data_reader_pyasdf_path(rng, monkeypatch):
     """Exercise the pyasdf reader body with a stub module implementing the
     `ASDFDataSet.waveforms.<tag>` surface the reader consumes (the real
