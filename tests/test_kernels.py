@@ -355,6 +355,45 @@ class TestBatchCandidates:
         assert int(np.asarray(out2[5])) == 40  # blocks_hit reported
         assert 40 > 16  # caller must fall back
 
+    def test_two_stage_extraction_fuzz(self):
+        """Randomized densities/cluster shapes: wherever the two-stage
+        bounds hold, the candidate set equals the one-stage kernel's."""
+        import jax.numpy as jnp
+
+        from seismic_bpmf_tpu.ops.thresholds import (
+            CANDIDATE_BLOCK,
+            _candidate_extract_kernel,
+            _candidate_extract_two_stage,
+        )
+
+        rng = np.random.default_rng(99)
+        for trial in range(12):
+            n = int(rng.integers(5_000, 120_000))
+            cc = rng.normal(size=n).astype(np.float32) * 0.02
+            thr = np.full(n, float(rng.uniform(0.2, 0.4)), np.float32)
+            n_clusters = int(rng.integers(0, 12))
+            for _ in range(n_clusters):
+                at = int(rng.integers(0, n - 30))
+                width = int(rng.integers(1, 30))
+                cc[at:at + width] += rng.uniform(0.3, 0.8)
+            k, k_blocks = 256, 16
+            out2 = _candidate_extract_two_stage(
+                jnp.asarray(cc), jnp.asarray(thr), k, k_blocks
+            )
+            na2, bh = int(np.asarray(out2[3])), int(np.asarray(out2[5]))
+            want = np.flatnonzero(cc > thr)
+            assert na2 == len(want)
+            if bh > k_blocks or na2 > k:
+                continue  # caller falls back; bounds honestly reported
+            idx2 = np.sort(np.asarray(out2[0])[:na2])
+            np.testing.assert_array_equal(idx2, want)
+            out1 = _candidate_extract_kernel(
+                jnp.asarray(cc), jnp.asarray(thr), min(k, n)
+            )
+            np.testing.assert_array_equal(
+                idx2, np.sort(np.asarray(out1[0])[:na2])
+            )
+
     def test_batch_candidates_mad(self):
         import jax.numpy as jnp
 
