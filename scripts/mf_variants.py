@@ -48,8 +48,10 @@ def main():
             p = PallasMatchedFilterPlan(
                 tp[i:i + chunk], mv[i:i + chunk], w[i:i + chunk],
                 n_samp,
-                precision=("highest" if prec == "xla-high" else prec),
+                precision=("highest" if prec == "xla-high" else
+                           "high" if prec.startswith("high") else prec),
                 lag_block=B, pad_left=0, max_moveout=400,
+                pack_split=(prec == "high-pack"),
             )
             if prec == "xla-high":
                 # XLA's 3-pass f32 HIGH instead of the manual bf16 split:
@@ -59,7 +61,7 @@ def main():
             plans.append(p)
         return plans
 
-    precs = ["high", "xla-high"]
+    precs = ["high", "high-pack", "xla-high"]
     for B, chunk in combos:
       for prec in precs:
         try:

@@ -62,6 +62,37 @@ def _split_bf16(x):
     return hi.astype(jnp.bfloat16), (x - hi).astype(jnp.bfloat16)
 
 
+def _bf16_rtn_bits(x):
+    """uint32 f32 bit pattern of round-to-nearest-even bf16(x), in the
+    high half (low mantissa bits zeroed)."""
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    rounded = u + jnp.uint32(0x7FFF) + ((u >> 16) & jnp.uint32(1))
+    return rounded & jnp.uint32(0xFFFF0000)
+
+
+def _pack_bf16_pair(x):
+    """f32 -> ONE uint32 holding the (hi, lo) bf16 pair's bit patterns
+    (hi in the high half, lo in the low half).  Numerically identical to
+    `_split_bf16`; packing lets the Hankel roll once per channel on a
+    32-bit array (Mosaic's strided rotate is 32-bit only) with a cheap
+    bit-level unpack instead of the full round-to-nearest split."""
+    hi_bits = _bf16_rtn_bits(x)
+    hi = jax.lax.bitcast_convert_type(hi_bits, jnp.float32)
+    lo_bits = _bf16_rtn_bits(x - hi)
+    return hi_bits | (lo_bits >> 16)
+
+
+def _unpack_bf16_pair(p):
+    """Packed uint32 -> (hi, lo) bf16 arrays (exact bit recovery)."""
+    hi = jax.lax.bitcast_convert_type(
+        p & jnp.uint32(0xFFFF0000), jnp.float32
+    ).astype(jnp.bfloat16)
+    lo = jax.lax.bitcast_convert_type(
+        p << jnp.uint32(16), jnp.float32
+    ).astype(jnp.bfloat16)
+    return hi, lo
+
+
 def _sliding_sum(x, L: int, W: int):
     """Window sums s[p] = sum_{j<L} x[:, p+j] via shift-doubling.
 
@@ -216,6 +247,7 @@ def _mf_kernel_split(
     n_tp_pad: int,
     Q: int,
     inv_l: float,
+    pack_split: bool = False,
 ):
     """Precision-ladder ("high") variant of `_mf_kernel`: every f32 operand
     is split into two bf16 components (x = x_hi + x_lo, |x_lo| <= 2^-9|x|)
@@ -258,13 +290,27 @@ def _mf_kernel_split(
         return pltpu.roll(jnp.broadcast_to(row, (128, W)), W - 127, 1,
                           stride=1, stride_axis=0)
 
+    if pack_split:
+        # split ONCE per block on the (n_ch, W) rows and roll the packed
+        # 32-bit (hi | lo) pairs — the per-channel work drops to a cheap
+        # bit-level unpack of the rolled Hankel
+        d_packed = _pack_bf16_pair(win_scratch[...])
+        y_packed = _pack_bf16_pair(y_scratch[...])
+
     def channel_body(c, acc):
-        # the Hankels roll in f32 (Mosaic's strided rotate is 32-bit only)
-        # and split ONCE per channel into bf16 pairs — the per-tap-block
-        # (128, B) slices overlap at 128-lane offsets, so splitting whole
-        # rolled Hankels costs ~(W/B)/(n_k_live + Q) of per-slice splitting
-        gh, gl = _split_bf16(hankel(win_scratch[pl.ds(c, 1), :]))
-        yh, yl = _split_bf16(hankel(y_scratch[pl.ds(c, 1), :]))
+        if pack_split:
+            row_d = jax.lax.dynamic_slice_in_dim(d_packed, c, 1, 0)
+            row_y = jax.lax.dynamic_slice_in_dim(y_packed, c, 1, 0)
+            gh, gl = _unpack_bf16_pair(hankel(row_d))
+            yh, yl = _unpack_bf16_pair(hankel(row_y))
+        else:
+            # the Hankels roll in f32 (Mosaic's strided rotate is 32-bit
+            # only) and split ONCE per channel into bf16 pairs — the
+            # per-tap-block (128, B) slices overlap at 128-lane offsets,
+            # so splitting whole rolled Hankels costs
+            # ~(W/B)/(n_k_live + Q) of per-slice splitting
+            gh, gl = _split_bf16(hankel(win_scratch[pl.ds(c, 1), :]))
+            yh, yl = _split_bf16(hankel(y_scratch[pl.ds(c, 1), :]))
 
         klo, khi = kb_ref[c, 0], kb_ref[c, 1]
         qlo, qhi = kb_ref[c, 2], kb_ref[c, 3]
@@ -307,11 +353,12 @@ def _mf_kernel_split(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("L", "B", "LM_pad", "n_corr_pad", "n_ch", "interpret"),
+    static_argnames=("L", "B", "LM_pad", "n_corr_pad", "n_ch", "interpret",
+                     "pack_split"),
 )
 def _mf_pallas_call_split(
     fh, fl, sel, hi, lo, data_pad, base=None, kb=None,
-    *, L, B, LM_pad, n_corr_pad, n_ch, interpret=False,
+    *, L, B, LM_pad, n_corr_pad, n_ch, interpret=False, pack_split=False,
 ):
     if base is None:
         base = jnp.zeros((1, 1), jnp.float32)
@@ -328,7 +375,7 @@ def _mf_pallas_call_split(
     kernel = functools.partial(
         _mf_kernel_split,
         L=L, LM_pad=LM_pad, B=B, n_ch=n_ch, n_tp_pad=n_tp_pad, Q=Q,
-        inv_l=1.0 / L,
+        inv_l=1.0 / L, pack_split=pack_split,
     )
     return pl.pallas_call(
         kernel,
@@ -428,7 +475,7 @@ class PallasMatchedFilterPlan:
     def __init__(self, templates, moveouts, weights, n_samp: int,
                  lag_block: int = 4096, interpret: bool = False,
                  precision: str = "highest", pad_left: int = None,
-                 max_moveout: int = None):
+                 max_moveout: int = None, pack_split: bool = False):
         # note: template_chunk=128 in callers balances VMEM vs MXU occupancy
         templates = np.asarray(templates, np.float32)
         moveouts = np.asarray(moveouts, np.int64)
@@ -438,6 +485,9 @@ class PallasMatchedFilterPlan:
         self.n_tp, self.n_ch, self.L = n_tp, n_ch, L
         self.n_samp = n_samp
         self.interpret = interpret
+        # 'high' only: roll packed (hi|lo) bf16 pairs instead of rolling
+        # f32 Hankels and splitting each per channel (same numerics)
+        self.pack_split = pack_split
         # 'highest' = 6-pass f32 MXU (bit-parity with the NumPy oracle,
         #             ~3e-7); 'high' = explicit 2-component bf16 split,
         # 3-pass corr + exact one-hot select (~1e-6, ~2x faster);
@@ -567,7 +617,7 @@ class PallasMatchedFilterPlan:
                 data_pad, kb=self.kb,
                 L=self.L, B=self.B, LM_pad=self.LM_pad,
                 n_corr_pad=self.n_corr_pad, n_ch=self.n_ch,
-                interpret=self.interpret,
+                interpret=self.interpret, pack_split=self.pack_split,
             )
         else:
             out = _mf_pallas_call(
