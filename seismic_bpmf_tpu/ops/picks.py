@@ -130,12 +130,16 @@ def find_picks(phase_probability, threshold, **kwargs):
     mass = cum_p[hi + 1] - cum_p[lo]
     mean = (cum_tp[hi + 1] - cum_tp[lo]) / mass
 
-    # closed forms for sum(k) and sum(k^2) over [lo, hi]
-    count = (hi - lo + 1).astype(np.float64)
-    sum_t = (lo + hi) * count / 2.0
-    sq = lambda m: m * (m + 1) * (2 * m + 1) / 6.0
-    sum_t2 = sq(hi.astype(np.float64)) - sq(lo.astype(np.float64) - 1.0)
-    dev2 = sum_t2 - 2.0 * mean * sum_t + count * mean**2
+    # closed forms for sum(m) and sum(m^2) over the peak's SHIFTED indexes
+    # m = k - lo in [0, n-1]: all terms stay O(width^3), so no
+    # catastrophic cancellation at day-scale absolute sample indexes
+    # (computing sum(k^2) ~ (8.6e6)^3 directly loses the O(100) deviation
+    # entirely in float64)
+    n = (hi - lo + 1).astype(np.float64)
+    mu = mean - lo
+    sum_m = n * (n - 1.0) / 2.0
+    sum_m2 = n * (n - 1.0) * (2.0 * n - 1.0) / 6.0
+    dev2 = np.maximum(sum_m2 - 2.0 * mu * sum_m + n * mu**2, 0.0)
     std = np.sqrt(dev2 / mass)
     return prob[peaks], mean, std
 

@@ -57,6 +57,27 @@ def test_find_picks_empty():
     assert len(v) == len(m) == len(s) == 0
 
 
+def test_find_picks_day_scale_indexes():
+    """Pick uncertainties at day-scale absolute sample indexes must match
+    the same peak at a small index (sum(k^2) closed forms evaluated at
+    k ~ 8.6e6 catastrophically cancel in float64 unless the index origin
+    is shifted to the peak)."""
+    off = 8_640_000  # one day at 100 Hz
+    t = np.arange(3000)
+    bump = 0.9 * np.exp(-((t - 1500) ** 2) / (2 * 25.0**2))
+    near = np.zeros(4000)
+    near[500:3500] = bump
+    far = np.zeros(off + 4000)
+    far[off + 500 : off + 3500] = bump
+    v1, m1, s1 = find_picks(near, 0.3)
+    v2, m2, s2 = find_picks(far, 0.3)
+    assert len(v1) == len(v2) == 1
+    np.testing.assert_allclose(v2, v1, rtol=1e-12)
+    np.testing.assert_allclose(m2 - off, m1, atol=1e-6)
+    assert np.all(np.isfinite(s2))
+    np.testing.assert_allclose(s2, s1, rtol=1e-9)
+
+
 def _mkpicks(data):
     rows = {}
     for sta, d in data.items():
