@@ -97,6 +97,27 @@ def event_count(
 
     if mode not in ("end", "beginning"):
         raise ValueError("mode should be 'end' or 'beginning'")
+
+    def _freq_timedelta(f):
+        # fixed-duration frequencies only; bare units ('D', 'W', 'min')
+        # are valid Grouper freqs but not Timedelta strings, so classify
+        # via the offset object (pd.Timedelta('1MS') would silently parse
+        # month-start as milliseconds)
+        from pandas.tseries.frequencies import to_offset
+        from pandas.tseries.offsets import Day, Tick, Week
+
+        o = to_offset(f)
+        if isinstance(o, Tick):
+            return pd.Timedelta(o.nanos, unit="ns")
+        if isinstance(o, Day):
+            return pd.Timedelta(days=o.n)
+        if isinstance(o, Week):
+            # anchored or not, a week is a fixed 7-day duration
+            return pd.Timedelta(days=7 * o.n)
+        raise ValueError(
+            f"offset={offset} cannot be applied to calendar-dependent "
+            f"frequency {f!r} (no fixed duration)"
+        )
     start_date = pd.to_datetime(str(start_date).replace(",", "-"))
     end_date = pd.to_datetime(str(end_date).replace(",", "-"))
     times = pd.to_datetime(np.asarray(event_timings).astype("U"))
@@ -109,28 +130,25 @@ def event_count(
     label = "right" if mode == "end" else "left"
     shift = None
     if offset != 0.0:
-        try:
-            shift = pd.Timedelta(freq) * float(offset)
-        except ValueError:
-            raise ValueError(
-                f"offset={offset} cannot be applied to calendar-dependent "
-                f"frequency {freq!r} (no fixed duration)"
-            ) from None
+        shift = _freq_timedelta(freq) * float(offset)
         occurrence.index = occurrence.index - shift
     counts = occurrence.groupby(
         pd.Grouper(freq=freq, label=label)
     ).agg("sum")
     if shift is not None:
         counts.index = counts.index + shift
+    from pandas.tseries.frequencies import to_offset
+
+    step = to_offset(freq)  # DateOffset arithmetic: calendar freqs too
     first, last = counts.index[0], counts.index[-1]
     if first > start_date:
-        counts[first - pd.Timedelta(freq)] = 0
+        counts[first - step] = 0
     if last < end_date:
-        counts[last + pd.Timedelta(freq)] = 0
+        counts[last + step] = 0
     if trim_start or offset == 0.0:
         counts = counts[counts.index >= start_date]
     if trim_end or offset == 0.0:
-        stop = end_date + pd.Timedelta(freq) if offset > 0.0 else end_date
+        stop = end_date + step if offset > 0.0 else end_date
         counts = counts[counts.index <= stop]
     return counts.sort_index()
 

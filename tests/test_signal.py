@@ -123,6 +123,12 @@ class TestStats:
         counts_w = event_count(times, "2020-01-01", "2020-03-01",
                                freq="1W", offset=0.5)
         assert int(counts_w.sum()) == 2
+        # bare-unit frequency strings ('D', 'W') are valid Grouper freqs
+        # and must accept offsets like their '1D'/'1W' forms
+        counts_bare = event_count(times, "2020-01-01", "2020-01-03",
+                                  freq="D", offset=0.5)
+        assert int(counts_bare.max()) == 1
+        assert int(counts_bare.sum()) == 2
         # calendar-dependent frequency has no fixed duration: raise
         # instead of silently mis-binning
         with pytest.raises(ValueError, match="calendar"):
