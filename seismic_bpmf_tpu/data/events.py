@@ -488,9 +488,17 @@ class Event:
                     and not pd.isnull(at.loc[sta, f"{ph}_tt_sec"])
                 ):
                     predicted_tt = float(at.loc[sta, f"{ph}_tt_sec"])
-                    predicted = epoch_from_utc(np.datetime64(
-                        at.loc[sta, f"{ph}_abs_arrival_times"]
-                    ))
+                    abs_col = f"{ph}_abs_arrival_times"
+                    if abs_col in at.columns and not pd.isnull(
+                        at.loc[sta, abs_col]
+                    ):
+                        predicted = epoch_from_utc(np.datetime64(
+                            at.loc[sta, abs_col]
+                        ))
+                    else:
+                        # tables with only tt columns (e.g. hand-built):
+                        # absolute arrival = origin time + predicted tt
+                        predicted = ot + predicted_tt
                 elif (
                     sta in self.moveouts.index
                     and f"moveouts_{ph}" in self.moveouts.columns

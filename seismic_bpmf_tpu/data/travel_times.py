@@ -214,9 +214,14 @@ def load_travel_times(path, phases, source_indexes=None,
     with h5py.File(path, "r") as f:
         grid_shape = f["source_coordinates"]["depth"].shape
         mask = None
+        sel = None
         if source_indexes is not None:
+            # boolean-mask gather returns ascending-unique grid order —
+            # make that order explicit so the coords labels below match
+            # the gathered values even for unsorted/duplicated inputs
+            sel = np.unique(np.asarray(source_indexes))
             mask = np.zeros(grid_shape, dtype=bool)
-            mask[np.unravel_index(np.asarray(source_indexes), grid_shape)] = True
+            mask[np.unravel_index(sel, grid_shape)] = True
         sta_all = sorted(
             {s for ph in phases for s in f[f"tt_{ph}"].keys()}
         )
@@ -231,10 +236,8 @@ def load_travel_times(path, phases, source_indexes=None,
                     v[mask].ravel() if mask is not None else v.ravel()
                 )
         if return_coords:
-            n = (len(source_indexes) if source_indexes is not None
-                 else int(np.prod(grid_shape)))
-            idx = (np.asarray(source_indexes) if source_indexes is not None
-                   else np.arange(n))
+            idx = (sel if sel is not None
+                   else np.arange(int(np.prod(grid_shape))))
             coords = pd.DataFrame(
                 columns=["longitude", "latitude", "depth"], index=idx
             )

@@ -316,6 +316,16 @@ def relocate_nlloc(
         event.set_aux_data(
             {"NLLoc_reloc": True, "tt_rms": hypo["tt_rms"]}
         )
+        # absolute predicted arrivals = new origin time + predicted tt
+        # (the reference's `{ph}_abs_arrival_times` columns,
+        # BPMF/dataset.py:2488-2491)
+        ot = pd.Timestamp(str(event.origin_time))
+        for ph in ("P", "S"):
+            predicted[f"{ph}_abs_arrival_times"] = [
+                (ot + pd.Timedelta(seconds=float(tt)))
+                if np.isfinite(tt) else pd.NaT
+                for tt in predicted[f"{ph}_tt_sec"]
+            ]
         event.arrival_times = predicted
         event.hor_ver_uncertainties()
         return event

@@ -149,10 +149,23 @@ def test_functional_travel_time_api(rng, tmp_path):
         return_coords=True, stations=["S0"],
     )
     np.testing.assert_allclose(sub["P"]["S0"], tt_p["S0"][[2, 5, 7]])
+    # coords labels must align with the gathered (ascending grid order)
+    # values even though source_indexes came unsorted
+    assert list(coords.index) == [2, 5, 7]
+    lons = np.linspace(30, 31, n_src)
+    for i in (2, 5, 7):
+        assert coords.loc[i, "longitude"] == pytest.approx(lons[i])
     np.testing.assert_allclose(
         np.sort(coords["depth"].values.astype(float)), [8.0, 8.0, 8.0]
     )
     assert list(sub.index) == ["S0"]
+    # duplicate indexes collapse to unique sources instead of raising
+    sub2, coords2 = load_travel_times(
+        path, ["P"], source_indexes=np.array([3, 3]), return_coords=True,
+        stations=["S0"],
+    )
+    assert list(coords2.index) == [3]
+    np.testing.assert_allclose(sub2["P"]["S0"], tt_p["S0"][[3]])
 
     from seismic_bpmf_tpu.utils import two_point_epicentral_distance
 
@@ -347,6 +360,50 @@ class TestEvent:
         )
         ev2.remove_outlier_picks(max_diff_percent=25.0, min_tt=2.0)
         assert not pd.isnull(ev2.picks.loc["ST1", "P_abs_picks"])
+
+    def test_remove_outlier_picks_nlloc_table(self, rng):
+        """The NLLoc branch: `arrival_times` as the relocation driver
+        produces it (`{ph}_tt_sec` / `{ph}_residuals_sec` columns; the
+        absolute-arrival column may be absent, in which case the
+        predicted arrival falls back to origin time + tt)."""
+        ev = Event(
+            "2012-07-26T01:02:03.5",
+            np.array([[4.0, 8.0], [5.0, 10.0]], np.float32),
+            ["ST1", "ST2"], ["P", "S"], sampling_rate=25.0,
+        )
+        ot = ev.origin_time_epoch
+
+        def ts(sec):
+            return pd.Timestamp(np.datetime64(int((ot + sec) * 1e9), "ns"))
+
+        # NLLoc-predicted travel times differ from the moveouts
+        ev.arrival_times = pd.DataFrame(
+            {"P_tt_sec": [4.5, 5.5], "P_residuals_sec": [0.0, 0.0],
+             "S_tt_sec": [np.nan, 9.5], "S_residuals_sec": [np.nan, 0.0]},
+            index=pd.Index(["ST1", "ST2"], name="stations"),
+        )
+        ev.picks = pd.DataFrame(
+            {
+                # ST1 P picked at 4.7 vs predicted 4.5 (4% ok); ST2 P at
+                # 8.0 vs 5.5 = 45% -> dropped
+                "P_picks": [117.0, 200.0],
+                "P_probas": [0.9, 0.8],
+                "P_unc": [1.0, 1.0],
+                "P_abs_picks": [ts(4.7), ts(8.0)],
+                # ST1 S: no NLLoc tt -> falls back to moveout (8.0), pick
+                # at 8.4 = 5% ok; ST2 S at 9.6 vs NLLoc 9.5 = 1% ok
+                "S_picks": [210.0, 240.0],
+                "S_probas": [0.7, 0.6],
+                "S_unc": [1.0, 1.0],
+                "S_abs_picks": [ts(8.4), ts(9.6)],
+            },
+            index=pd.Index(["ST1", "ST2"], name="stations"),
+        )
+        ev.remove_outlier_picks(max_diff_percent=25.0)
+        assert not pd.isnull(ev.picks.loc["ST1", "P_abs_picks"])
+        assert pd.isnull(ev.picks.loc["ST2", "P_abs_picks"])
+        assert not pd.isnull(ev.picks.loc["ST1", "S_abs_picks"])
+        assert not pd.isnull(ev.picks.loc["ST2", "S_abs_picks"])
 
 
 def _template_with_waveforms(rng, tmp_path):
