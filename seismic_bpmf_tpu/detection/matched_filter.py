@@ -450,8 +450,13 @@ class MatchedFilter:
         import jax.numpy as jnp
 
         if white_noise is None:
-            n_noise = (500 if self.threshold_type == "rms"
-                       else int(self.cc[dev_tids[0]].shape[0]))
+            if self.threshold_type == "rms":
+                n_noise = 500
+            elif stack_tids is not None and stack_tids == dev_tids:
+                # deferred-row dispatch: rows live only in the stack
+                n_noise = int(stack.shape[-1])
+            else:
+                n_noise = int(self.cc[dev_tids[0]].shape[0])
             white_noise = np.random.normal(size=n_noise).astype(np.float32)
         sr = self.data.sr
         caps = np.array(

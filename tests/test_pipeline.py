@@ -295,3 +295,32 @@ class TestDeviceDetectionPath:
                 for (t1, c1), (t2, c2) in zip(host[tid], got[tid]):
                     assert abs(t1 - t2) < 1e-6
                     assert abs(c1 - c2) < 2e-3
+
+    def test_pipelined_mad_threshold_no_white_noise(self, mini_world,
+                                                    template_group):
+        """threshold_type='mad' on the pipelined device path with NO
+        explicit white_noise (the production scan_days path): the
+        noise-fill sizing must come from the chunk's stacked CC, since
+        deferred-row dispatch never writes per-tid rows."""
+        w = mini_world
+        tp0 = template_group.templates[0]
+        tps = []
+        for tid in range(4):
+            tp = Template.init_from_event(tp0)
+            tp.set_aux_data({"tid": tid})
+            tp.id = str(tid)
+            tps.append(tp)
+        tg = TemplateGroup(tps, w["net"])
+        mf = MatchedFilter(
+            tg, min_channels=3, min_stations=2, max_kurto=1e6,
+            cfg=w["cfg"], engine="pallas", threshold_type="mad",
+        )
+        mf.set_data(w["data"])
+        mf.set_weights_channels(method="simple", normalize=True)
+        mf.max_memory_gb = 2.01 * mf.memory_cc_time_series_gb
+        dets = mf.run_matched_filter_search(
+            minimum_interevent_time=5.0, threshold_window_dur=200.0,
+            verbose=-1,
+        )
+        assert {str(t) for t in dets} == {"0", "1", "2", "3"}
+        assert all(len(evs) >= 2 for evs in dets.values())
