@@ -88,8 +88,15 @@ def build_world(tmp, n_sta=10, n_src=10_000, sr=25.0, day_sec=86400.0,
     def make_data(date):
         # one file per distinct date, generated on first use (the
         # prefetch thread pays this, like real disk IO)
+        path_cached = os.path.join(tmp, f"{date}.h5")
+        if date not in day_files and os.path.exists(path_cached):
+            day_files[date] = path_cached  # reuse across a resume
         if date not in day_files:
-            drng = np.random.default_rng(hash(date) % 2**32)
+            # stable per-date seed (hash() is randomized per process, which
+            # would regenerate different waveforms across a resume)
+            import zlib
+
+            drng = np.random.default_rng(zlib.crc32(date.encode()))
             st = Stream()
             for i in range(n_sta):
                 sta = f"S{i}"
@@ -176,6 +183,7 @@ def main():
     bp_results = workflow.scan_days(
         dates, make_data, cfg=cfg, stage="bp", network=net,
         travel_times=tts, state_file=os.path.join(tmp, "bp_state.json"),
+        db_path=tmp,
         feature_fn=feature_fn, minimum_interevent_time=20.0,
         threshold_window_sec=3600.0, num_closest_stations=len(net.stations),
         precision=args.precision,
@@ -187,7 +195,21 @@ def main():
           f"{n_bp} detections", flush=True)
 
     t0 = time.time()
-    day0 = bp_results[dates[0]]
+    day0 = bp_results.get(dates[0])
+    if day0 is None:
+        # resumed campaign: day 0 was checkpointed in a previous run, so
+        # scan_days didn't re-run it — load its detections from the
+        # per-day BP database file instead
+        import h5py
+
+        from seismic_bpmf_tpu.data import Event
+
+        day0_file = os.path.join(tmp, f"raw_bp_{dates[0]}.h5")
+        with h5py.File(day0_file, "r") as f:
+            gids = sorted(f.keys(), key=lambda g: int(g))
+        day0 = [
+            Event.read_from_file(day0_file, gid=g) for g in gids
+        ]
     for ev in day0:
         ev.data_reader = data_reader_hdf5
     tg = workflow.build_templates(

@@ -154,10 +154,18 @@ def data_reader_mseed(
             )
         st.merge(fill_value=0.0)
         if attach_response:
-            inv = obspy.read_inventory(
-                os.path.join(where, "..", "resp", "*.xml")
-            )
-            st.attach_response(inv)
+            # same search order as the native branch below: the reference
+            # convention where/resp (BPMF/data_reader_examples.py:208)
+            # first, then a resp folder beside the data root
+            invs = [
+                obspy.read_inventory(fn)
+                for resp_dir in (
+                    os.path.join(where, "resp"),
+                    os.path.join(where, "..", "resp"),
+                )
+                for fn in sorted(glob.glob(os.path.join(resp_dir, "*.xml")))
+            ]
+            st.attach_response(invs)
         return from_obspy(st)
 
     from .mseed import merge_fill, read_mseed

@@ -114,7 +114,10 @@ def backproject_day(
     if output_file is not None:
         import h5py
 
-        with h5py.File(output_file, "a") as f:
+        # "w": the file holds exactly this run's detections — append mode
+        # would keep stale higher-numbered groups from a previous partial
+        # run of the same day (resume reruns the whole day)
+        with h5py.File(output_file, "w") as f:
             for i, ev in enumerate(detections):
                 ev.write(os.path.basename(output_file), gid=str(i),
                          hdf5_file=f)

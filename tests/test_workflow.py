@@ -106,6 +106,28 @@ def test_full_workflow(world):
     assert "bp_backproject" in rep["stages"]
 
 
+def test_backproject_day_truncates_stale_groups(world, tmp_path):
+    """A rerun day's output file holds exactly that run's detections —
+    higher-numbered groups from a previous partial run must not survive
+    (resume reruns whole days, so append mode would leave stale events)."""
+    import h5py
+
+    w = world
+    out = str(tmp_path / "raw_bp_test.h5")
+    with h5py.File(out, "w") as f:
+        for g in ("0", "1", "2", "97", "98", "99"):
+            f.create_group(g).create_dataset("stale", data=[1])
+    bf, detections = workflow.backproject_day(
+        w["data"], w["net"], w["tts"], cfg=w["cfg"],
+        minimum_interevent_time=10.0, threshold_window_sec=150.0,
+        num_closest_stations=N_STA, output_file=out,
+    )
+    with h5py.File(out, "r") as f:
+        groups = set(f.keys())
+    assert groups == {str(i) for i in range(len(detections))}
+    assert "99" not in groups
+
+
 def test_scan_days_resume(world, tmp_path):
     """Two-'day' campaign with checkpoint/resume."""
     w = world
