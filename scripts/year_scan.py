@@ -115,7 +115,15 @@ def main():
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--day-sec", type=float, default=86400.0,
                     help="shorten for smoke tests")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (JAX_PLATFORMS env is not "
+                         "honored when an accelerator plugin is present)")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from seismic_bpmf_tpu import workflow
 
