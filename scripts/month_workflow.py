@@ -171,6 +171,7 @@ def main():
     from seismic_bpmf_tpu.data.readers import data_reader_hdf5
 
     tmp = args.workdir or tempfile.mkdtemp(prefix="month_wf_")
+    os.makedirs(tmp, exist_ok=True)
     print(f"# workdir {tmp}", flush=True)
     t_all = time.time()
     cfg, net, tts, make_data, wavelet = build_world(

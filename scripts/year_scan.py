@@ -128,6 +128,7 @@ def main():
     from seismic_bpmf_tpu import workflow
 
     tmp = args.workdir or tempfile.mkdtemp(prefix="year_scan_")
+    os.makedirs(tmp, exist_ok=True)
     print(f"# workdir {tmp}", flush=True)
     t0 = time.time()
     cfg, net, make_data, event_times, mv_p = build_world(
