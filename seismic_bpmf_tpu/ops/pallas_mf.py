@@ -234,12 +234,8 @@ def _mf_kernel_split(
     lo_ref,      # (n_ch, n_tp_pad) f32
     data_ref,    # (n_ch_pad, ext) f32 (ANY/HBM)
     out_ref,     # (n_tp_pad, B) f32 block
-    win_scratch,   # (n_ch_pad, W) f32 (DMA target, sliding sums)
-    y_scratch,     # (n_ch_pad, W) f32: rsqrt(var) per position
-    acc_scratch,   # (n_tp_pad, B) f32
-    ysel_scratch,  # (n_tp_pad, B) f32
-    dma_sem,
-    *,
+    *scratches,  # dense: (win, y, dma_sem);
+                 # predicated: (win, y, acc, ysel, dma_sem)
     L: int,
     LM_pad: int,
     B: int,
@@ -248,6 +244,7 @@ def _mf_kernel_split(
     Q: int,
     inv_l: float,
     pack_split: bool = False,
+    dense: bool = False,
 ):
     """Precision-ladder ("high") variant of `_mf_kernel`: every f32 operand
     is split into two bf16 components (x = x_hi + x_lo, |x_lo| <= 2^-9|x|)
@@ -262,7 +259,22 @@ def _mf_kernel_split(
     Absolute CC error vs the f32 oracle is ~1e-6 (measured; HIGHEST is
     ~3e-7) at ~2.3x fewer MXU passes.  Reference semantics preserved:
     BPMF/similarity_search.py:526-546.
+
+    `dense=True` drops the per-tap-block `pl.when` predication and the two
+    (n_tp_pad, B) accumulator scratches: every block's contribution is
+    summed functionally (dead blocks hold all-zero filter/select rows, so
+    they contribute exactly 0).  For banks whose live-block fraction is
+    high (moveout span ~ the whole LM range, the usual production case)
+    this removes the scratch zero/read/write VPU traffic per channel at no
+    extra MXU work; for tightly clustered banks the predicated variant
+    skips real work and stays preferable.
     """
+    if dense:
+        win_scratch, y_scratch, dma_sem = scratches
+    else:
+        win_scratch, y_scratch, acc_scratch, ysel_scratch, dma_sem = (
+            scratches
+        )
     g = pl.program_id(0)
     ofs = g * B
     W = B + LM_pad
@@ -312,35 +324,53 @@ def _mf_kernel_split(
             gh, gl = _split_bf16(hankel(win_scratch[pl.ds(c, 1), :]))
             yh, yl = _split_bf16(hankel(y_scratch[pl.ds(c, 1), :]))
 
-        klo, khi = kb_ref[c, 0], kb_ref[c, 1]
-        qlo, qhi = kb_ref[c, 2], kb_ref[c, 3]
         dn = (((1,), (0,)), ((), ()))
         mm = functools.partial(
             jax.lax.dot_general, dimension_numbers=dn,
             preferred_element_type=jnp.float32,
         )
-        acc_scratch[...] = jnp.zeros((n_tp_pad, B), jnp.float32)
-        ysel_scratch[...] = jnp.zeros((n_tp_pad, B), jnp.float32)
-        for k in range(n_k):
-            @pl.when((k >= klo) & (k < khi))
-            def _(k=k):
+        if dense:
+            corr, ysel = None, None
+            for k in range(n_k):
                 fh = fh_ref[c, :, 128 * k : 128 * (k + 1)]
                 fl = fl_ref[c, :, 128 * k : 128 * (k + 1)]
                 hk = gh[:, 128 * k : 128 * k + B]
                 lk = gl[:, 128 * k : 128 * k + B]
-                acc_scratch[...] = (
-                    acc_scratch[...] + mm(fh, hk) + mm(fh, lk) + mm(fl, hk)
-                )
-        for q in range(Q):
-            @pl.when((q >= qlo) & (q < qhi))
-            def _(q=q):
+                term = mm(fh, hk) + mm(fh, lk) + mm(fl, hk)
+                corr = term if corr is None else corr + term
+            for q in range(Q):
                 sq = sel_ref[c, :, 128 * q : 128 * (q + 1)]
                 yq = yh[:, 128 * q : 128 * q + B]
                 zq = yl[:, 128 * q : 128 * q + B]
-                ysel_scratch[...] = ysel_scratch[...] + mm(sq, yq) + mm(
-                    sq, zq
-                )
-        ccn = acc_scratch[...] * ysel_scratch[...]
+                term = mm(sq, yq) + mm(sq, zq)
+                ysel = term if ysel is None else ysel + term
+            ccn = corr * ysel
+        else:
+            klo, khi = kb_ref[c, 0], kb_ref[c, 1]
+            qlo, qhi = kb_ref[c, 2], kb_ref[c, 3]
+            acc_scratch[...] = jnp.zeros((n_tp_pad, B), jnp.float32)
+            ysel_scratch[...] = jnp.zeros((n_tp_pad, B), jnp.float32)
+            for k in range(n_k):
+                @pl.when((k >= klo) & (k < khi))
+                def _(k=k):
+                    fh = fh_ref[c, :, 128 * k : 128 * (k + 1)]
+                    fl = fl_ref[c, :, 128 * k : 128 * (k + 1)]
+                    hk = gh[:, 128 * k : 128 * k + B]
+                    lk = gl[:, 128 * k : 128 * k + B]
+                    acc_scratch[...] = (
+                        acc_scratch[...] + mm(fh, hk) + mm(fh, lk)
+                        + mm(fl, hk)
+                    )
+            for q in range(Q):
+                @pl.when((q >= qlo) & (q < qhi))
+                def _(q=q):
+                    sq = sel_ref[c, :, 128 * q : 128 * (q + 1)]
+                    yq = yh[:, 128 * q : 128 * q + B]
+                    zq = yl[:, 128 * q : 128 * q + B]
+                    ysel_scratch[...] = (
+                        ysel_scratch[...] + mm(sq, yq) + mm(sq, zq)
+                    )
+            ccn = acc_scratch[...] * ysel_scratch[...]
         hi_col = jnp.transpose(hi_ref[pl.ds(c, 1), :])
         lo_col = jnp.transpose(lo_ref[pl.ds(c, 1), :])
         pos = lane + jnp.float32(ofs) + base_ref[0, 0]
@@ -354,11 +384,12 @@ def _mf_kernel_split(
 @functools.partial(
     jax.jit,
     static_argnames=("L", "B", "LM_pad", "n_corr_pad", "n_ch", "interpret",
-                     "pack_split"),
+                     "pack_split", "dense"),
 )
 def _mf_pallas_call_split(
     fh, fl, sel, hi, lo, data_pad, base=None, kb=None,
     *, L, B, LM_pad, n_corr_pad, n_ch, interpret=False, pack_split=False,
+    dense=False,
 ):
     if base is None:
         base = jnp.zeros((1, 1), jnp.float32)
@@ -375,8 +406,18 @@ def _mf_pallas_call_split(
     kernel = functools.partial(
         _mf_kernel_split,
         L=L, LM_pad=LM_pad, B=B, n_ch=n_ch, n_tp_pad=n_tp_pad, Q=Q,
-        inv_l=1.0 / L, pack_split=pack_split,
+        inv_l=1.0 / L, pack_split=pack_split, dense=dense,
     )
+    scratch = [
+        pltpu.VMEM((n_ch_pad, W), jnp.float32),
+        pltpu.VMEM((n_ch_pad, W), jnp.float32),
+    ]
+    if not dense:
+        scratch += [
+            pltpu.VMEM((n_tp_pad, B), jnp.float32),
+            pltpu.VMEM((n_tp_pad, B), jnp.float32),
+        ]
+    scratch.append(pltpu.SemaphoreType.DMA)
     return pl.pallas_call(
         kernel,
         grid=(n_blocks,),
@@ -394,13 +435,7 @@ def _mf_pallas_call_split(
             (n_tp_pad, B), lambda g: (0, g), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n_tp_pad, n_corr_pad), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((n_ch_pad, W), jnp.float32),
-            pltpu.VMEM((n_ch_pad, W), jnp.float32),
-            pltpu.VMEM((n_tp_pad, B), jnp.float32),
-            pltpu.VMEM((n_tp_pad, B), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024
         ),
@@ -475,7 +510,8 @@ class PallasMatchedFilterPlan:
     def __init__(self, templates, moveouts, weights, n_samp: int,
                  lag_block: int = 4096, interpret: bool = False,
                  precision: str = "highest", pad_left: int = None,
-                 max_moveout: int = None, pack_split: bool = False):
+                 max_moveout: int = None, pack_split: bool = False,
+                 dense: bool = None):
         # note: template_chunk=128 in callers balances VMEM vs MXU occupancy
         templates = np.asarray(templates, np.float32)
         moveouts = np.asarray(moveouts, np.int64)
@@ -573,6 +609,16 @@ class PallasMatchedFilterPlan:
         kb[:, 3] = np.clip(mv_hi_c // 128 + 1, 0, Q)
         kb[empty_c] = 0
         self.kb = jnp.asarray(kb)
+        # 'high' only: when most tap blocks are live anyway, the
+        # unpredicated dense kernel (functional accumulation, no
+        # accumulator scratch zero/read/write per channel) wins; tightly
+        # clustered banks keep the predicated skip
+        live = float(np.clip(kb[:, 1] - kb[:, 0], 0, None).sum()
+                     + np.clip(kb[:, 3] - kb[:, 2], 0, None).sum())
+        total = float(n_ch * (n_k + Q))
+        if dense is None:
+            dense = total > 0 and live / total >= 0.75
+        self.dense = bool(dense)
 
         n_samp_eff = n_samp + pad_left
         hi = (n_samp_eff - L - mv_flat).astype(np.float32)
@@ -618,6 +664,7 @@ class PallasMatchedFilterPlan:
                 L=self.L, B=self.B, LM_pad=self.LM_pad,
                 n_corr_pad=self.n_corr_pad, n_ch=self.n_ch,
                 interpret=self.interpret, pack_split=self.pack_split,
+                dense=self.dense,
             )
         else:
             out = _mf_pallas_call(

@@ -23,6 +23,34 @@ class TestPallasMatchedFilter:
         )
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
+    def test_dense_high_matches_predicated(self, rng):
+        """'high' dense variant (functional accumulation, no predication
+        scratch) equals the predicated kernel to summation-order noise and
+        the oracle to the precision-ladder tolerance."""
+        from seismic_bpmf_tpu.ops.pallas_mf import PallasMatchedFilterPlan
+
+        n_tp, n_sta, n_comp, L, n_samp = 5, 3, 2, 40, 3000
+        data = rng.normal(size=(n_sta, n_comp, n_samp)).astype(np.float32)
+        tp = rng.normal(size=(n_tp, n_sta, n_comp, L)).astype(np.float32)
+        mv = rng.integers(-30, 200, size=(n_tp, n_sta, n_comp)).astype(
+            np.int32
+        )
+        w = rng.uniform(0.1, 1, size=(n_tp, n_sta, n_comp)).astype(
+            np.float32
+        )
+        w /= w.sum(axis=(1, 2), keepdims=True)
+        w[0, 1] = 0.0
+        want = ref.matched_filter(tp, mv, w, data)
+        ccs = {}
+        for dense in (False, True):
+            plan = PallasMatchedFilterPlan(
+                tp, mv, w, n_samp, lag_block=512, precision="high",
+                interpret=True, dense=dense,
+            )
+            ccs[dense] = np.asarray(plan(plan.pad_data(data)))
+            np.testing.assert_allclose(ccs[dense], want, atol=5e-6)
+        np.testing.assert_allclose(ccs[True], ccs[False], atol=1e-6)
+
     def test_step(self, rng):
         n_tp, n_sta, n_comp, L, n_samp = 3, 3, 3, 32, 2000
         data = rng.normal(size=(n_sta, n_comp, n_samp)).astype(np.float32)
