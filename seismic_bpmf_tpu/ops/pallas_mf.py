@@ -132,12 +132,8 @@ def _mf_kernel(
     lo_ref,      # (n_ch, n_tp_pad) f32 lower lane bound
     data_ref,    # (n_ch_pad, ext) f32 (ANY/HBM)
     out_ref,     # (n_tp_pad, B) f32 block
-    win_scratch,  # (n_ch_pad, B + LM_pad) f32
-    y_scratch,    # (n_ch_pad, B + LM_pad) f32: rsqrt(var) per position
-    acc_scratch,   # (n_tp_pad, B) f32 running [corr | ysel] accumulators
-    ysel_scratch,  # (n_tp_pad, B) f32
-    dma_sem,
-    *,
+    *scratches,  # dense: (win, y, dma_sem);
+                 # predicated: (win, y, acc, ysel, dma_sem)
     L: int,
     LM_pad: int,
     B: int,
@@ -146,7 +142,14 @@ def _mf_kernel(
     Q: int,
     inv_l: float,
     precision=jax.lax.Precision.HIGHEST,
+    dense: bool = False,
 ):
+    if dense:
+        win_scratch, y_scratch, dma_sem = scratches
+    else:
+        win_scratch, y_scratch, acc_scratch, ysel_scratch, dma_sem = (
+            scratches
+        )
     g = pl.program_id(0)
     ofs = g * B
     W = B + LM_pad
@@ -186,32 +189,40 @@ def _mf_kernel(
         # k loops unrolled at trace time (~10x faster Mosaic compiles,
         # pipelined matmuls) and predicated per channel: only the tap
         # blocks inside this channel's moveout span carry nonzero rows
-        klo, khi = kb_ref[c, 0], kb_ref[c, 1]
-        qlo, qhi = kb_ref[c, 2], kb_ref[c, 3]
         dn = (((1,), (0,)), ((), ()))
-        acc_scratch[...] = jnp.zeros((n_tp_pad, B), jnp.float32)
-        ysel_scratch[...] = jnp.zeros((n_tp_pad, B), jnp.float32)
-        for k in range(n_k):
-            @pl.when((k >= klo) & (k < khi))
-            def _(k=k):
-                fo = filt_ref[c, :, 128 * k : 128 * (k + 1)]
-                hk = g127[:, 128 * k : 128 * k + B]
-                acc_scratch[...] = acc_scratch[...] + jax.lax.dot_general(
-                    fo, hk, dimension_numbers=dn,
-                    preferred_element_type=jnp.float32,
-                    precision=precision,
-                )
-        for q in range(Q):
-            @pl.when((q >= qlo) & (q < qhi))
-            def _(q=q):
-                sq = sel_ref[c, :, 128 * q : 128 * (q + 1)]
-                yq = y127[:, 128 * q : 128 * q + B]
-                ysel_scratch[...] = ysel_scratch[...] + jax.lax.dot_general(
-                    sq, yq, dimension_numbers=dn,
-                    preferred_element_type=jnp.float32,
-                    precision=precision,
-                )
-        ccn = acc_scratch[...] * ysel_scratch[...]
+        mm = functools.partial(
+            jax.lax.dot_general, dimension_numbers=dn,
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        if dense:
+            corr, ysel = None, None
+            for k in range(n_k):
+                term = mm(filt_ref[c, :, 128 * k : 128 * (k + 1)],
+                          g127[:, 128 * k : 128 * k + B])
+                corr = term if corr is None else corr + term
+            for q in range(Q):
+                term = mm(sel_ref[c, :, 128 * q : 128 * (q + 1)],
+                          y127[:, 128 * q : 128 * q + B])
+                ysel = term if ysel is None else ysel + term
+            ccn = corr * ysel
+        else:
+            klo, khi = kb_ref[c, 0], kb_ref[c, 1]
+            qlo, qhi = kb_ref[c, 2], kb_ref[c, 3]
+            acc_scratch[...] = jnp.zeros((n_tp_pad, B), jnp.float32)
+            ysel_scratch[...] = jnp.zeros((n_tp_pad, B), jnp.float32)
+            for k in range(n_k):
+                @pl.when((k >= klo) & (k < khi))
+                def _(k=k):
+                    fo = filt_ref[c, :, 128 * k : 128 * (k + 1)]
+                    hk = g127[:, 128 * k : 128 * k + B]
+                    acc_scratch[...] = acc_scratch[...] + mm(fo, hk)
+            for q in range(Q):
+                @pl.when((q >= qlo) & (q < qhi))
+                def _(q=q):
+                    sq = sel_ref[c, :, 128 * q : 128 * (q + 1)]
+                    yq = y127[:, 128 * q : 128 * q + B]
+                    ysel_scratch[...] = ysel_scratch[...] + mm(sq, yq)
+            ccn = acc_scratch[...] * ysel_scratch[...]
         # per-(t, c) out-of-bounds mask: lane + ofs within [lo, hi]
         hi_col = jnp.transpose(hi_ref[pl.ds(c, 1), :])  # (n_tp_pad, 1)
         lo_col = jnp.transpose(lo_ref[pl.ds(c, 1), :])
@@ -446,12 +457,12 @@ def _mf_pallas_call_split(
 @functools.partial(
     jax.jit,
     static_argnames=("L", "B", "LM_pad", "n_corr_pad", "n_ch", "interpret",
-                     "precision"),
+                     "precision", "dense"),
 )
 def _mf_pallas_call(
     filt, sel, hi, lo, data_pad, base=None, kb=None,
     *, L, B, LM_pad, n_corr_pad, n_ch, interpret=False,
-    precision=jax.lax.Precision.HIGHEST,
+    precision=jax.lax.Precision.HIGHEST, dense=False,
 ):
     if base is None:
         base = jnp.zeros((1, 1), jnp.float32)
@@ -467,8 +478,18 @@ def _mf_pallas_call(
     kernel = functools.partial(
         _mf_kernel,
         L=L, LM_pad=LM_pad, B=B, n_ch=n_ch, n_tp_pad=n_tp_pad, Q=Q,
-        inv_l=1.0 / L, precision=precision,
+        inv_l=1.0 / L, precision=precision, dense=dense,
     )
+    scratch = [
+        pltpu.VMEM((data_pad.shape[0], W), jnp.float32),
+        pltpu.VMEM((data_pad.shape[0], W), jnp.float32),
+    ]
+    if not dense:
+        scratch += [
+            pltpu.VMEM((n_tp_pad, B), jnp.float32),
+            pltpu.VMEM((n_tp_pad, B), jnp.float32),
+        ]
+    scratch.append(pltpu.SemaphoreType.DMA)
     return pl.pallas_call(
         kernel,
         grid=(n_blocks,),
@@ -485,13 +506,7 @@ def _mf_pallas_call(
             (n_tp_pad, B), lambda g: (0, g), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n_tp_pad, n_corr_pad), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((data_pad.shape[0], W), jnp.float32),
-            pltpu.VMEM((data_pad.shape[0], W), jnp.float32),
-            pltpu.VMEM((n_tp_pad, B), jnp.float32),
-            pltpu.VMEM((n_tp_pad, B), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024
         ),
@@ -672,6 +687,7 @@ class PallasMatchedFilterPlan:
                 L=self.L, B=self.B, LM_pad=self.LM_pad,
                 n_corr_pad=self.n_corr_pad, n_ch=self.n_ch,
                 interpret=self.interpret, precision=self.precision,
+                dense=self.dense,
             )
         return out[: self.n_tp, : self.n_corr_unit]
 

@@ -50,6 +50,15 @@ class TestPallasMatchedFilter:
             ccs[dense] = np.asarray(plan(plan.pad_data(data)))
             np.testing.assert_allclose(ccs[dense], want, atol=5e-6)
         np.testing.assert_allclose(ccs[True], ccs[False], atol=1e-6)
+        # non-split ('highest') kernel: dense and predicated agree exactly
+        # with the bit-parity path
+        for dense in (False, True):
+            plan = PallasMatchedFilterPlan(
+                tp, mv, w, n_samp, lag_block=512, precision="highest",
+                interpret=True, dense=dense,
+            )
+            got = np.asarray(plan(plan.pad_data(data)))
+            np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
     def test_step(self, rng):
         n_tp, n_sta, n_comp, L, n_samp = 3, 3, 3, 32, 2000
