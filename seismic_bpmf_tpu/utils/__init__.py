@@ -1,9 +1,15 @@
 """Host-side utilities (time conversion, geodesy, clustering, logging)."""
 
+from .clustering import build_families, cluster_events, cluster_templates
 from .geo import (
     compute_distances,
     two_point_distance,
     two_point_epicentral_distance,
+)
+from .stacking import (
+    fetch_detection_waveforms,
+    svdwf,
+    svdwf_multiplets,
 )
 from .stats import (
     cov_mat_intersection,
@@ -36,6 +42,12 @@ __all__ = [
     "compute_distances",
     "two_point_distance",
     "two_point_epicentral_distance",
+    "cluster_events",
+    "cluster_templates",
+    "build_families",
+    "svdwf",
+    "svdwf_multiplets",
+    "fetch_detection_waveforms",
 ]
 
 

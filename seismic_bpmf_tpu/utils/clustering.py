@@ -63,3 +63,39 @@ def build_families(template_group, distance_criterion_km: float = 5.0,
     for lbl in np.unique(labels):
         families.append(list(np.flatnonzero(labels == lbl)))
     return families
+
+
+def cluster_templates(
+    template_group,
+    clustering_threshold: float = 0.33,
+    method: str = "single",
+    criterion: str = "distance",
+):
+    """Non-overlapping groups of similar templates from the inter-template
+    CC matrix alone.
+
+    Modernized `find_template_clusters` (BPMF/utils.py:1175-1244; marked
+    deprecated there but the only CC-space template grouping entry point):
+    hierarchical clustering on the correlation distance 1 - CC, cut at
+    `clustering_threshold`.  Returns (labels, clusters) where `labels` maps
+    each template index to a 0-based cluster id and `clusters` lists member
+    indexes per cluster, largest first.
+    """
+    from scipy.cluster.hierarchy import fcluster, linkage
+    from scipy.spatial.distance import squareform
+
+    cc = np.array(template_group.intertemplate_cc.values, np.float64)
+    np.fill_diagonal(cc, 1.0)
+    d = 1.0 - 0.5 * (cc + cc.T)
+    # numerical noise can leave tiny negatives; exact squareform needs 0s
+    d[d < 0.0] = 0.0
+    np.fill_diagonal(d, 0.0)
+    z = linkage(squareform(d, checks=False), method=method)
+    labels = fcluster(z, t=clustering_threshold, criterion=criterion)
+    labels = labels.astype(np.int64) - 1
+    order = np.argsort([-np.sum(labels == k) for k in np.unique(labels)])
+    remap = {int(old): new for new, old in enumerate(np.unique(labels)[order])}
+    labels = np.array([remap[int(k)] for k in labels], np.int64)
+    clusters = [list(np.flatnonzero(labels == k))
+                for k in range(labels.max() + 1)]
+    return labels, clusters

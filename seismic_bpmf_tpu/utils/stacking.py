@@ -70,3 +70,165 @@ def fractional_stack(traces: np.ndarray, order: float = 1.0) -> np.ndarray:
     rooted = signs * np.abs(traces) ** (1.0 / order)
     stacked = rooted.mean(axis=0)
     return np.sign(stacked) * np.abs(stacked) ** order
+
+
+def fetch_detection_waveforms(
+    template,
+    filename: str = None,
+    db_path: str = "",
+    best_cc: bool = False,
+    max_n_events: int = 0,
+    norm_rms: bool = True,
+    ordering: str = "cc",
+    flip_order: bool = True,
+    unique_events: bool = False,
+    duration: float = None,
+    offset_phase: dict = None,
+    data_reader=None,
+    return_event_ids: bool = False,
+):
+    """Load a template's detection waveforms, selected and ordered by CC.
+
+    Modernized `fetch_detection_waveforms` (BPMF/utils.py:775-866; marked
+    deprecated there but the multiplet-stacking entry point): reads the
+    template's detection file (one HDF5 group per event, as written by
+    `Template.write_detections`), applies the reference's CC-threshold
+    ladder (`max_n_events` top events, or `best_cc`'s size-dependent
+    percentiles), and returns a dense (n_det, n_sta, n_comp, n_samp)
+    array.  Waveforms come from groups saved with `save_waveforms=True`,
+    or are re-read from disk when `duration` (+ optionally `data_reader`)
+    is given.
+    """
+    import h5py
+
+    from ..data.events import Event
+
+    filename = filename or f"detections_tp{template.tid}.h5"
+    import os
+
+    with h5py.File(os.path.join(db_path, filename), "r") as f:
+        gids = list(f.keys())
+    events = [
+        Event.read_from_file(filename, db_path=db_path, gid=g)
+        for g in gids
+    ]
+    ccs = np.array(
+        [float(ev.aux_data.get("cc", np.nan)) for ev in events], np.float64
+    )
+    order_ids = np.arange(len(events))
+
+    cc_sorted = np.sort(ccs[np.isfinite(ccs)])
+    if max_n_events > 0 and len(cc_sorted):
+        cc_thres = cc_sorted[-min(max_n_events, len(cc_sorted))]
+    elif best_cc and len(cc_sorted):
+        n = len(cc_sorted)
+        if n > 300:
+            cc_thres = cc_sorted[-100]
+        elif n > 70:
+            cc_thres = cc_sorted[int(0.7 * n)]
+        elif n > 30:
+            cc_thres = float(np.median(cc_sorted))
+        elif n > 10:
+            cc_thres = float(np.percentile(cc_sorted, 33.0))
+        else:
+            cc_thres = 0.0
+    else:
+        cc_thres = -np.inf
+    keep = ccs >= cc_thres
+    if unique_events:
+        uniq = np.array(
+            [bool(ev.aux_data.get("unique_event", True)) for ev in events]
+        )
+        keep &= uniq
+    events = [ev for ev, k in zip(events, keep) if k]
+    ccs, order_ids = ccs[keep], order_ids[keep]
+    if not events:
+        empty = np.empty((0,))
+        return ((empty, empty, empty) if return_event_ids
+                else (empty, empty))
+
+    arrs = []
+    for ev in events:
+        if duration is not None:
+            if data_reader is not None:
+                ev.data_reader = data_reader
+            ev.read_waveforms(
+                duration, offset_phase=offset_phase, time_shifted=True
+            )
+        elif not hasattr(ev, "duration") and getattr(ev, "traces", None):
+            # stored-waveform events carry no window duration attribute
+            tr = ev.traces[0]
+            ev.duration = len(tr.data) / float(tr.stats.sampling_rate)
+        arrs.append(ev.waveforms_arr)
+    wf = np.stack(arrs, axis=0).astype(np.float32)
+    if norm_rms:
+        norm = wf.std(axis=(2, 3))[..., None, None]
+        norm[norm == 0.0] = 1.0
+        wf = wf / norm
+    if ordering is not None:
+        order = np.argsort(ccs)
+        if flip_order:
+            order = order[::-1]
+        wf, ccs, order_ids = wf[order], ccs[order], order_ids[order]
+    if return_event_ids:
+        return wf, ccs, order_ids
+    return wf, ccs
+
+
+def svdwf_multiplets(
+    template,
+    filename: str = None,
+    db_path: str = "",
+    best_cc: bool = False,
+    norm_rms: bool = True,
+    max_singular_values: int = 5,
+    expl_var: float = 0.4,
+    freqmin: float = None,
+    freqmax: float = None,
+    sampling_rate: float = None,
+    wiener_filter_colsize: int = None,
+    detection_waveforms: np.ndarray = None,
+    **fetch_kwargs,
+):
+    """SVD-Wiener-filtered stack of a template's detections -> `Stack`.
+
+    Modernized `SVDWF_multiplets` (BPMF/utils.py:986-1110): fetch the
+    detection waveforms (or take them via `detection_waveforms`), stack
+    each (station, component) panel with `svdwf`, and wrap the result in a
+    `data.groups.Stack` carrying the template's moveouts so the stack can
+    be repicked like any event.
+    """
+    from ..data.groups import Stack
+
+    if detection_waveforms is None:
+        detection_waveforms, _ = fetch_detection_waveforms(
+            template, filename=filename, db_path=db_path, best_cc=best_cc,
+            norm_rms=norm_rms, **fetch_kwargs,
+        )
+    if detection_waveforms.size == 0:
+        raise ValueError("no detections to stack")
+    sr = sampling_rate or template.sampling_rate
+    n_det, n_sta, n_comp, n_samp = detection_waveforms.shape
+    stacked = np.zeros((n_sta, n_comp, n_samp), np.float32)
+    for s in range(n_sta):
+        for c in range(n_comp):
+            matrix = detection_waveforms[:, s, c, :]
+            if np.allclose(matrix, 0.0):
+                continue
+            stacked[s, c] = svdwf(
+                matrix,
+                expl_var=expl_var,
+                max_singular_values=max_singular_values,
+                freqmin=freqmin,
+                freqmax=freqmax,
+                sampling_rate=sr,
+                wiener_filter_colsize=wiener_filter_colsize,
+            )
+    return Stack(
+        stacked,
+        list(template.stations),
+        list(template.components),
+        sampling_rate=sr,
+        phases=list(template.phases),
+        moveouts=template.moveouts.values,
+    )

@@ -666,3 +666,101 @@ class TestViz:
         for f in figs:
             plt.close(f)
         plt.close("all")
+
+
+class TestMultipletUtilities:
+    """Modernized deprecated reference utils: CC-template clustering,
+    detection-waveform fetch, SVDWF multiplet stacking
+    (BPMF/utils.py:775-1244)."""
+
+    def _detections(self, rng, tmp_path, tp, n_det=6):
+        from seismic_bpmf_tpu.data.stream import Stream, Trace
+
+        evs = []
+        for i in range(n_det):
+            ev = _make_event(rng)
+            ev.id = f"det{i}"
+            ev.traces = Stream()
+            for sta in ev.stations:
+                for comp in "NEZ":
+                    # common signal + per-event noise: SVDWF must recover
+                    # the common part
+                    x = (np.sin(2 * np.pi * 3.0 * np.arange(100) / 25.0)
+                         + 0.3 * rng.normal(size=100)).astype(np.float32)
+                    ev.traces += Trace(x, station=sta, channel=f"HH{comp}",
+                                       sampling_rate=25.0)
+            ev.set_aux_data({"cc": 0.4 + 0.1 * i})
+            evs.append(ev)
+        import h5py
+
+        fn = f"detections_tp{tp.tid}.h5"
+        with h5py.File(str(tmp_path / fn), "w") as f:
+            for ev in evs:
+                ev.write(fn, gid=ev.id, hdf5_file=f, save_waveforms=True)
+        return evs
+
+    def test_fetch_detection_waveforms(self, rng, tmp_path):
+        from seismic_bpmf_tpu.utils import fetch_detection_waveforms
+
+        tp = _template_with_waveforms(rng, tmp_path)
+        self._detections(rng, tmp_path, tp)
+        wf, ccs, ids = fetch_detection_waveforms(
+            tp, db_path=str(tmp_path), return_event_ids=True,
+        )
+        assert wf.shape == (6, 2, 3, 100)
+        # ordered by CC descending
+        assert list(ccs) == sorted(ccs, reverse=True)
+        # rms-normalized per (event, station)
+        np.testing.assert_allclose(wf.std(axis=(2, 3)), 1.0, atol=1e-5)
+        # top-N selection keeps the N best CCs
+        wf2, ccs2 = fetch_detection_waveforms(
+            tp, db_path=str(tmp_path), max_n_events=3,
+        )
+        assert wf2.shape[0] == 3
+        assert min(ccs2) >= max(ccs) - 0.21
+
+    def test_svdwf_multiplets(self, rng, tmp_path):
+        from seismic_bpmf_tpu.utils import svdwf_multiplets
+
+        tp = _template_with_waveforms(rng, tmp_path)
+        self._detections(rng, tmp_path, tp)
+        stack = svdwf_multiplets(tp, db_path=str(tmp_path))
+        arr = stack.waveforms_arr
+        assert arr.shape == (2, 3, 100)
+        # the stack must correlate with the common injected signal far
+        # better than a single noisy detection does on average
+        sig = np.sin(2 * np.pi * 3.0 * np.arange(100) / 25.0)
+        c = np.corrcoef(arr[0, 0], sig)[0, 1]
+        assert c > 0.95
+
+    def test_cluster_templates(self, rng, tmp_path):
+        from seismic_bpmf_tpu.utils import cluster_templates
+
+        md = pd.DataFrame({
+            "stations": ["ST1", "ST2"],
+            "networks": ["XX", "XX"],
+            "latitude": [40.1, 40.5],
+            "longitude": [30.1, 30.4],
+            "elevation_m": [0.0, 0.0],
+        })
+        net = Network.from_dataframe(md)
+        tps = []
+        for i in range(4):
+            tp = _template_with_waveforms(rng, tmp_path)
+            tp.set_aux_data({"tid": i})
+            tp.id = str(i)
+            tps.append(tp)
+        tg = TemplateGroup(tps, net)
+        # hand-set the CC matrix: {0, 1} similar, {2, 3} similar
+        cc = np.array([
+            [1.0, 0.9, 0.1, 0.1],
+            [0.9, 1.0, 0.1, 0.1],
+            [0.1, 0.1, 1.0, 0.8],
+            [0.1, 0.1, 0.8, 1.0],
+        ])
+        tg._intertemplate_cc = pd.DataFrame(cc)
+        labels, clusters = cluster_templates(tg, clustering_threshold=0.33)
+        assert labels[0] == labels[1]
+        assert labels[2] == labels[3]
+        assert labels[0] != labels[2]
+        assert sorted(map(sorted, clusters)) == [[0, 1], [2, 3]]
