@@ -3,6 +3,7 @@
 from .spectrum import (
     Spectrum,
     approximate_moment_magnitude,
+    snr_based_weights,
     boatwright,
     brune,
     compute_moment_magnitude,
@@ -16,6 +17,7 @@ from .spectrum import (
 __all__ = [
     "Spectrum",
     "approximate_moment_magnitude",
+    "snr_based_weights",
     "boatwright",
     "brune",
     "compute_moment_magnitude",

@@ -677,11 +677,40 @@ def compute_moment_magnitude(
     return spec
 
 
+def snr_based_weights(snr, snr_threshold, weight_max: float = 3.0,
+                      max_num_bad_measurements: int = 6):
+    """Station weights from peak SNR (BPMF/spectrum.py:1290-1339).
+
+    Weights equal the SNR clipped at ``1.001 * snr_threshold`` and at
+    ``weight_max``.  With enough good channels every sub-threshold channel
+    gets weight 0; otherwise the best `max_num_bad_measurements` channels
+    are kept so a (degraded) estimate is still possible.
+    """
+    snr = np.asarray(snr, np.float64)
+    weights = np.minimum(
+        np.minimum(snr, 1.001 * snr_threshold), weight_max
+    )
+    if np.sum(snr >= snr_threshold) >= max_num_bad_measurements:
+        weights = np.where(snr < snr_threshold, 0.0, weights)
+    else:
+        order = np.argsort(snr)
+        if len(order) > max_num_bad_measurements:
+            weights[order[:-max_num_bad_measurements]] = 0.0
+    return weights
+
+
 def approximate_moment_magnitude(
     event,
     network,
     windows: Optional[Dict[str, np.ndarray]] = None,
     snr_threshold: float = 2.0,
+    num_averaging_bands: int = 1,
+    low_snr_freq_min_hz: float = 2.0,
+    weight_max: float = 3.0,
+    max_num_bad_measurements: int = 6,
+    phases: Sequence[str] = ("s",),
+    fmin: float = 0.5,
+    bands_per_octave: int = 2,
     Q0: float = 300.0,
     Q_exponent: float = 0.0,
     rho: float = 2700.0,
@@ -690,10 +719,14 @@ def approximate_moment_magnitude(
 ):
     """Mw* from the low-frequency plateau without spectral fitting.
 
-    Applies the same propagation corrections as the full chain, then takes
-    the seismic moment as the median of the lowest valid quarter of the
-    corrected network-average S spectrum.  Reference parity:
-    BPMF/spectrum.py:1341-1496 (the SNR/distance-weighted lowest-band Mw*).
+    Applies the same propagation corrections as the full chain, then
+    measures log10(M0) station by station — the lowest
+    `num_averaging_bands` SNR-valid bands when any exist, else the
+    SNR-weighted log-mean over bands above `low_snr_freq_min_hz` — and
+    averages the per-station logs with `snr_based_weights` times inverse
+    interquartile-clipped source distance.  Reference parity:
+    BPMF/spectrum.py:1341-1496 (the SNR/distance-weighted lowest-band
+    Mw*).
     """
     from ..utils.geo import compute_distances
 
@@ -701,7 +734,13 @@ def approximate_moment_magnitude(
         windows = extract_windows(event)
     stations = list(event.stations)
     s = Spectrum(event=event, network=network)
-    s.compute_spectrum(windows, stations, event.sr)
+    # the reference's Mw* consumes octave multi-band spectra (robust at
+    # low SNR and naturally band-limited above the deconvolution
+    # high-pass), not the raw FFT (BPMF/spectrum.py:1341-1412 docstring)
+    s.compute_multi_band_spectrum(
+        windows, stations, event.sr, fmin=fmin,
+        bands_per_octave=bands_per_octave,
+    )
     s.compute_signal_to_noise_ratio()
     sel = network.metadata.loc[stations]
     d = compute_distances(
@@ -721,14 +760,57 @@ def approximate_moment_magnitude(
     )
     s.correct_geometrical_spreading()
     s.correct_attenuation()
-    avg = s.compute_network_average_spectrum(
-        "s", snr_threshold=snr_threshold, min_num_valid_channels=1
-    )
-    valid = ~avg.isna() & (avg.values > 0)
-    if valid.sum() == 0:
+    # inverse interquartile-clipped source distance weights (shared by
+    # all phases; reference BPMF/spectrum.py:1474-1482)
+    d_clip = np.clip(dist.values, np.percentile(dist.values, 25.0),
+                     np.percentile(dist.values, 75.0))
+    dist_w = pd.Series(1.0 / d_clip, index=dist.index)
+
+    mws = {}
+    for ph in phases:
+        disp = s.spectra[ph]
+        snr = s.snr[ph]
+        freqs = np.asarray(disp.columns, np.float64)
+        measured = np.zeros(len(disp.index), np.float64)
+        m_snr = np.zeros(len(disp.index), np.float64)
+        for j, idx in enumerate(disp.index):
+            d_row = disp.loc[idx].values.astype(np.float64)
+            s_row = np.nan_to_num(snr.loc[idx].values.astype(np.float64))
+            ok = np.isfinite(d_row) & (d_row > 0)
+            valid = ok & (s_row > snr_threshold)
+            if valid.any():
+                # lowest valid bands reflect the physical seismic moment
+                sel = np.flatnonzero(valid)[:num_averaging_bands]
+                measured[j] = float(np.median(d_row[sel]))
+                m_snr[j] = snr_threshold
+            else:
+                hf = ok & (freqs > low_snr_freq_min_hz)
+                if not hf.any():
+                    continue
+                w_ = s_row[hf]
+                sum_ = w_.sum() or 1.0
+                measured[j] = 10.0 ** (
+                    (w_ * np.log10(d_row[hf])).sum() / sum_
+                )
+                m_snr[j] = (w_ * s_row[hf]).sum() / sum_
+        m_snr[measured == 0.0] = 0.0
+        weights = snr_based_weights(
+            m_snr, snr_threshold, weight_max=weight_max,
+            max_num_bad_measurements=max_num_bad_measurements,
+        )
+        row_sta = getattr(s, "_row_station", None)
+        if row_sta is not None:
+            weights = weights * dist_w.loc[row_sta.values].values
+        usable = (weights > 0) & (measured > 0)
+        if not usable.any():
+            continue
+        log10_m0 = (
+            (weights[usable] * np.log10(measured[usable])).sum()
+            / weights[usable].sum()
+        )
+        mws[ph] = float(moment_to_magnitude(10.0 ** log10_m0))
+    if not mws:
         return None
-    low = avg[valid].iloc[: max(1, int(valid.sum()) // 4)]
-    M0 = float(np.median(low.values))
-    Mw = float(moment_to_magnitude(max(M0, 1e-30)))
+    Mw = mws.get("s", float(np.mean(list(mws.values()))))
     event.set_aux_data({"Mw_star": Mw})
     return Mw

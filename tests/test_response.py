@@ -306,12 +306,12 @@ class TestExtractWindowsPositioning:
 
 
 class TestMomentRecovery:
-    def test_mw_recovered_from_counts_with_known_response(self):
-        """The full physical-units chain: displacement encoding a known
-        seismic moment -> counts through a known instrument response ->
-        native deconvolution via extract_windows -> spectral fit recovers
-        the injected Mw (the reference's obspy-based chain,
-        BPMF/spectrum.py:1500-2009, done natively)."""
+    @staticmethod
+    def _mw_world():
+        """Synthetic physical-units world: Brune displacement pulses
+        encoding a known seismic moment, forward-modeled to counts
+        through a known instrument response; returns (event, network,
+        deconvolved windows, M0)."""
         import pandas as pd
 
         from seismic_bpmf_tpu.data import Network
@@ -395,15 +395,67 @@ class TestMomentRecovery:
             offset_phase={"P": 0.5, "S": 0.5},
             pre_filt=(0.2, 0.5, 45.0, 49.0),
         )
+        return ev, net, windows, M0
+
+    def test_mw_recovered_from_counts_with_known_response(self):
+        """The full physical-units chain: displacement encoding a known
+        seismic moment -> counts through a known instrument response ->
+        native deconvolution via extract_windows -> spectral fit recovers
+        the injected Mw (the reference's obspy-based chain,
+        BPMF/spectrum.py:1500-2009, done natively)."""
+        from seismic_bpmf_tpu.source import (
+            compute_moment_magnitude,
+            moment_to_magnitude,
+        )
+
+        ev, net, windows, M0 = self._mw_world()
         spec = compute_moment_magnitude(
-            ev, net, windows=windows, Q0=1e9, rho=rho, vp=vp, vs=vs,
-            snr_threshold=2.0,
+            ev, net, windows=windows, Q0=1e9, rho=2700.0, vp=6000.0,
+            vs=3500.0, snr_threshold=2.0,
         )
         assert spec.fit_success
         mw_inj = float(moment_to_magnitude(M0))
         assert abs(spec.Mw - mw_inj) < 0.25, (
             f"recovered Mw {spec.Mw:.2f} vs injected {mw_inj:.2f}"
         )
+
+    def test_mw_star_per_station_weighted(self):
+        """Mw* (no spectral fit) through the per-station SNR/distance
+        weighting (BPMF/spectrum.py:1341-1496) recovers the plateau of
+        the same synthetic world."""
+        from seismic_bpmf_tpu.source import (
+            approximate_moment_magnitude,
+            moment_to_magnitude,
+        )
+
+        ev, net, windows, M0 = self._mw_world()
+        mw = approximate_moment_magnitude(
+            ev, net, windows=windows, Q0=1e9, rho=2700.0, vp=6000.0,
+            vs=3500.0, snr_threshold=2.0,
+        )
+        mw_inj = float(moment_to_magnitude(M0))
+        assert mw is not None
+        assert abs(mw - mw_inj) < 0.3, f"Mw* {mw:.2f} vs {mw_inj:.2f}"
+        assert ev.aux_data["Mw_star"] == mw
+
+    def test_snr_based_weights_reference_semantics(self):
+        """BPMF/spectrum.py:1290-1339: clip at 1.001*threshold and
+        weight_max; zero out bad channels when enough good ones exist,
+        else keep only the best `max_num_bad_measurements`."""
+        from seismic_bpmf_tpu.source.spectrum import snr_based_weights
+
+        snr = np.array([0.5, 1.0, 5.0, 6.0, 7.0, 8.0, 9.0, 10.0])
+        w = snr_based_weights(snr, 4.0, weight_max=3.0,
+                              max_num_bad_measurements=6)
+        # 6 good channels -> bad ones zeroed, good ones clipped at 3.0
+        assert (w[:2] == 0.0).all()
+        np.testing.assert_allclose(w[2:], 3.0)
+        # mostly-bad network: only the best N kept
+        snr2 = np.array([0.2, 0.4, 0.6, 0.8, 1.0, 1.2, 1.4, 1.6])
+        w2 = snr_based_weights(snr2, 4.0, weight_max=3.0,
+                               max_num_bad_measurements=6)
+        assert (w2[:2] == 0.0).all()
+        assert (w2[2:] > 0.0).all()
 
 
 class TestExtractWindowsResponse:
