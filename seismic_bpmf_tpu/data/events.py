@@ -217,6 +217,123 @@ class Event:
                         travel_times.loc[sta, ph]
                     )
 
+    def set_arrival_times_from_moveouts(self):
+        """Arrival times assuming arrival = origin time + moveout
+        (reference parity: BPMF/dataset.py `set_arrival_times_from_moveouts`)."""
+        ot = pd.Timestamp(str(self.origin_time))
+        at = pd.DataFrame(index=self.moveouts.index)
+        for ph in self.phases:
+            ph = ph.upper()
+            mv = self.moveouts[f"moveouts_{ph}"].astype(float)
+            at[f"{ph}_abs_arrival_times"] = [
+                ot + pd.Timedelta(seconds=float(m)) for m in mv
+            ]
+            at[f"{ph}_tt_sec"] = mv.values
+        self.arrival_times = at
+
+    def set_source_receiver_dist(self, network):
+        """Hypocentral + epicentral source-receiver distances (km) for the
+        event's stations (reference parity: BPMF/dataset.py
+        `set_source_receiver_dist`)."""
+        from ..utils.geo import compute_distances
+
+        sel = network.metadata.loc[list(self.stations)]
+        hyp = compute_distances(
+            [self.longitude], [self.latitude], [self.depth],
+            sel["longitude"].values, sel["latitude"].values,
+            sel["depth_km"].values,
+        )[0]
+        epi = compute_distances(
+            [self.longitude], [self.latitude], [0.0],
+            sel["longitude"].values, sel["latitude"].values,
+            np.zeros(len(sel)),
+        )[0]
+        self._source_receiver_dist = pd.Series(hyp, index=list(self.stations))
+        self._source_receiver_epicentral_dist = pd.Series(
+            epi, index=list(self.stations)
+        )
+        return self._source_receiver_dist
+
+    source_receiver_dist = _lazy(
+        "_source_receiver_dist", "set_source_receiver_dist(network)"
+    )
+    source_receiver_epicentral_dist = _lazy(
+        "_source_receiver_epicentral_dist",
+        "set_source_receiver_dist(network)",
+    )
+
+    def remove_distant_stations(self, network=None,
+                                max_distance_km: float = 50.0):
+        """NaN out picks on stations farther than `max_distance_km`
+        (reference parity: BPMF/dataset.py `remove_distant_stations`)."""
+        if not hasattr(self, "_source_receiver_dist"):
+            if network is None:
+                raise RuntimeError(
+                    "call set_source_receiver_dist(network) first or pass "
+                    "`network`"
+                )
+            self.set_source_receiver_dist(network)
+        if not hasattr(self, "picks"):
+            return
+        for sta in self.picks.index:
+            if sta not in self._source_receiver_dist.index:
+                continue
+            if float(self._source_receiver_dist.loc[sta]) > max_distance_km:
+                for col in self.picks.columns:
+                    self.picks.loc[sta, col] = np.nan
+
+    def update_picks(self):
+        """Refresh relative pick times against the current origin time
+        (reference parity: BPMF/dataset.py `update_picks`)."""
+        if not hasattr(self, "picks"):
+            return
+        ot = self.origin_time_epoch
+        for ph in self.phases:
+            ph = ph.upper()
+            col = f"{ph}_abs_picks"
+            if col not in self.picks.columns:
+                continue
+            for sta in self.picks.index:
+                t = self.picks.loc[sta, col]
+                if pd.isnull(t):
+                    continue
+                self.picks.loc[sta, f"{ph}_picks_sec"] = np.float32(
+                    epoch_from_utc(np.datetime64(t)) - ot
+                )
+
+    def update_travel_times(self):
+        """Refresh travel times against the current origin time
+        (reference parity: BPMF/dataset.py `update_travel_times`)."""
+        if not hasattr(self, "arrival_times"):
+            return
+        ot = self.origin_time_epoch
+        for ph in self.phases:
+            ph = ph.upper()
+            col = f"{ph}_abs_arrival_times"
+            if col not in self.arrival_times.columns:
+                continue
+            for sta in self.arrival_times.index:
+                t = self.arrival_times.loc[sta, col]
+                if pd.isnull(t):
+                    continue
+                self.arrival_times.loc[sta, f"{ph}_tt_sec"] = (
+                    epoch_from_utc(np.datetime64(t)) - ot
+                )
+
+    def get_peak_amplitudes(self, stations=None, components=None):
+        """(n_stations, n_components) peak |amplitude| per channel, for
+        amplitude-based local magnitudes (reference parity:
+        BPMF/dataset.py `get_peak_amplitudes`)."""
+        stations = list(stations if stations is not None else self.stations)
+        components = list(
+            components if components is not None else self.components
+        )
+        arr = get_np_array(
+            self.traces, stations, components=components,
+            n_samples=self.n_samples, component_aliases=DEFAULT_ALIASES,
+        )
+        return np.max(np.abs(arr), axis=-1)
+
     # ------------------------------------------------------------------
     # waveforms
     # ------------------------------------------------------------------

@@ -764,3 +764,65 @@ class TestMultipletUtilities:
         assert labels[2] == labels[3]
         assert labels[0] != labels[2]
         assert sorted(map(sorted, clusters)) == [[0, 1], [2, 3]]
+
+
+class TestEventAuxMethods:
+    """Reference dataset.py small-method parity: arrival tables from
+    moveouts, source-receiver distances, distant-station pruning,
+    origin-time refresh, peak amplitudes."""
+
+    def _net(self):
+        md = pd.DataFrame({
+            "stations": ["ST1", "ST2"],
+            "networks": ["XX", "XX"],
+            "latitude": [40.3, 41.2],     # ST2 ~ 100 km away
+            "longitude": [30.2, 30.2],
+            "elevation_m": [0.0, 0.0],
+        })
+        return Network.from_dataframe(md)
+
+    def test_arrival_times_from_moveouts(self, rng):
+        ev = _make_event(rng)
+        ev.set_arrival_times_from_moveouts()
+        at = ev.arrival_times
+        assert at.loc["ST2", "S_tt_sec"] == pytest.approx(3.0)
+        dt = (at.loc["ST1", "P_abs_arrival_times"]
+              - pd.Timestamp(str(ev.origin_time)))
+        assert dt.total_seconds() == pytest.approx(1.0)
+
+    def test_source_receiver_dist_and_pruning(self, rng):
+        ev = _make_event(rng)
+        net = self._net()
+        d = ev.set_source_receiver_dist(net)
+        assert d.loc["ST1"] < 15.0 < d.loc["ST2"]
+        assert (ev.source_receiver_epicentral_dist.values
+                <= ev.source_receiver_dist.values + 1e-9).all()
+        ev.picks = pd.DataFrame(
+            {"P_abs_picks": [pd.Timestamp("2012-07-26T01:02:04.5")] * 2},
+            index=pd.Index(["ST1", "ST2"], name="stations"),
+        )
+        ev.remove_distant_stations(max_distance_km=50.0)
+        assert not pd.isnull(ev.picks.loc["ST1", "P_abs_picks"])
+        assert pd.isnull(ev.picks.loc["ST2", "P_abs_picks"])
+
+    def test_update_picks_and_travel_times(self, rng):
+        ev = _make_event(rng)
+        ev.set_arrival_times_from_moveouts()
+        ev.picks = pd.DataFrame(
+            {"P_abs_picks": [pd.Timestamp("2012-07-26T01:02:05.5"),
+                             pd.NaT]},
+            index=pd.Index(["ST1", "ST2"], name="stations"),
+        )
+        # shift the origin back one second: relative times grow by 1
+        ev.origin_time = np.datetime64("2012-07-26T01:02:02.5", "ns")
+        ev.update_picks()
+        ev.update_travel_times()
+        assert ev.picks.loc["ST1", "P_picks_sec"] == pytest.approx(3.0)
+        assert ev.arrival_times.loc["ST1", "P_tt_sec"] == pytest.approx(2.0)
+        assert ev.arrival_times.loc["ST2", "S_tt_sec"] == pytest.approx(4.0)
+
+    def test_get_peak_amplitudes(self, rng, tmp_path):
+        tp = _template_with_waveforms(rng, tmp_path)
+        peaks = tp.get_peak_amplitudes()
+        arr = tp.waveforms_arr
+        np.testing.assert_allclose(peaks, np.abs(arr).max(axis=-1))
