@@ -162,6 +162,14 @@ class Event:
     def az_hmax_unc(self):
         return self._unc("az_hmax_unc")
 
+    @property
+    def az_hmin_unc(self):
+        return self._unc("az_hmin_unc")
+
+    @property
+    def pl_vmax_unc(self):
+        return self._unc("pl_vmax_unc")
+
     def _unc(self, name):
         if name in self.aux_data:
             return self.aux_data[name]
@@ -656,7 +664,8 @@ class Event:
             # unlocated event: report large defaults
             self.set_aux_data(
                 {"hmax_unc": 15.0, "hmin_unc": 15.0, "vmax_unc": 15.0,
-                 "az_hmax_unc": 0.0, "az_hmin_unc": 90.0}
+                 "az_hmax_unc": 0.0, "az_hmin_unc": 90.0,
+                 "pl_vmax_unc": 90.0}
             )
             return
         cov = np.asarray(cov)
@@ -668,9 +677,18 @@ class Event:
         az_hmax = float(np.degrees(np.arctan2(v[0, 1], v[1, 1]))) % 180.0
         az_hmin = float(np.degrees(np.arctan2(v[0, 0], v[1, 0]))) % 180.0
         vmax = float(np.sqrt(max(cov[2, 2], 0.0)))
+        # plunge of the most-vertical semi-axis of the full 3-D ellipsoid
+        # (reference's `pl_vmax_unc`, BPMF/dataset.py:1355-1368)
+        w3, v3 = np.linalg.eigh(cov)
+        vert = np.sqrt(np.maximum(w3, 0.0)) * np.abs(v3[2, :])
+        i = int(np.argmax(vert))
+        pl_vmax = float(np.degrees(np.arcsin(
+            np.clip(np.abs(v3[2, i]), 0.0, 1.0)
+        )))
         self.set_aux_data(
             {"hmax_unc": hmax, "hmin_unc": hmin, "vmax_unc": vmax,
-             "az_hmax_unc": az_hmax, "az_hmin_unc": az_hmin}
+             "az_hmax_unc": az_hmax, "az_hmin_unc": az_hmin,
+             "pl_vmax_unc": pl_vmax}
         )
 
     # ------------------------------------------------------------------
