@@ -182,6 +182,16 @@ class Event:
     def set_aux_data(self, aux_data: Dict):
         self.aux_data.update(aux_data)
 
+    def set_components(self, components):
+        """Restrict/reorder the components this event works on
+        (reference parity: BPMF/dataset.py `set_components`)."""
+        self.components = np.asarray(list(components)).astype("U")
+
+    def set_component_aliases(self, component_aliases: Dict):
+        """Set the channel-alias map, e.g. {'N': ['N', '1'], ...}
+        (reference parity: BPMF/dataset.py `set_component_aliases`)."""
+        self.component_aliases = component_aliases
+
     def inherit_location(self, other: "Event"):
         """Reference parity: BPMF/dataset.py:1423-1439."""
         for attr in ("longitude", "latitude", "depth"):
