@@ -195,6 +195,11 @@ class Catalog:
 
         return plot_catalog(self, network=network, **kwargs)
 
+    def plot_time_statistics(self, **kwargs):
+        from ..viz import plot_time_statistics
+
+        return plot_time_statistics(self, **kwargs)
+
     def plot_time_of_day(self, **kwargs):
         from ..viz import plot_time_of_day
 

@@ -12,6 +12,7 @@ from .plots import (
     plot_space_time,
     plot_template,
     plot_time_of_day,
+    plot_time_statistics,
     uncertainty_ellipse,
     vertical_uncertainty_ellipse,
 )
@@ -28,6 +29,7 @@ __all__ = [
     "plot_space_time",
     "plot_template",
     "plot_time_of_day",
+    "plot_time_statistics",
     "uncertainty_ellipse",
     "vertical_uncertainty_ellipse",
 ]

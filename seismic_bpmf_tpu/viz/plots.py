@@ -10,6 +10,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import numpy as np
+import pandas as pd
 
 try:
     import matplotlib
@@ -272,6 +273,26 @@ def plot_time_of_day(catalog, figsize=(8, 4), n_bins: int = 24, **kwargs):
     ax.set_xlabel("Hour of day (UTC)")
     ax.set_ylabel("Events")
     ax.set_xlim(-0.5, n_bins - 0.5)
+    return fig
+
+
+def plot_time_statistics(catalog, UTC_local_corr: float = 0.0,
+                         figsize=(16, 7), **kwargs):
+    """Side-by-side day-of-week and hour-of-day histograms
+    (reference parity: BPMF/dataset.py:585-617)."""
+    t = pd.to_datetime(catalog.catalog["origin_time"])
+    fig, axes = plt.subplots(ncols=2, nrows=1, figsize=figsize)
+    axes[0].hist(t.dt.dayofweek, bins=np.arange(8) - 0.5, **kwargs)
+    axes[0].set_xticks(np.arange(7))
+    axes[0].set_xticklabels(
+        ["Mon", "Tues", "Wed", "Thurs", "Fri", "Sat", "Sun"]
+    )
+    axes[0].set_xlabel("Day of the Week")
+    axes[0].set_ylabel("Event Count")
+    hours = (t.dt.hour + UTC_local_corr) % 24
+    axes[1].hist(hours, bins=np.arange(25) - 0.5, **kwargs)
+    axes[1].set_xlabel("Hour of the Day")
+    axes[1].set_ylabel("Event Count")
     return fig
 
 
