@@ -445,6 +445,33 @@ class Beamformer:
         lik = (beam_volume - beam_volume.min()) / rng
         return np.clip(lik, 0.0, 1.0)
 
+    def plot_likelihood(self, beam_over_sources: np.ndarray, ax=None,
+                        figsize=(10, 8), **kwargs):
+        """Source-grid likelihood map (min-max normalized beam) with the
+        maximum marked (reference parity:
+        BPMF/template_search.py:1135-1200)."""
+        import matplotlib.pyplot as plt
+
+        lik = self._likelihood(np.asarray(beam_over_sources))
+        src = self.source_coordinates
+        if ax is None:
+            fig, ax = plt.subplots(figsize=figsize)
+        else:
+            fig = ax.get_figure()
+        sc = ax.scatter(
+            src["longitude"].values, src["latitude"].values, c=lik,
+            s=kwargs.pop("s", 8), cmap=kwargs.pop("cmap", "magma"),
+            **kwargs,
+        )
+        best = int(np.argmax(lik))
+        ax.plot(float(src["longitude"].iloc[best]),
+                float(src["latitude"].iloc[best]), "*", color="C0",
+                ms=14, mec="k")
+        fig.colorbar(sc, ax=ax, label="likelihood")
+        ax.set_xlabel("Longitude")
+        ax.set_ylabel("Latitude")
+        return fig
+
     def location_uncertainty(self, beam_over_sources: np.ndarray):
         """Likelihood-weighted RMS distance from the argmax source.
 

@@ -716,6 +716,44 @@ class MatchedFilter:
         return detections
 
     # ------------------------------------------------------------------
+    def plot_cc(self, tid, ax=None, detection=None, figsize=(15, 7)):
+        """CC time series + detection threshold for one template
+        (reference parity: BPMF/similarity_search.py:812-900)."""
+        import matplotlib.pyplot as plt
+
+        if tid not in getattr(self, "cc", {}):
+            raise KeyError(
+                f"{tid!r} not in self.cc — run compute_cc_time_series first"
+            )
+        if ax is None:
+            fig, ax = plt.subplots(figsize=figsize)
+        else:
+            fig = ax.get_figure()
+        sr = self.data.sr
+        cc_t = np.asarray(self.cc[tid])
+        threshold = np.asarray(
+            time_dependent_threshold(
+                cc_t,
+                int(sec_to_samp(self.threshold_window_dur, sr=sr)),
+                self.cfg.n_dev_mf_threshold,
+                overlap=self.overlap,
+                threshold_type=self.threshold_type,
+            )
+        )
+        t = np.arange(len(cc_t)) / sr
+        ax.plot(t, cc_t, lw=0.4, label=f"CC (template {tid})")
+        ax.plot(t, threshold, "--", color="C3", label="threshold")
+        if detection is not None:
+            i = int(
+                (detection.origin_time_epoch - self.data.date_epoch) * sr
+            ) if hasattr(self.data, "date_epoch") else None
+            if i is not None and 0 <= i < len(cc_t):
+                ax.plot(t[i], cc_t[i], "o", color="C3", ms=6)
+        ax.set_xlabel("Time (s)")
+        ax.set_ylabel("Network CC")
+        ax.legend(loc="upper right")
+        return fig
+
     def run_matched_filter_search(
         self,
         minimum_interevent_time: float,

@@ -338,6 +338,80 @@ class Spectrum:
         self.num_valid_channels = pd.Series(count, index=spec.columns)
         return self.average_spectrum
 
+    def plot_spectrum(self, phase: str, ax=None, figsize=(8, 6), **kwargs):
+        """Log-log per-channel amplitude spectra for one phase
+        (reference parity: BPMF/spectrum.py `plot_spectrum`)."""
+        import matplotlib.pyplot as plt
+
+        if ax is None:
+            fig, ax = plt.subplots(figsize=figsize)
+        else:
+            fig = ax.get_figure()
+        spec = self.spectra[phase.lower()]
+        for idx in spec.index:
+            ax.loglog(spec.columns, spec.loc[idx].values, lw=0.7,
+                      label=str(idx), **kwargs)
+        ax.set_xlabel("Frequency (Hz)")
+        ax.set_ylabel("Amplitude spectrum")
+        ax.legend(fontsize=6, ncol=2, loc="lower left")
+        return fig
+
+    def plot_average_spectrum(self, ax=None, figsize=(8, 6), **kwargs):
+        """Log-log network-average spectrum with the model fit overlaid
+        when available (reference parity: BPMF/spectrum.py
+        `plot_average_spectrum`)."""
+        import matplotlib.pyplot as plt
+
+        if ax is None:
+            fig, ax = plt.subplots(figsize=figsize)
+        else:
+            fig = ax.get_figure()
+        avg = self.average_spectrum
+        ax.loglog(avg.index, avg.values, color="k", lw=1.2,
+                  label="network average", **kwargs)
+        if getattr(self, "fit_success", False):
+            f = np.asarray(avg.index, np.float64)
+            model = getattr(self, "model_name", "brune")
+            fn = brune if model == "brune" else boatwright
+            ax.loglog(f, fn(f, self.M0, self.fc), "--", color="C3",
+                      label=f"{model} fit (fc={self.fc:.2f} Hz)")
+        ax.set_xlabel("Frequency (Hz)")
+        ax.set_ylabel("Amplitude spectrum")
+        ax.legend(loc="lower left")
+        return fig
+
+    def integrate(self, phase: str, average: bool = False,
+                  angular: bool = False):
+        """Integrate the amplitude spectrum in place: divide by frequency
+        (reference parity: BPMF/spectrum.py:650-688, which divides by f;
+        `angular=True` uses the physically standard 2*pi*f instead)."""
+        phase = phase.lower()
+        f = np.asarray(
+            (self.average_spectrum.index if average
+             else self.spectra[phase].columns), np.float64
+        )
+        scale = (2.0 * np.pi * f) if angular else f
+        with np.errstate(divide="ignore", invalid="ignore"):
+            if average:
+                self.average_spectrum = self.average_spectrum / scale
+            else:
+                self.spectra[phase] = self.spectra[phase] / scale
+
+    def differentiate(self, phase: str, average: bool = False,
+                      angular: bool = False):
+        """Differentiate the amplitude spectrum in place: multiply by
+        frequency (reference parity: BPMF/spectrum.py:689-727)."""
+        phase = phase.lower()
+        f = np.asarray(
+            (self.average_spectrum.index if average
+             else self.spectra[phase].columns), np.float64
+        )
+        scale = (2.0 * np.pi * f) if angular else f
+        if average:
+            self.average_spectrum = self.average_spectrum * scale
+        else:
+            self.spectra[phase] = self.spectra[phase] * scale
+
     def fit_average_spectrum(
         self,
         model: str = "brune",
@@ -367,6 +441,7 @@ class Spectrum:
         if valid.sum() < max(3, min_fraction_valid_points * len(avg)):
             return None
         model_fn = brune if model == "brune" else boatwright
+        self.model_name = model
         w0_guess = float(amps[0])
         fc_guess = float(
             fc_circular_crack(moment_to_magnitude(max(w0_guess, 1e-30)))
