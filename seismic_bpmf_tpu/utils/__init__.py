@@ -8,6 +8,7 @@ from .geo import (
 )
 from .stacking import (
     fetch_detection_waveforms,
+    fetch_detection_waveforms_refilter,
     svdwf,
     svdwf_multiplets,
 )
@@ -48,6 +49,7 @@ __all__ = [
     "svdwf",
     "svdwf_multiplets",
     "fetch_detection_waveforms",
+    "fetch_detection_waveforms_refilter",
 ]
 
 

@@ -152,9 +152,10 @@ def fetch_detection_waveforms(
         if duration is not None:
             if data_reader is not None:
                 ev.data_reader = data_reader
-            ev.read_waveforms(
-                duration, offset_phase=offset_phase, time_shifted=True
-            )
+            kw = {} if offset_phase is None else {
+                "offset_phase": offset_phase
+            }
+            ev.read_waveforms(duration, time_shifted=True, **kw)
         elif not hasattr(ev, "duration") and getattr(ev, "traces", None):
             # stored-waveform events carry no window duration attribute
             tr = ev.traces[0]
@@ -232,3 +233,53 @@ def svdwf_multiplets(
         phases=list(template.phases),
         moveouts=template.moveouts.values,
     )
+
+
+def fetch_detection_waveforms_refilter(
+    template,
+    freqmin: float,
+    freqmax: float,
+    duration: float,
+    filename: str = None,
+    db_path: str = "",
+    data_reader=None,
+    target_sr: float = None,
+    integrate: bool = False,
+    **fetch_kwargs,
+):
+    """`fetch_detection_waveforms` variant that re-reads the raw data and
+    re-filters it into a new band (modernized BPMF/utils.py:867-983).
+
+    Waveforms are re-read from disk (`duration` seconds, time-shifted),
+    bandpass-filtered to [freqmin, freqmax], optionally integrated
+    (velocity -> displacement) and resampled to `target_sr`.
+    """
+    from scipy.signal import decimate, detrend
+
+    from .filters import bandpass_filter
+
+    norm_rms = fetch_kwargs.pop("norm_rms", True)
+    wf, ccs = fetch_detection_waveforms(
+        template, filename=filename, db_path=db_path, duration=duration,
+        data_reader=data_reader, norm_rms=False, **fetch_kwargs,
+    )
+    if wf.size == 0:
+        return wf, ccs
+    sr = float(template.sampling_rate)
+    shp = wf.shape
+    flat = detrend(wf.reshape(-1, shp[-1]).astype(np.float64), axis=-1)
+    if integrate:
+        flat = np.cumsum(flat, axis=-1) / sr
+        flat = detrend(flat, axis=-1)
+    flat = bandpass_filter(
+        flat, freqmin=freqmin, freqmax=freqmax, f_Nyq=sr / 2.0
+    )
+    if target_sr is not None and target_sr < sr:
+        q = int(round(sr / target_sr))
+        flat = decimate(flat, q, axis=-1, zero_phase=True)
+    out = flat.reshape(shp[:-1] + (flat.shape[-1],)).astype(np.float32)
+    if norm_rms:
+        norm = out.std(axis=(2, 3))[..., None, None]
+        norm[norm == 0.0] = 1.0
+        out = out / norm
+    return out, ccs

@@ -826,3 +826,43 @@ class TestEventAuxMethods:
         peaks = tp.get_peak_amplitudes()
         arr = tp.waveforms_arr
         np.testing.assert_allclose(peaks, np.abs(arr).max(axis=-1))
+
+    def test_fetch_refilter(self, rng, tmp_path):
+        """Refilter variant re-reads raw data, bandpasses and decimates."""
+        from seismic_bpmf_tpu.data import data_reader_hdf5
+        from seismic_bpmf_tpu.data.readers import write_hdf5_continuous
+        from seismic_bpmf_tpu.data.stream import Stream, Trace
+        from seismic_bpmf_tpu.utils import fetch_detection_waveforms_refilter
+
+        sr, n = 25.0, 4000
+        st = Stream()
+        for sta in ("ST1", "ST2"):
+            for comp in "NEZ":
+                x = rng.normal(size=n).astype(np.float32)
+                st += Trace(x, station=sta, network="XX",
+                            channel=f"HH{comp}", sampling_rate=sr,
+                            starttime=1343264460.0)  # 01:01:00, covers the event
+        day_file = str(tmp_path / "day.h5")
+        write_hdf5_continuous(day_file, st)
+
+        tp = _template_with_waveforms(rng, tmp_path)
+        import h5py
+
+        evs = []
+        for i in range(3):
+            ev = _make_event(rng)
+            ev.id = f"det{i}"
+            ev.where = day_file
+            ev.set_aux_data({"cc": 0.5 + 0.1 * i})
+            evs.append(ev)
+        fn = f"detections_tp{tp.tid}.h5"
+        with h5py.File(str(tmp_path / fn), "w") as f:
+            for ev in evs:
+                ev.write(fn, gid=ev.id, hdf5_file=f)
+        wf, ccs = fetch_detection_waveforms_refilter(
+            tp, freqmin=2.0, freqmax=8.0, duration=8.0,
+            db_path=str(tmp_path), data_reader=data_reader_hdf5,
+            target_sr=12.5,
+        )
+        assert wf.shape == (3, 2, 3, int(8.0 * 12.5))
+        np.testing.assert_allclose(wf.std(axis=(2, 3)), 1.0, atol=1e-4)
