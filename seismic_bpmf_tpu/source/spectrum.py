@@ -188,17 +188,25 @@ class Spectrum:
 
         if fmax is None:
             fmax = 0.45 * sampling_rate
-        n_bands = int(np.ceil(np.log2(fmax / fmin) * bands_per_octave))
-        centers = fmin * 2.0 ** (np.arange(n_bands) / bands_per_octave)
-        centers = centers[centers < fmax]
+        if getattr(self, "frequency_bands", None) is not None:
+            # explicit band edges set via set_frequency_bands (reference
+            # parity: BPMF/spectrum.py:889-906)
+            edges = [tuple(v) for v in self.frequency_bands.values()]
+            centers = np.array([0.5 * (lo + hi) for lo, hi in edges])
+        else:
+            n_bands = int(np.ceil(np.log2(fmax / fmin) * bands_per_octave))
+            centers = fmin * 2.0 ** (np.arange(n_bands) / bands_per_octave)
+            centers = centers[centers < fmax]
+            half = 2 ** (0.5 / bands_per_octave)
+            edges = [(c / half, min(c * half, 0.499 * sampling_rate))
+                     for c in centers]
         for phase in phases:
             x = np.asarray(windows[phase], np.float64)
             n_sta, n_comp = x.shape[0], x.shape[1]
             amp = np.zeros((n_sta, n_comp, len(centers)))
             for b, fc_band in enumerate(centers):
-                lo = fc_band / 2 ** (0.5 / bands_per_octave)
-                hi = min(fc_band * 2 ** (0.5 / bands_per_octave),
-                         0.499 * sampling_rate)
+                lo, hi = edges[b]
+                hi = min(hi, 0.499 * sampling_rate)
                 sos = butter(4, [lo, hi], btype="bandpass",
                              fs=sampling_rate, output="sos")
                 xf = sosfilt(sos, x, axis=-1)
@@ -213,6 +221,12 @@ class Spectrum:
             )
         self.frequencies = centers
         return self.spectra
+
+    def set_frequency_bands(self, frequency_bands: Dict):
+        """Explicit multiband edges {name: (freq_lo, freq_hi)} used by
+        `compute_multi_band_spectrum` instead of the octave ladder
+        (reference parity: BPMF/spectrum.py:889-906)."""
+        self.frequency_bands = frequency_bands
 
     def compute_signal_to_noise_ratio(
         self, phases: Sequence[str] = ("p", "s"), noise_phase: str = "noise"
@@ -262,6 +276,16 @@ class Spectrum:
         Reference parity: BPMF/spectrum.py:97-200.
         """
         stations = list(source_receiver_dist_km.index)
+        # keep the geometry inputs so update_Q_model can refresh the
+        # attenuation factor without re-passing them
+        self._corr_inputs = dict(
+            source_receiver_dist_km=source_receiver_dist_km,
+            travel_times=travel_times, rho_source=rho_source,
+            rho_receiver=rho_receiver, vp_source=vp_source,
+            vp_receiver=vp_receiver, vs_source=vs_source,
+            vs_receiver=vs_receiver, radiation_S=radiation_S,
+            radiation_P=radiation_P,
+        )
         geom = pd.DataFrame(index=stations)
         att: Dict[str, pd.DataFrame] = {}
         freqs = self.frequencies
@@ -286,6 +310,19 @@ class Spectrum:
                 )
         self.geometrical_factor = geom
         self.attenuation_factor = att
+
+    def update_Q_model(self, Q0: float, n: float = 0.0,
+                       Q_phase_prefactor: Optional[Dict[str, float]] = None):
+        """Change the attenuation model and refresh the attenuation
+        factor (reference parity: BPMF/spectrum.py `update_Q_model` /
+        `update_attenuation_factor`).  Requires a prior
+        `compute_correction_factor` call; spectra already corrected with
+        the old model are NOT rewound (same as the reference)."""
+        self.set_Q_model(Q0=Q0, n=n, Q_phase_prefactor=Q_phase_prefactor)
+        if hasattr(self, "_corr_inputs"):
+            self.compute_correction_factor(**self._corr_inputs)
+
+    update_attenuation_factor = update_Q_model
 
     def correct_geometrical_spreading(self, phases=("p", "s")):
         for phase in phases:
