@@ -339,18 +339,22 @@ class Event:
                 )
 
     def get_peak_amplitudes(self, stations=None, components=None):
-        """(n_stations, n_components) peak |amplitude| per channel, for
-        amplitude-based local magnitudes (reference parity:
-        BPMF/dataset.py `get_peak_amplitudes`)."""
+        """(n_stations, n_components) peak |amplitude − mean| per channel,
+        for amplitude-based local magnitudes (reference parity:
+        BPMF/dataset.py:1494-1519, which demeans before taking the max so
+        DC offsets don't masquerade as signal)."""
         stations = list(stations if stations is not None else self.stations)
         components = list(
             components if components is not None else self.components
         )
         arr = get_np_array(
             self.traces, stations, components=components,
-            n_samples=self.n_samples, component_aliases=DEFAULT_ALIASES,
+            n_samples=self.n_samples,
+            component_aliases=self.component_aliases,
         )
-        return np.max(np.abs(arr), axis=-1)
+        return np.max(
+            np.abs(arr - arr.mean(axis=-1, keepdims=True)), axis=-1
+        )
 
     # ------------------------------------------------------------------
     # waveforms
@@ -687,12 +691,14 @@ class Event:
         az_hmax = float(np.degrees(np.arctan2(v[0, 1], v[1, 1]))) % 180.0
         az_hmin = float(np.degrees(np.arctan2(v[0, 0], v[1, 0]))) % 180.0
         vmax = float(np.sqrt(max(cov[2, 2], 0.0)))
-        # plunge of the most-vertical semi-axis of the full 3-D ellipsoid
-        # (reference's `pl_vmax_unc`, BPMF/dataset.py:1355-1368)
+        # plunge of the most-vertical semi-axis of the full 3-D ellipsoid,
+        # measured from VERTICAL as in the reference (arccos of the
+        # vertical direction cosine, folded to [0, 90];
+        # BPMF/dataset.py:1607-1608) — 0 deg = vertical axis
         w3, v3 = np.linalg.eigh(cov)
         vert = np.sqrt(np.maximum(w3, 0.0)) * np.abs(v3[2, :])
         i = int(np.argmax(vert))
-        pl_vmax = float(np.degrees(np.arcsin(
+        pl_vmax = float(np.degrees(np.arccos(
             np.clip(np.abs(v3[2, i]), 0.0, 1.0)
         )))
         self.set_aux_data(

@@ -165,6 +165,15 @@ def data_reader_mseed(
                 )
                 for fn in sorted(glob.glob(os.path.join(resp_dir, "*.xml")))
             ]
+            if not invs:
+                # fail loudly like obspy.read_inventory on a non-matching
+                # glob — a silently response-less stream surfaces much
+                # later as a confusing deconvolution failure
+                raise FileNotFoundError(
+                    f"attach_response: no StationXML found under "
+                    f"{os.path.join(where, 'resp')} or "
+                    f"{os.path.join(where, '..', 'resp')}"
+                )
             st.attach_response(invs)
         return from_obspy(st)
 
@@ -186,7 +195,14 @@ def data_reader_mseed(
             os.path.join(where, "..", "resp"),
         ):
             inv = inv + read_inventory(os.path.join(resp_dir, "*.xml"))
-        inv.attach(out)
+        if inv.attach(out) == 0:
+            # fail loudly: a silently response-less stream surfaces much
+            # later as a confusing deconvolution failure
+            raise FileNotFoundError(
+                f"attach_response: no matching StationXML response under "
+                f"{os.path.join(where, 'resp')} or "
+                f"{os.path.join(where, '..', 'resp')}"
+            )
     return out
 
 

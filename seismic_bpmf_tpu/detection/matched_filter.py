@@ -731,12 +731,17 @@ class MatchedFilter:
             fig = ax.get_figure()
         sr = self.data.sr
         cc_t = np.asarray(self.cc[tid])
+        # threshold_window_dur/overlap are set by the detection entry
+        # points; fall back to their defaults so plot_cc works right
+        # after compute_cc_time_series
         threshold = np.asarray(
             time_dependent_threshold(
                 cc_t,
-                int(sec_to_samp(self.threshold_window_dur, sr=sr)),
+                int(sec_to_samp(
+                    getattr(self, "threshold_window_dur", 1800.0), sr=sr
+                )),
                 self.cfg.n_dev_mf_threshold,
-                overlap=self.overlap,
+                overlap=getattr(self, "overlap", 0.25),
                 threshold_type=self.threshold_type,
             )
         )

@@ -872,11 +872,18 @@ def approximate_moment_magnitude(
     )
     s.correct_geometrical_spreading()
     s.correct_attenuation()
-    # inverse interquartile-clipped source distance weights (shared by
-    # all phases; reference BPMF/spectrum.py:1474-1482)
-    d_clip = np.clip(dist.values, np.percentile(dist.values, 25.0),
-                     np.percentile(dist.values, 75.0))
-    dist_w = pd.Series(1.0 / d_clip, index=dist.index)
+    # inverse interquartile-clipped EPICENTRAL distance weights (shared by
+    # all phases; reference BPMF/spectrum.py:1474-1482 uses
+    # source_receiver_epicentral_dist, not the hypocentral distance that
+    # drives the travel-time corrections)
+    epi = compute_distances(
+        [event.longitude], [event.latitude], [0.0],
+        sel["longitude"].values, sel["latitude"].values,
+        np.zeros(len(sel)),
+    )[0]
+    d_clip = np.clip(epi, np.percentile(epi, 25.0),
+                     np.percentile(epi, 75.0))
+    dist_w = pd.Series(1.0 / d_clip, index=stations)
 
     mws = {}
     for ph in phases:

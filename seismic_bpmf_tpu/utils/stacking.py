@@ -99,19 +99,19 @@ def fetch_detection_waveforms(
     or are re-read from disk when `duration` (+ optionally `data_reader`)
     is given.
     """
+    import os
+
     import h5py
 
     from ..data.events import Event
 
     filename = filename or f"detections_tp{template.tid}.h5"
-    import os
-
     with h5py.File(os.path.join(db_path, filename), "r") as f:
-        gids = list(f.keys())
-    events = [
-        Event.read_from_file(filename, db_path=db_path, gid=g)
-        for g in gids
-    ]
+        # one open handle for the whole read (hundreds of groups for
+        # best_cc banks)
+        events = [
+            Event.read_from_file(hdf5_file=f[g]) for g in sorted(f.keys())
+        ]
     ccs = np.array(
         [float(ev.aux_data.get("cc", np.nan)) for ev in events], np.float64
     )
@@ -134,7 +134,13 @@ def fetch_detection_waveforms(
             cc_thres = 0.0
     else:
         cc_thres = -np.inf
-    keep = ccs >= cc_thres
+    if np.isneginf(cc_thres):
+        # no CC selection requested: keep events even when the detection
+        # file carries no 'cc' aux value (NaN), like the reference's
+        # default threshold of -1.0
+        keep = np.ones(len(events), dtype=bool)
+    else:
+        keep = ccs >= cc_thres
     if unique_events:
         uniq = np.array(
             [bool(ev.aux_data.get("unique_event", True)) for ev in events]

@@ -823,9 +823,15 @@ class TestEventAuxMethods:
 
     def test_get_peak_amplitudes(self, rng, tmp_path):
         tp = _template_with_waveforms(rng, tmp_path)
+        # inject a DC offset: peaks must be offset-immune (the reference
+        # demeans before the max, BPMF/dataset.py:1494-1519)
+        for tr in tp.traces:
+            tr.data = tr.data + 1000.0
         peaks = tp.get_peak_amplitudes()
         arr = tp.waveforms_arr
-        np.testing.assert_allclose(peaks, np.abs(arr).max(axis=-1))
+        dm = arr - arr.mean(axis=-1, keepdims=True)
+        np.testing.assert_allclose(peaks, np.abs(dm).max(axis=-1))
+        assert peaks.max() < 100.0  # not polluted by the 1000-count DC
 
     def test_fetch_refilter(self, rng, tmp_path):
         """Refilter variant re-reads raw data, bandpasses and decimates."""
