@@ -45,6 +45,7 @@ def main():
             tp[i:i + chunk], mv[i:i + chunk], w[i:i + chunk], n_samp,
             precision=precision, lag_block=lag_block,
             pad_left=0, max_moveout=400,
+            interpret=(jax.default_backend() == "cpu"),
         )
         for i in range(0, n_tp, chunk)
     ]

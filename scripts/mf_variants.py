@@ -48,6 +48,7 @@ def main():
             p = PallasMatchedFilterPlan(
                 tp[i:i + chunk], mv[i:i + chunk], w[i:i + chunk],
                 n_samp,
+                interpret=(jax.default_backend() == "cpu"),
                 precision=("highest" if prec == "xla-high" else
                            "high" if prec.startswith("high") else prec),
                 lag_block=B, pad_left=0, max_moveout=400,
