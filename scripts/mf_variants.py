@@ -53,7 +53,7 @@ def main():
                            "high" if prec.startswith("high") else prec),
                 lag_block=B, pad_left=0, max_moveout=400,
                 pack_split=(prec == "high-pack"),
-                dense=(False if prec == "high-pred" else None),
+                dense=(prec == "high-dense"),
             )
             if prec == "xla-high":
                 # XLA's 3-pass f32 HIGH instead of the manual bf16 split:
@@ -63,9 +63,9 @@ def main():
             plans.append(p)
         return plans
 
-    # "high" auto-selects the dense (unpredicated) kernel on this spread
-    # bank; "high-pred" forces the predicated one for comparison
-    precs = ["high", "high-pred", "high-pack", "xla-high"]
+    # "high" is the predicated production default; "high-dense" forces
+    # the unpredicated functional-accumulation variant
+    precs = ["high", "high-dense", "high-pack", "xla-high"]
     for B, chunk in combos:
       for prec in precs:
         try:

@@ -626,13 +626,23 @@ class PallasMatchedFilterPlan:
         self.kb = jnp.asarray(kb)
         # 'high' only: when most tap blocks are live anyway, the
         # unpredicated dense kernel (functional accumulation, no
-        # accumulator scratch zero/read/write per channel) wins; tightly
-        # clustered banks keep the predicated skip
-        live = float(np.clip(kb[:, 1] - kb[:, 0], 0, None).sum()
-                     + np.clip(kb[:, 3] - kb[:, 2], 0, None).sum())
-        total = float(n_ch * (n_k + Q))
+        # accumulator scratch zero/read/write per channel) can win;
+        # tightly clustered banks keep the predicated skip.  Off by
+        # default until hardware-validated (interpret-mode tests cannot
+        # catch Mosaic lowering issues); opt in per plan or via
+        # SEISMIC_BPMF_DENSE=1 once `bench.py --check` passes with it.
         if dense is None:
-            dense = total > 0 and live / total >= 0.75
+            import os
+
+            if os.environ.get("SEISMIC_BPMF_DENSE", "") == "1":
+                live = float(
+                    np.clip(kb[:, 1] - kb[:, 0], 0, None).sum()
+                    + np.clip(kb[:, 3] - kb[:, 2], 0, None).sum()
+                )
+                total = float(n_ch * (n_k + Q))
+                dense = total > 0 and live / total >= 0.75
+            else:
+                dense = False
         self.dense = bool(dense)
 
         n_samp_eff = n_samp + pad_left
