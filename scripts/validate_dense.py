@@ -1,0 +1,49 @@
+#!/usr/bin/env python
+"""Hardware parity gate for the unpredicated 'dense' MF kernel variant.
+
+Interpret-mode tests cannot catch Mosaic lowering issues, so the dense
+variant stays opt-in until this passes on the real chip:
+
+    python scripts/validate_dense.py        # ~2-4 min (two compiles)
+
+Prints PASS/FAIL per (precision, dense) cell against the NumPy oracle.
+"""
+
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    from seismic_bpmf_tpu.ops import reference as ref
+    from seismic_bpmf_tpu.ops.pallas_mf import PallasMatchedFilterPlan
+
+    rng = np.random.default_rng(7)
+    n_tp, n_sta, n_comp, L, n_samp = 32, 10, 3, 200, 200_000
+    tp = rng.normal(size=(n_tp, n_sta, n_comp, L)).astype(np.float32)
+    mv = rng.integers(0, 400, size=(n_tp, n_sta, n_comp)).astype(np.int32)
+    w = np.full((n_tp, n_sta, n_comp), 1.0 / (n_sta * n_comp), np.float32)
+    data = rng.normal(size=(n_sta, n_comp, n_samp)).astype(np.float32)
+    cc_ref = ref.matched_filter(tp, mv, w, data)
+
+    ok = True
+    for precision, tol in (("high", 5e-6), ("highest", 5e-7)):
+        for dense in (False, True):
+            t0 = time.time()
+            plan = PallasMatchedFilterPlan(
+                tp, mv, w, n_samp, precision=precision, dense=dense,
+            )
+            cc = np.asarray(plan(plan.pad_data(data)))
+            err = float(np.abs(cc - cc_ref).max())
+            status = "PASS" if err < tol else "FAIL"
+            ok &= status == "PASS"
+            print(f"{precision:8s} dense={dense!s:5s}: max err {err:.2e} "
+                  f"(tol {tol:.0e}) {status}  [{time.time()-t0:.0f}s]",
+                  flush=True)
+    print("DENSE VALIDATION:", "PASS" if ok else "FAIL", flush=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
