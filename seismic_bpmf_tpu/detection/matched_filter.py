@@ -295,6 +295,10 @@ class MatchedFilter:
         invalid = self._weights_arr.sum(axis=(1, 2)) == 0
         run = select[~invalid]
         self.cc = {}
+        # drop any previous chunk's stacked CC: when the new subset has
+        # no valid templates (e.g. a day-long station outage), a stale
+        # stack would otherwise be consumed by the batched extraction
+        self._cc_stack = (None, None)
         if len(run) > 0:
             templates = tg.waveforms_arr[run]
             moveouts = tg.moveouts_arr[run]

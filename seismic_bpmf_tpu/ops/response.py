@@ -155,7 +155,9 @@ def remove_response_arr(
     bank = np.stack(
         [f if f is not None else unity for f in built]
     )
-    out = np.asarray(apply_spectral_filter(flat, bank, nfft))
+    # writable host copy: channels without a response are restored
+    # below, and np.asarray of a device array is read-only
+    out = np.array(apply_spectral_filter(flat, bank, nfft))
     for i, f in enumerate(built):
         if f is None:
             out[i] = flat[i]

@@ -577,6 +577,31 @@ def _condition_window_arr(
             ),
             np.float64,
         )
+        # channels with NO matched response would stay raw counts while
+        # the rest are deconvolved to meters — an ~1e8 unit mismatch that
+        # silently pollutes the network-average spectrum.  Zero them out
+        # instead (they then fail the SNR gates and drop from the fit)
+        # and say so.  Reference behavior: obspy remove_response raises
+        # on a missing response, failing the whole event.
+        missing = [
+            (sta, c)
+            for i, (sta, c) in enumerate(
+                (s, c) for s in event.stations for c in event.components
+            )
+            if responses[i] is None
+        ]
+        if missing:
+            from ..utils.observe import logger
+
+            logger.warning(
+                "no instrument response for %s — zeroing those channels "
+                "out of the spectral windows", missing,
+            )
+            arr3 = arr.reshape(len(event.stations),
+                               len(event.components), -1)
+            for sta, c in missing:
+                arr3[list(event.stations).index(sta),
+                     list(event.components).index(c)] = 0.0
     elif integrate_to_displacement or integrate_to_displacement is None:
         arr = np.cumsum(arr, axis=-1) / sr
         arr = arr - arr.mean(axis=-1, keepdims=True)

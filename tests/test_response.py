@@ -518,3 +518,42 @@ class TestExtractWindowsResponse:
         assert np.argmax(np.abs(got)) == pytest.approx(
             600 - 450 + 15, abs=3
         )
+
+
+class TestPartialResponseCoverage:
+    def test_unmatched_channels_zeroed_not_mixed(self, rng):
+        """With responses on only some stations, the response-less
+        channels must be zeroed out of the spectral windows — NOT left as
+        raw counts next to deconvolved meters (an ~1e8 unit mismatch)."""
+        from seismic_bpmf_tpu.data.events import Event
+        from seismic_bpmf_tpu.data.stream import Stream, Trace
+        from seismic_bpmf_tpu.source import extract_windows
+
+        sr, n = SR, 4096
+        ev = Event(
+            "2012-07-26T01:00:00",
+            np.array([[1.0, 2.0], [1.0, 2.0]], np.float32),
+            ["TST1", "TST2"], ["P", "S"],
+            latitude=40.0, longitude=30.0, depth=8.0, sampling_rate=sr,
+        )
+        ev.set_aux_data({"offset_P": 5.0, "offset_S": 8.0})
+        ev.traces = Stream()
+        for sta in ("TST1", "TST2"):
+            for cp in "NEZ":
+                d = _bandlimited_disp(rng, n, sr)
+                counts = _forward_counts_from_disp(d, sr)
+                tr = Trace(counts.astype(np.float32), station=sta,
+                           network="XX", channel=f"HH{cp}",
+                           sampling_rate=sr)
+                if sta == "TST1":  # TST2 has no response metadata
+                    tr.stats.response = _response()
+                ev.traces += tr
+        ev.duration = n / sr
+        windows = extract_windows(
+            ev, duration_sec=3.0, attach_response=True,
+            taper_percentage=0.0, noise_window_sec=3.0,
+            pre_filt=(0.5, 1.0, 40.0, 45.0),
+        )
+        for ph in ("noise", "p", "s"):
+            assert np.all(windows[ph][1] == 0.0), ph     # TST2 zeroed
+            assert np.any(windows[ph][0] != 0.0), ph     # TST1 intact
