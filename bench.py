@@ -76,6 +76,20 @@ def check_parity(verbose: bool = True, quick: bool = False) -> bool:
         if verbose:
             print(f"# parity MF[{prec}]: max|diff|={err_mf:.2e} "
                   f"{'OK' if err_mf <= tol else 'FAIL'}", file=sys.stderr)
+    if os.environ.get("SEISMIC_BPMF_DENSE", "") == "1":
+        # the dense (unpredicated) kernel is opt-in; gate it whenever the
+        # opt-in is active so enabling it is always parity-checked
+        from seismic_bpmf_tpu.ops.pallas_mf import PallasMatchedFilterPlan
+
+        plan = PallasMatchedFilterPlan(tp, mv, w, n_samp,
+                                       precision="high", dense=True)
+        cc = np.asarray(plan(plan.pad_data(data)))[:, : cc_ref.shape[1]]
+        err_d = float(np.abs(cc - cc_ref).max())
+        if err_d > 5e-6:
+            ok = False
+        if verbose:
+            print(f"# parity MF[high,dense]: max|diff|={err_d:.2e} "
+                  f"{'OK' if err_d <= 5e-6 else 'FAIL'}", file=sys.stderr)
     if quick:
         return ok
 
