@@ -679,7 +679,7 @@ class Event:
             self.set_aux_data(
                 {"hmax_unc": 15.0, "hmin_unc": 15.0, "vmax_unc": 15.0,
                  "az_hmax_unc": 0.0, "az_hmin_unc": 90.0,
-                 "pl_vmax_unc": 90.0}
+                 "pl_vmax_unc": 0.0}
             )
             return
         cov = np.asarray(cov)
