@@ -423,11 +423,11 @@ def matched_filter_sharded_pallas(
         if split:
             return pmf._mf_pallas_call_split(
                 fa_l, fb_l, sel_l, hi_l, lo_l, data_ext, base, kb=kb_l,
-                **common,
+                pack_split=plan.pack_split, dense=plan.dense, **common,
             )
         return pmf._mf_pallas_call(
             fa_l, sel_l, hi_l, lo_l, data_ext, base, kb=kb_l,
-            precision=plan.precision, **common,
+            precision=plan.precision, dense=plan.dense, **common,
         )
 
     fa = plan.filt_hi if split else plan.filt
