@@ -723,44 +723,137 @@ class Event:
     def relocate_beam(
         self,
         beamformer,
-        waveform_features,
+        waveform_features=None,
         duration: float = 60.0,
         offset_ot: float = 10.0,
-        restricted_domain_side_km: Optional[float] = None,
+        phase_on_comp: Dict[str, str] = DEFAULT_PHASE_ON_COMP,
+        component_aliases: Dict[str, List[str]] = DEFAULT_ALIASES,
+        uncertainty_method: str = "spatial",
+        restricted_domain_side_km: float = 100.0,
+        out_of_bounds: str = "flexible",
+        read_waveforms: bool = True,
+        effective_kT: float = 0.33,
+        gibbs_cutoff: float = 0.25,
+        features_starttime: Optional[float] = None,
+        **reader_kwargs,
     ):
-        """Fine-grid beam relocation: backproject features in a window around
-        the current origin time and move the hypocenter to the beam argmax.
+        """Fine-grid beam relocation: backproject waveform features and move
+        the hypocenter (and origin time) to the beam argmax.
 
-        Reference parity: BPMF/dataset.py:2102-2269 (core path: full beam,
-        argmax, likelihood-weighted uncertainty).
+        Reference parity: BPMF/dataset.py:2102-2269.  With
+        ``waveform_features=None`` the event's own waveforms are read in
+        picking mode (``duration`` seconds starting ``offset_ot`` before the
+        origin time), std-normalized per station, and enveloped.
+
+        `uncertainty_method`:
+          - ``"spatial"``: full (source, time) beam; the location
+            uncertainty is the likelihood-weighted mean distance over the
+            3-D beam at the argmax time, restricted to a
+            ``restricted_domain_side_km`` box so uncertainties are not
+            grid-size-dependent.
+          - ``"temporal"``: max-reduced beam (device-side max — the full
+            beam volume is never materialized, so million-source grids
+            relocate in O(n_src) host memory); the uncertainty domain is
+            the set of per-time argmax sources weighted by a Gibbs
+            distribution of the max beam (``effective_kT``,
+            ``gibbs_cutoff``).
+
+        The origin time moves to the beam's argmax time when the features'
+        absolute start time is known (features read here, or
+        ``features_starttime`` given); otherwise it is left unchanged.
         """
-        beam = beamformer.backproject(waveform_features, reduce="none")
-        beam = np.asarray(beam)
-        # max over time for each source, then argmax over sources
-        beam_max_t = beam.max(axis=1)
-        best = int(np.argmax(beam_max_t))
-        t_best = int(np.argmax(beam[best]))
-        src = beamformer.source_coordinates
-        self.longitude = float(src["longitude"].iloc[best])
-        self.latitude = float(src["latitude"].iloc[best])
-        self.depth = float(src["depth"].iloc[best])
-        # likelihood-weighted location uncertainty
-        lik = beam_max_t - beam_max_t.min()
-        if lik.max() > 0:
-            lik = lik / lik.max()
-            w = lik**2
-            w /= w.sum()
-            from ..utils.geo import two_point_distance
+        from ..ops.cf import envelope
 
-            d = two_point_distance(
-                src["longitude"].values, src["latitude"].values,
-                src["depth"].values,
-                self.longitude, self.latitude, self.depth,
+        if waveform_features is None:
+            if read_waveforms:
+                self.read_waveforms(
+                    duration,
+                    phase_on_comp=phase_on_comp,
+                    component_aliases=component_aliases,
+                    time_shifted=False,
+                    offset_ot=offset_ot,
+                    **reader_kwargs,
+                )
+            data_arr = get_np_array(
+                self.traces, beamformer.network.stations,
+                components=["N", "E", "Z"],
+                n_samples=self.n_samples,
+                component_aliases=self.component_aliases,
             )
-            unc = float(np.sqrt(np.sum(w * d**2)))
-            self.set_aux_data({"hmax_unc": unc, "hmin_unc": unc,
-                               "vmax_unc": unc, "az_hmax_unc": 0.0})
-        self.set_aux_data({"maxbeam_reloc": float(beam[best, t_best])})
+            norm = np.std(data_arr, axis=(1, 2), keepdims=True)
+            norm[norm == 0.0] = 1.0
+            waveform_features = np.asarray(envelope(data_arr / norm))
+            if features_starttime is None and len(self.traces) > 0:
+                features_starttime = float(self.traces[0].stats.starttime)
+
+        if uncertainty_method == "spatial":
+            beam = np.asarray(beamformer.backproject(
+                waveform_features, reduce="none",
+                out_of_bounds=out_of_bounds,
+            ))
+            src_idx, time_idx = np.unravel_index(
+                int(beam.argmax()), beam.shape
+            )
+            peak = float(beam[src_idx, time_idx])
+        elif uncertainty_method == "temporal":
+            beamformer.backproject(
+                waveform_features, reduce="max",
+                out_of_bounds=out_of_bounds,
+            )
+            maxbeam = np.asarray(beamformer.maxbeam)
+            time_idx = int(np.argmax(maxbeam))
+            src_idx = int(beamformer.maxbeam_sources[time_idx])
+            peak = float(maxbeam[time_idx])
+        else:
+            raise ValueError(
+                f"unknown uncertainty_method {uncertainty_method!r} "
+                "(expected 'spatial' or 'temporal')"
+            )
+
+        sr = self.sr or beamformer.data.sr
+        if features_starttime is not None:
+            self.origin_time = _to_datetime64(
+                utc_from_epoch(features_starttime + time_idx / sr)
+            )
+        src = beamformer.source_coordinates
+        self.longitude = float(src["longitude"].iloc[src_idx])
+        self.latitude = float(src["latitude"].iloc[src_idx])
+        self.depth = float(src["depth"].iloc[src_idx])
+
+        if uncertainty_method == "spatial":
+            domain = beamformer._rectangular_domain(
+                self.longitude, self.latitude,
+                side_km=restricted_domain_side_km,
+            )
+            likelihood = beamformer._likelihood(beam[:, time_idx])
+            lik_domain = likelihood[domain]
+        else:
+            gibbs = np.exp(-(maxbeam.max() - maxbeam) / effective_kT)
+            sel = gibbs > gibbs_cutoff
+            domain = np.asarray(beamformer.maxbeam_sources)[sel]
+            likelihood = gibbs
+            lik_domain = gibbs[sel]
+        beamformer.likelihood = likelihood
+        hunc, vunc = beamformer._compute_location_uncertainty(
+            self.longitude, self.latitude, self.depth, lik_domain, domain
+        )
+        self.set_aux_data(
+            {"hmax_unc": hunc, "hmin_unc": hunc, "vmax_unc": vunc,
+             "az_hmax_unc": 0.0, "maxbeam_reloc": peak}
+        )
+
+        # arrival-time table from the relocated source's moveouts
+        tts = np.asarray(beamformer.moveouts[src_idx], np.float64) / sr
+        ot = pd.Timestamp(str(self.origin_time))
+        at = pd.DataFrame(index=pd.Index(beamformer.network.stations,
+                                         name="stations"))
+        for p, ph in enumerate(beamformer.phases):
+            ph = str(ph).upper()
+            at[f"{ph}_tt_sec"] = tts[:, p].astype(np.float32)
+            at[f"{ph}_abs_arrival_times"] = [
+                ot + pd.Timedelta(seconds=float(t)) for t in tts[:, p]
+            ]
+        self.arrival_times = at
         return self
 
     # ------------------------------------------------------------------

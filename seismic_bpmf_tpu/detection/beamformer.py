@@ -472,6 +472,51 @@ class Beamformer:
         ax.set_ylabel("Latitude")
         return fig
 
+    def _rectangular_domain(self, lon0, lat0, side_km: float = 100.0):
+        """Boolean mask of grid sources inside a `side_km` box centered at
+        (`lon0`, `lat0`).
+
+        Reference parity: BPMF/template_search.py:1232-1267 — except that
+        the reference applies the cos(latitude) shrink factor to the
+        latitude difference instead of the longitude difference (swapped
+        conversion constants); here longitude degrees are scaled by
+        cos(latitude) as geometry dictates.
+        """
+        r_earth_km = 6371.0
+        km_per_deg = 2.0 * np.pi * r_earth_km / 360.0
+        km_per_deg_lon = km_per_deg * np.cos(np.deg2rad(lat0))
+        lons = self.source_coordinates["longitude"].values
+        lats = self.source_coordinates["latitude"].values
+        return (
+            (np.abs(lons - lon0) * km_per_deg_lon < side_km / 2.0)
+            & (np.abs(lats - lat0) * km_per_deg < side_km / 2.0)
+        )
+
+    def _compute_location_uncertainty(
+        self, event_longitude, event_latitude, event_depth, likelihood,
+        domain,
+    ):
+        """(horizontal, vertical) location uncertainty in km: the
+        likelihood-weighted mean epicentral distance / |depth difference|
+        from the event over the `domain` sources (boolean mask or index
+        array).  Reference parity: BPMF/template_search.py:1269-1333."""
+        from ..utils.geo import two_point_epicentral_distance
+
+        src = self.source_coordinates
+        lons = src["longitude"].values[domain]
+        lats = src["latitude"].values[domain]
+        deps = src["depth"].values[domain]
+        likelihood = np.asarray(likelihood, np.float64)
+        wsum = float(likelihood.sum())
+        if wsum <= 0.0 or lons.size == 0:
+            return float("inf"), float("inf")
+        d_epi = two_point_epicentral_distance(
+            event_latitude, event_longitude, lats, lons
+        )
+        hunc = float(np.sum(likelihood * d_epi) / wsum)
+        vunc = float(np.sum(likelihood * np.abs(event_depth - deps)) / wsum)
+        return hunc, vunc
+
     def location_uncertainty(self, beam_over_sources: np.ndarray):
         """Likelihood-weighted RMS distance from the argmax source.
 

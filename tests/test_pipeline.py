@@ -204,6 +204,63 @@ class TestBeamRelocation:
         assert abs(ev2.longitude - true_lon) < 0.05
         assert abs(ev2.latitude - true_lat) < 0.05
         assert "hmax_unc" in ev2.aux_data
+        # arrival-time table filled from the relocated source's moveouts
+        assert "P_tt_sec" in ev2.arrival_times.columns
+        assert "S_abs_arrival_times" in ev2.arrival_times.columns
+        assert len(ev2.arrival_times) == len(bf.network.stations)
+
+    def test_temporal_method_matches_spatial_location(self, mini_world,
+                                                      bp_detections):
+        """The temporal (Gibbs, max-reduced) path — the O(n_src)-memory
+        route for million-source grids — finds the same hypocenter as the
+        full spatial beam."""
+        w = mini_world
+        bf, dets = bp_detections
+        ev = max(dets, key=lambda d: d.aux_data["maxbeam"])
+        env, _ = saturated_envelopes(
+            w["data"].get_np_array(w["net"].stations)
+        )
+        ev_sp = ev.relocate(bf, np.asarray(env), routine="beam",
+                            uncertainty_method="spatial")
+        loc_sp = (ev_sp.longitude, ev_sp.latitude, ev_sp.depth)
+        ev_tmp = ev.relocate(bf, np.asarray(env), routine="beam",
+                             uncertainty_method="temporal")
+        assert (ev_tmp.longitude, ev_tmp.latitude, ev_tmp.depth) == loc_sp
+        assert np.isfinite(ev_tmp.aux_data["hmax_unc"])
+        assert np.isfinite(ev_tmp.aux_data["vmax_unc"])
+
+    def test_relocate_reads_own_waveforms_and_updates_origin_time(
+            self, mini_world, bp_detections):
+        """waveform_features=None: the event reads its own window
+        (picking mode), envelopes it, and the origin time moves to the
+        beam argmax inside that window."""
+        w = mini_world
+        bf, dets = bp_detections
+        ev = max(dets, key=lambda d: d.aux_data["maxbeam"])
+        ot_before = ev.origin_time_epoch
+        ev2 = ev.relocate(
+            bf, routine="beam", duration=40.0, offset_ot=10.0,
+            data_reader=data_reader_hdf5,
+        )
+        true_lon = bf.source_coordinates["longitude"].iloc[EVENT_SRC]
+        true_lat = bf.source_coordinates["latitude"].iloc[EVENT_SRC]
+        assert abs(ev2.longitude - true_lon) < 0.05
+        assert abs(ev2.latitude - true_lat) < 0.05
+        # origin time updated, still within the extracted window
+        assert abs(ev2.origin_time_epoch - ot_before) < 40.0
+
+    def test_rectangular_domain_mask(self, bp_detections):
+        bf, _ = bp_detections
+        src = bf.source_coordinates
+        lon0 = float(src["longitude"].iloc[EVENT_SRC])
+        lat0 = float(src["latitude"].iloc[EVENT_SRC])
+        mask = bf._rectangular_domain(lon0, lat0, side_km=3.0)
+        assert mask.dtype == bool and mask.shape == (N_SRC,)
+        assert mask[EVENT_SRC]  # the center source is inside
+        # a huge box contains everything; a tiny one only the center
+        assert bf._rectangular_domain(lon0, lat0, side_km=1e4).all()
+        tiny = bf._rectangular_domain(lon0, lat0, side_km=1e-3)
+        assert tiny.sum() <= 1
 
 
 class TestDeviceDetectionPath:
