@@ -9,6 +9,12 @@ extraction programs dispatched before any fetch).  Round-2 state:
 <= ~4.5 s/day (>= 3000 GMAC/s sustained including extraction).
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import sys
 import time
 

@@ -9,6 +9,12 @@ template chunks amortize it across more templates).
     # combos as B:chunk, e.g. 4096:128 8192:128 8192:256
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import sys
 import time
 

@@ -14,6 +14,12 @@ BASELINE.json "Full two-step workflow" config, run for real):
     python scripts/month_workflow.py --days 30
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import argparse
 import os
 import sys

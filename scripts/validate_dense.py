@@ -9,6 +9,12 @@ variant stays opt-in until this passes on the real chip:
 Prints PASS/FAIL per (precision, dense) cell against the NumPy oracle.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import sys
 import time
 

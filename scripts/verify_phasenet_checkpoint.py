@@ -25,6 +25,12 @@ Reference protocol being verified: the picker callable of
 BPMF/dataset.py:1729-1736 fed by `sbm.PhaseNet.from_pretrained`.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import argparse
 import json
 import os

@@ -14,6 +14,12 @@ code path a production campaign runs.  State checkpoints to
     python scripts/year_scan.py --days 365 --state /tmp/year_state.json
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import argparse
 import copy
 import os
