@@ -50,6 +50,24 @@ class Catalog:
     def origin_times_epoch(self) -> np.ndarray:
         return self.catalog["origin_time"].values.astype("int64") / 1e9
 
+    # column-accessor properties (reference parity:
+    # BPMF/dataset.py:343-358)
+    @property
+    def origin_time(self) -> np.ndarray:
+        return self.catalog["origin_time"].values
+
+    @property
+    def latitude(self) -> np.ndarray:
+        return self.catalog["latitude"].values
+
+    @property
+    def longitude(self) -> np.ndarray:
+        return self.catalog["longitude"].values
+
+    @property
+    def depth(self) -> np.ndarray:
+        return self.catalog["depth"].values
+
     def __len__(self):
         return len(self.catalog)
 

@@ -416,29 +416,97 @@ class TemplateGroup:
         return self._intertp_dist
 
     @property
-    def ellipsoid_distances(self) -> pd.DataFrame:
-        """Directional distance reduced by the location-uncertainty
-        ellipsoids of both templates along the inter-template direction.
+    def directional_errors(self) -> pd.DataFrame:
+        """`directional_errors.loc[i, j]`: 68 %-confidence half-length (km)
+        of template i's location-uncertainty ellipsoid along the direction
+        from template i to template j.
 
-        Reference parity: BPMF/dataset.py:4594-4688 (simplified: isotropic
-        use of hmax/vmax along the connecting vector).
+        Reference parity: BPMF/dataset.py:4594-4663 (`compute_dir_errors`),
+        with one divergence noted: direction vectors here live in a
+        consistent local km frame, whereas the reference mixes Mercator
+        meters (horizontal) with km depths, collapsing every direction to
+        the horizontal plane.  Templates without a `cov_mat` fall back to
+        an isotropic ellipsoid from their hmax/vmax aux data, then to the
+        reference's 15 km default.
+        """
+        if hasattr(self, "_dir_errors"):
+            return self._dir_errors
+        s_68_3df = 3.52  # 68 % chi^2 quantile, 3 degrees of freedom
+        lon = np.array([tp.longitude for tp in self.templates], float)
+        lat = np.array([tp.latitude for tp in self.templates], float)
+        dep = np.array([tp.depth for tp in self.templates], float)
+        km_per_deg = 2.0 * np.pi * 6371.0 / 360.0
+        xyz = np.stack([
+            (lon - lon.mean()) * km_per_deg * np.cos(np.deg2rad(lat.mean())),
+            (lat - lat.mean()) * km_per_deg,
+            dep,
+        ], axis=1)
+        n = len(self.templates)
+        errors = np.zeros((n, n), np.float32)
+        for t, tp in enumerate(self.templates):
+            u = xyz - xyz[t]
+            norm = np.sqrt((u**2).sum(axis=1, keepdims=True))
+            u = np.divide(u, norm, out=np.zeros_like(u), where=norm > 0)
+            cov = getattr(tp, "cov_mat", None)
+            if cov is None:
+                cov = tp.aux_data.get("cov_mat")
+            if cov is not None:
+                cov_dir = np.abs(np.einsum("ji,jk,ki->i", u.T,
+                                           np.asarray(cov, float), u.T))
+                errors[t] = np.sqrt(s_68_3df * cov_dir)
+            else:
+                hunc = float(tp.aux_data.get("hmax_unc", 0.0) or 0.0)
+                vunc = float(tp.aux_data.get("vmax_unc", 0.0) or 0.0)
+                if hunc > 0.0 or vunc > 0.0:
+                    errors[t] = np.sqrt(
+                        (u[:, 0]**2 + u[:, 1]**2) * hunc**2
+                        + u[:, 2]**2 * vunc**2
+                    )
+                else:
+                    errors[t] = 15.0  # reference default (dataset.py:4658)
+        self._dir_errors = pd.DataFrame(
+            index=self.tids, columns=self.tids, data=errors
+        )
+        return self._dir_errors
+
+    @property
+    def ellipsoid_distances(self) -> pd.DataFrame:
+        """Separation between the two templates' uncertainty ellipsoids
+        along the inter-template direction — negative when the ellipsoids
+        overlap (reference parity: BPMF/dataset.py:4665-4688,
+        `compute_ellipsoid_dist`: inter-template distance minus both
+        directional errors).
         """
         if hasattr(self, "_ellips_dist"):
             return self._ellips_dist
-        d = self.intertemplate_distances.values.copy()
-        unc = np.array(
-            [
-                max(tp.aux_data.get("hmax_unc", 0.0) or 0.0,
-                    tp.aux_data.get("vmax_unc", 0.0) or 0.0)
-                for tp in self.templates
-            ]
-        )
-        d = d - unc[:, None] - unc[None, :]
-        d = np.maximum(d, 0.0)
-        self._ellips_dist = pd.DataFrame(
-            index=self.tids, columns=self.tids, data=d
-        )
+        de = self.directional_errors
+        self._ellips_dist = self.intertemplate_distances - de - de.T
         return self._ellips_dist
+
+    # reference-name aliases (BPMF/dataset.py:4560-4688)
+    @property
+    def intertemplate_dist(self) -> pd.DataFrame:
+        return self.intertemplate_distances
+
+    @property
+    def dir_errors(self) -> pd.DataFrame:
+        return self.directional_errors
+
+    @property
+    def ellipsoid_dist(self) -> pd.DataFrame:
+        return self.ellipsoid_distances
+
+    def compute_intertemplate_dist(self):
+        self.__dict__.pop("_intertp_dist", None)
+        _ = self.intertemplate_distances
+
+    def compute_dir_errors(self):
+        self.__dict__.pop("_dir_errors", None)
+        _ = self.directional_errors
+
+    def compute_ellipsoid_dist(self):
+        self.__dict__.pop("_ellips_dist", None)
+        _ = self.ellipsoid_distances
 
     def compute_intertemplate_cc(
         self,

@@ -91,6 +91,14 @@ class Network:
     def station_indexes(self) -> pd.Series:
         return pd.Series(index=self.stations, data=np.arange(self.n_stations))
 
+    def stations_idx(self, stations):
+        """Integer indexes of `stations` (str or sequence) in this network
+        (reference parity: BPMF/dataset.py:131-139, whose body returns an
+        undefined variable; here the looked-up indexes are returned)."""
+        if isinstance(stations, str):
+            stations = [stations]
+        return self.station_indexes.loc[list(stations)].values
+
     @property
     def networks(self) -> np.ndarray:
         return self.metadata["networks"].values.astype("U")

@@ -52,6 +52,29 @@ def write_hdf5_continuous(
             g[sta][cha].attrs["starttime_offset_sec"] = tr.stats.starttime - t0
 
 
+def data_reader_template(
+    where,
+    network=None,
+    stations=None,
+    channels=None,
+    location=None,
+    starttime=None,
+    endtime=None,
+    **kwargs,
+):
+    """Skeleton showing the data-reader protocol: every reader takes a path
+    plus network/stations/channels/location/starttime/endtime selectors and
+    returns a `Stream` (reference parity:
+    BPMF/data_reader_examples.py:4-44, which likewise returns an empty
+    stream for users to fill in).  See `data_reader_hdf5` /
+    `data_reader_mseed` for working implementations."""
+    from .stream import Stream
+
+    traces = Stream()
+    # read your data into traces
+    return traces
+
+
 def data_reader_hdf5(
     where,
     network=None,

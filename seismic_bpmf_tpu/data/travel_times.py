@@ -40,6 +40,19 @@ class TravelTimes:
     def source_coords(self):
         return self.source_coordinates
 
+    # reference-name aliases (BPMF/template_search.py:57-80)
+    @property
+    def num_sources(self) -> int:
+        return self.n_sources
+
+    @property
+    def tts(self):
+        if hasattr(self, "travel_times"):
+            return self.travel_times
+        if hasattr(self, "travel_times_samp"):
+            return self.travel_times_samp
+        return None
+
     # ------------------------------------------------------------------
     def read(
         self,

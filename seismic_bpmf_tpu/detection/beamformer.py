@@ -79,8 +79,25 @@ class Beamformer:
         return self.travel_times.n_sources
 
     @property
+    def num_sources(self):
+        # reference-name alias (BPMF/template_search.py:478-483)
+        return self.n_sources
+
+    @property
     def source_coordinates(self):
+        if hasattr(self, "_source_coordinates"):
+            return self._source_coordinates
         return self.travel_times.source_coordinates
+
+    def set_source_coordinates(self, source_coords):
+        """Override the source-coordinate table (dict or DataFrame with
+        longitude/latitude/depth); reference parity:
+        BPMF/template_search.py:753-762."""
+        import pandas as pd
+
+        if not isinstance(source_coords, pd.DataFrame):
+            source_coords = pd.DataFrame(source_coords)
+        self._source_coordinates = source_coords
 
     # ------------------------------------------------------------------
     def set_data(self, data):

@@ -20,6 +20,8 @@ from typing import Dict, Optional, Sequence
 import numpy as np
 import pandas as pd
 
+from ..utils.observe import logger
+
 
 # ---------------------------------------------------------------------------
 # source models and conversions (BPMF/spectrum.py:1180-1287)
@@ -221,6 +223,40 @@ class Spectrum:
             )
         self.frequencies = centers
         return self.spectra
+
+    def set_target_frequencies(self, freq_min: float, freq_max: float,
+                               num_points: int):
+        """Log-spaced target frequency grid (reference parity:
+        BPMF/spectrum.py:920-941)."""
+        self.frequencies = np.logspace(
+            np.log10(freq_min), np.log10(freq_max), num_points
+        )
+
+    def resample(self, new_frequencies, phase):
+        """Interpolate the phase spectra onto `new_frequencies` in place,
+        zeroing bins above each spectrum's original bandwidth (reference
+        parity: BPMF/spectrum.py:851-887; the repo stores spectra as
+        (row, frequency) DataFrames instead of per-trace dicts)."""
+        new_frequencies = np.asarray(new_frequencies, np.float64)
+        phases = [phase] if isinstance(phase, str) else list(phase)
+        for ph in phases:
+            ph = ph.lower()
+            if ph not in getattr(self, "spectra", {}):
+                logger.warning("no %s spectrum to resample", ph)
+                continue
+            spec = self.spectra[ph]
+            old_freqs = np.asarray(spec.columns, np.float64)
+            # 0.99: guard against rounding at the original band edge
+            outside = new_frequencies >= 0.99 * old_freqs.max()
+            vals = np.stack([
+                np.interp(new_frequencies, old_freqs, np.abs(row))
+                for row in spec.values
+            ])
+            vals[:, outside] = 0.0
+            self.spectra[ph] = pd.DataFrame(
+                vals, index=spec.index, columns=new_frequencies
+            )
+        self.frequencies = new_frequencies.astype(np.float32)
 
     def set_frequency_bands(self, frequency_bands: Dict):
         """Explicit multiband edges {name: (freq_lo, freq_hi)} used by

@@ -87,6 +87,18 @@ class TestNetwork:
         assert net2.components == ["N", "E", "Z"]
         np.testing.assert_allclose(net2.depth, [-0.1, -0.25, 0.0])
 
+    def test_stations_idx(self):
+        md = pd.DataFrame({
+            "stations": ["A", "B", "C"],
+            "networks": ["XX"] * 3,
+            "latitude": [40.0, 40.5, 41.5],
+            "longitude": [30.0, 30.5, 31.5],
+            "elevation_m": [0.0, 0.0, 0.0],
+        })
+        net = Network.from_dataframe(md)
+        np.testing.assert_array_equal(net.stations_idx(["C", "A"]), [2, 0])
+        np.testing.assert_array_equal(net.stations_idx("B"), [1])
+
     def test_box_subset_distances(self):
         md = pd.DataFrame({
             "stations": ["A", "B", "C"],
@@ -494,6 +506,38 @@ class TestTemplateGroup:
                                   similarity_criterion=2.0)
         assert list(out["unique_event"]) == [True, False, True]
 
+    def test_directional_errors_anisotropic(self, rng, tmp_path):
+        """A covariance elongated north-south gives a larger directional
+        error toward a northern neighbor than the reference's default; a
+        template with no uncertainty info gets the 15 km default."""
+        tg = self._group(rng, tmp_path)
+        # templates lie along latitude (same longitude): direction ~ N-S
+        # (BPMF/dataset.py:4594-4663 quadratic form sqrt(3.52 u^T C u))
+        cov_ns = np.diag([0.01, 4.0, 0.01])  # km^2, E-N-Z
+        tg.templates[0].cov_mat = cov_ns
+        de = tg.directional_errors
+        expect_ns = np.sqrt(3.52 * 4.0)
+        assert de.loc["0", "1"] == pytest.approx(expect_ns, rel=0.05)
+        # no cov/aux on template 1 -> reference default
+        assert de.loc["1", "0"] == pytest.approx(15.0)
+        assert de.loc["0", "0"] == 0.0  # self-direction is a zero vector
+        # ellipsoid separation = distance - both directional errors
+        ell = tg.ellipsoid_distances
+        d = tg.intertemplate_distances
+        assert ell.loc["0", "1"] == pytest.approx(
+            d.loc["0", "1"] - de.loc["0", "1"] - de.loc["1", "0"], abs=1e-5
+        )
+        # reference-name aliases resolve to the same tables
+        assert tg.dir_errors is tg.directional_errors
+        assert (tg.ellipsoid_dist.values == ell.values).all()
+
+    def test_directional_errors_hmax_vmax_fallback(self, rng, tmp_path):
+        tg = self._group(rng, tmp_path)
+        tg.templates[0].set_aux_data({"hmax_unc": 2.0, "vmax_unc": 0.5})
+        de = tg.directional_errors
+        # neighbors are horizontal: error ~ hmax
+        assert de.loc["0", "1"] == pytest.approx(2.0, rel=0.05)
+
 
 class TestCatalog:
     def test_from_events_and_concat(self, rng):
@@ -503,6 +547,14 @@ class TestCatalog:
         assert "cc" in cat.catalog.columns
         cat2 = Catalog.concatenate([cat, cat])
         assert cat2.n_events == 6
+
+    def test_column_properties(self, rng):
+        """Reference-parity column accessors (BPMF/dataset.py:343-358)."""
+        cat = Catalog.read_from_events([_make_event(rng) for _ in range(2)])
+        assert len(cat.origin_time) == 2
+        np.testing.assert_allclose(cat.latitude, [40.3, 40.3])
+        np.testing.assert_allclose(cat.longitude, [30.2, 30.2])
+        np.testing.assert_allclose(cat.depth, [8.0, 8.0])
 
     def test_detection_file(self, rng, tmp_path):
         evs = [_make_event(rng) for _ in range(2)]
@@ -540,6 +592,9 @@ class TestTravelTimes:
         assert arr.shape == (n_src, 2, 2)
         assert arr.min() == 0 or (arr.min(axis=(1, 2)) == 0).all()
         assert hasattr(tt, "moveout_to_tt")
+        # reference-name aliases (BPMF/template_search.py:57-80)
+        assert tt.num_sources == tt.n_sources
+        assert tt.tts is tt.travel_times
 
     def test_source_subset(self, tmp_path, rng):
         n_src = 10

@@ -194,6 +194,41 @@ class TestSpectrum:
         avg = spec.compute_network_average_spectrum("p", snr_threshold=0.0)
         assert np.isfinite(avg.values).any()
 
+    def test_resample_and_target_frequencies(self, rng):
+        """Reference-parity Spectrum.resample / set_target_frequencies
+        (BPMF/spectrum.py:851-941): linear interpolation onto the target
+        grid, bins past the original bandwidth zeroed."""
+        from seismic_bpmf_tpu.source.spectrum import Spectrum
+
+        stations = ["ST1", "ST2"]
+        windows = {
+            ph: rng.normal(size=(2, 3, 256)).astype(np.float32)
+            for ph in ("noise", "p", "s")
+        }
+        spec = Spectrum()
+        spec.compute_spectrum(windows, stations, 25.0)
+        old = spec.spectra["p"].copy()
+        old_freqs = np.asarray(old.columns, float)
+        spec.set_target_frequencies(0.5, 30.0, 20)  # beyond Nyquist
+        assert len(spec.frequencies) == 20
+        assert spec.frequencies[0] == pytest.approx(0.5)
+        spec.resample(spec.frequencies, ["p", "s"])
+        p = spec.spectra["p"]
+        assert list(p.index) == list(old.index)
+        new_freqs = np.asarray(p.columns, float)
+        assert len(new_freqs) == 20
+        # in-band values interpolate the original spectrum
+        k = 5  # an interior target frequency well inside the band
+        expected = np.interp(new_freqs[k], old_freqs,
+                             np.abs(old.values[0]))
+        assert p.values[0, k] == pytest.approx(expected, rel=1e-6)
+        # bins at/above 0.99 * original fmax are zeroed
+        outside = new_freqs >= 0.99 * old_freqs.max()
+        assert outside.any()
+        assert (p.values[:, outside] == 0.0).all()
+        # noise spectrum untouched (not in the phase list)
+        assert len(spec.spectra["noise"].columns) == len(old_freqs)
+
     def test_network_average_all_masked(self):
         """Every channel below SNR threshold -> all-NaN average, silently
         (no empty-slice RuntimeWarning)."""
