@@ -22,6 +22,17 @@ import numpy as np
 
 
 def main():
+    if "--cpu" in sys.argv:
+        # force the CPU backend BEFORE any backend init (JAX_PLATFORMS
+        # env is not honored when the accelerator plugin is present);
+        # kernels then run in interpret mode via the backend check below
+        sys.argv.remove("--cpu")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        global SMOKE_N_SAMP
+        SMOKE_N_SAMP = 40_000  # interpret mode cannot sweep a real day
+
     import jax.numpy as jnp
 
     from seismic_bpmf_tpu.ops.pallas_mf import PallasMatchedFilterPlan
@@ -34,7 +45,7 @@ def main():
     ]
     rng = np.random.default_rng(0)
     n_sta, n_comp, L = 10, 3, 200
-    n_samp = 2_160_000
+    n_samp = globals().get("SMOKE_N_SAMP", 2_160_000)
     data = rng.normal(size=(n_sta, n_comp, n_samp)).astype(np.float32)
     tp = rng.normal(size=(n_tp, n_sta, n_comp, L)).astype(np.float32)
     mv = rng.integers(0, 400, size=(n_tp, n_sta, n_comp)).astype(np.int32)

@@ -22,11 +22,23 @@ import numpy as np
 
 
 def main():
+    interpret = False
+    if "--cpu" in sys.argv:
+        # smoke mode: force the CPU backend BEFORE any backend init (the
+        # JAX_PLATFORMS env var is not honored when the accelerator plugin
+        # is present) and run the kernels in interpret mode at tiny sizes
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        interpret = True
+
     from seismic_bpmf_tpu.ops import reference as ref
     from seismic_bpmf_tpu.ops.pallas_mf import PallasMatchedFilterPlan
 
     rng = np.random.default_rng(7)
     n_tp, n_sta, n_comp, L, n_samp = 32, 10, 3, 200, 200_000
+    if interpret:
+        n_tp, n_samp = 8, 20_000
     tp = rng.normal(size=(n_tp, n_sta, n_comp, L)).astype(np.float32)
     mv = rng.integers(0, 400, size=(n_tp, n_sta, n_comp)).astype(np.int32)
     w = np.full((n_tp, n_sta, n_comp), 1.0 / (n_sta * n_comp), np.float32)
@@ -39,6 +51,7 @@ def main():
             t0 = time.time()
             plan = PallasMatchedFilterPlan(
                 tp, mv, w, n_samp, precision=precision, dense=dense,
+                interpret=interpret,
             )
             cc = np.asarray(plan(plan.pad_data(data)))
             err = float(np.abs(cc - cc_ref).max())
