@@ -28,9 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 import argparse
-import os
 import shutil
-import sys
 import tempfile
 import time
 
@@ -170,11 +168,18 @@ def main():
         return 1
 
     # --- fine-grid relocation on the SAME 1M-node grid (temporal beam) ---
+    # window the features around the detection so the relocation targets
+    # THIS event, not the day's global beam maximum
     best = max(dets, key=lambda d: d.aux_data.get("maxbeam", 0.0))
     env, _ = saturated_envelopes(data.get_np_array(net.stations))
+    env = np.asarray(env)
+    t_data = data.date_epoch
+    k0 = max(0, int((best.origin_time_epoch - t_data - 10.0) * args.sr))
+    k1 = min(env.shape[-1], k0 + int(80.0 * args.sr))
     t0 = time.time()
-    best.relocate(bf, np.asarray(env), routine="beam",
-                  uncertainty_method="temporal")
+    best.relocate(bf, env[..., k0:k1], routine="beam",
+                  uncertainty_method="temporal",
+                  features_starttime=t_data + k0 / args.sr)
     src_xyz = bf.source_coordinates
     err_km = float(two_point_distance(
         best.longitude, best.latitude, best.depth,

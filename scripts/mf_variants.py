@@ -15,14 +15,14 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
-import sys
 import time
 
 import numpy as np
 
 
 def main():
-    if "--cpu" in sys.argv:
+    smoke = "--cpu" in sys.argv
+    if smoke:
         # force the CPU backend BEFORE any backend init (JAX_PLATFORMS
         # env is not honored when the accelerator plugin is present);
         # kernels then run in interpret mode via the backend check below
@@ -30,8 +30,6 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        global SMOKE_N_SAMP
-        SMOKE_N_SAMP = 40_000  # interpret mode cannot sweep a real day
 
     import jax.numpy as jnp
 
@@ -45,7 +43,8 @@ def main():
     ]
     rng = np.random.default_rng(0)
     n_sta, n_comp, L = 10, 3, 200
-    n_samp = globals().get("SMOKE_N_SAMP", 2_160_000)
+    # interpret mode cannot sweep a real day
+    n_samp = 40_000 if smoke else 2_160_000
     data = rng.normal(size=(n_sta, n_comp, n_samp)).astype(np.float32)
     tp = rng.normal(size=(n_tp, n_sta, n_comp, L)).astype(np.float32)
     mv = rng.integers(0, 400, size=(n_tp, n_sta, n_comp)).astype(np.int32)

@@ -21,8 +21,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 import argparse
-import os
-import sys
 import tempfile
 import time
 

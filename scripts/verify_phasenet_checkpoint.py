@@ -33,8 +33,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 import argparse
 import json
-import os
-import sys
 
 import numpy as np
 

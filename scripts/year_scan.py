@@ -22,8 +22,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 import argparse
 import copy
-import os
-import sys
 import tempfile
 import time
 

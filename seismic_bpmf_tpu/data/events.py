@@ -780,6 +780,12 @@ class Event:
                 n_samples=self.n_samples,
                 component_aliases=self.component_aliases,
             )
+            if data_arr is None:
+                raise RuntimeError(
+                    "relocate_beam found no waveforms for this event "
+                    "(empty read window?); pass waveform_features or fix "
+                    "the data_reader"
+                )
             norm = np.std(data_arr, axis=(1, 2), keepdims=True)
             norm[norm == 0.0] = 1.0
             waveform_features = np.asarray(envelope(data_arr / norm))
@@ -811,9 +817,21 @@ class Event:
             )
 
         sr = self.sr or beamformer.data.sr
+        # with relative-to-first moveouts the beam peaks at the FIRST
+        # arrival; shift back to the true origin time and restore absolute
+        # travel times, exactly as find_detections does
+        # (detection/beamformer.py find_detections, travel_times.moveout_to_tt)
+        mv_to_tt = 0.0
+        if (beamformer.moveouts_relative_to_first
+                and hasattr(beamformer.travel_times, "moveout_to_tt")):
+            mv_to_tt = float(
+                np.asarray(beamformer.travel_times.moveout_to_tt)[src_idx]
+            )
         if features_starttime is not None:
             self.origin_time = _to_datetime64(
-                utc_from_epoch(features_starttime + time_idx / sr)
+                utc_from_epoch(
+                    features_starttime + time_idx / sr - mv_to_tt
+                )
             )
         src = beamformer.source_coordinates
         self.longitude = float(src["longitude"].iloc[src_idx])
@@ -828,7 +846,12 @@ class Event:
             likelihood = beamformer._likelihood(beam[:, time_idx])
             lik_domain = likelihood[domain]
         else:
-            gibbs = np.exp(-(maxbeam.max() - maxbeam) / effective_kT)
+            # Gibbs weights on the min-max-normalized max beam so
+            # effective_kT / gibbs_cutoff are scale-free (the reference
+            # uses raw beam units, dataset.py:2222-2228, making its knobs
+            # depend on the feature amplitude)
+            lik_t = beamformer._likelihood(maxbeam)
+            gibbs = np.exp(-(1.0 - lik_t) / effective_kT)
             sel = gibbs > gibbs_cutoff
             domain = np.asarray(beamformer.maxbeam_sources)[sel]
             likelihood = gibbs
@@ -843,7 +866,10 @@ class Event:
         )
 
         # arrival-time table from the relocated source's moveouts
-        tts = np.asarray(beamformer.moveouts[src_idx], np.float64) / sr
+        # (+ moveout_to_tt converts relative-to-first moveouts back to
+        # absolute travel times)
+        tts = (np.asarray(beamformer.moveouts[src_idx], np.float64) / sr
+               + mv_to_tt)
         ot = pd.Timestamp(str(self.origin_time))
         at = pd.DataFrame(index=pd.Index(beamformer.network.stations,
                                          name="stations"))

@@ -371,7 +371,7 @@ class TemplateGroup:
         had_waveforms = hasattr(self, "_waveforms_arr")
         self.network = network
         for cache in ("_moveouts_arr", "_waveforms_arr", "_intertp_dist",
-                      "_ellips_dist", "_intertemplate_cc"):
+                      "_dir_errors", "_ellips_dist", "_intertemplate_cc"):
             if hasattr(self, cache):
                 delattr(self, cache)
         if had_waveforms:
@@ -497,14 +497,26 @@ class TemplateGroup:
         return self.ellipsoid_distances
 
     def compute_intertemplate_dist(self):
-        self.__dict__.pop("_intertp_dist", None)
+        # distances feed both derived tables; drop them too
+        for cache in ("_intertp_dist", "_dir_errors", "_ellips_dist"):
+            self.__dict__.pop(cache, None)
         _ = self.intertemplate_distances
 
     def compute_dir_errors(self):
-        self.__dict__.pop("_dir_errors", None)
+        # _ellips_dist = distances - dir_errors - dir_errors.T: a stale
+        # separation table must not survive a directional-error refresh
+        for cache in ("_dir_errors", "_ellips_dist"):
+            self.__dict__.pop(cache, None)
         _ = self.directional_errors
 
-    def compute_ellipsoid_dist(self):
+    def compute_ellipsoid_dist(self, refresh_dir_errors: bool = True):
+        """Recompute the ellipsoid-separation table.  By default the
+        directional errors are refreshed too (template locations or
+        uncertainties may have changed since they were cached); pass
+        ``refresh_dir_errors=False`` for the reference's behavior of
+        reusing the cached `dir_errors` (BPMF/dataset.py:4665-4688)."""
+        if refresh_dir_errors:
+            self.__dict__.pop("_dir_errors", None)
         self.__dict__.pop("_ellips_dist", None)
         _ = self.ellipsoid_distances
 

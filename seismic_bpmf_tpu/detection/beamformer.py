@@ -54,13 +54,24 @@ class Beamformer:
     @property
     def moveouts(self) -> np.ndarray:
         """(n_src, n_sta, n_ph) int-sample moveouts (reference:
-        BPMF/template_search.py:444-454)."""
-        return self.travel_times.get_travel_times_array(
+        BPMF/template_search.py:444-454).  Cached — the build loops over
+        stations x phases in pandas and allocates the full array (~1 GB at
+        1M sources x 128 stations), and backproject/find_detections/
+        relocate_beam all read it; set_network/set_phases/
+        set_travel_times invalidate."""
+        key = (id(self.travel_times), tuple(self.stations),
+               tuple(self.phases), self.moveouts_relative_to_first)
+        cached = getattr(self, "_moveouts_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        mv = self.travel_times.get_travel_times_array(
             units="samples",
             stations=self.stations,
             phases=self.phases,
             relative_to_first=self.moveouts_relative_to_first,
         )
+        self._moveouts_cache = (key, mv)
+        return mv
 
     @property
     def stations(self):
@@ -106,12 +117,15 @@ class Beamformer:
 
     def set_network(self, network):
         self.network = network
+        self._moveouts_cache = None
 
     def set_phases(self, phases):
         self.phases = list(phases)
+        self._moveouts_cache = None
 
     def set_travel_times(self, travel_times):
         self.travel_times = travel_times
+        self._moveouts_cache = None
 
     def set_weights(self, weights_phases=None, weights_sources=None):
         if weights_phases is not None:

@@ -239,11 +239,13 @@ class Spectrum:
         (row, frequency) DataFrames instead of per-trace dicts)."""
         new_frequencies = np.asarray(new_frequencies, np.float64)
         phases = [phase] if isinstance(phase, str) else list(phase)
+        resampled_any = False
         for ph in phases:
             ph = ph.lower()
             if ph not in getattr(self, "spectra", {}):
                 logger.warning("no %s spectrum to resample", ph)
                 continue
+            resampled_any = True
             spec = self.spectra[ph]
             old_freqs = np.asarray(spec.columns, np.float64)
             # 0.99: guard against rounding at the original band edge
@@ -256,7 +258,10 @@ class Spectrum:
             self.spectra[ph] = pd.DataFrame(
                 vals, index=spec.index, columns=new_frequencies
             )
-        self.frequencies = new_frequencies.astype(np.float32)
+        if resampled_any:
+            # only re-point the frequency grid when something actually
+            # moved onto it, else it desyncs from the stored spectra
+            self.frequencies = new_frequencies.astype(np.float32)
 
     def set_frequency_bands(self, frequency_bands: Dict):
         """Explicit multiband edges {name: (freq_lo, freq_hi)} used by

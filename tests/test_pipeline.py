@@ -246,8 +246,14 @@ class TestBeamRelocation:
         true_lat = bf.source_coordinates["latitude"].iloc[EVENT_SRC]
         assert abs(ev2.longitude - true_lon) < 0.05
         assert abs(ev2.latitude - true_lat) < 0.05
-        # origin time updated, still within the extracted window
-        assert abs(ev2.origin_time_epoch - ot_before) < 40.0
+        # origin time moved to the beam argmax with the same
+        # moveout_to_tt correction find_detections applies — the
+        # relocated time must agree with the detection's convention
+        # (same event, same grid) to within a few samples of jitter
+        assert abs(ev2.origin_time_epoch - ot_before) < 2.0
+        # arrival-time table holds ABSOLUTE travel times: every arrival
+        # is at least the minimum P travel time after the origin
+        assert (ev2.arrival_times["P_tt_sec"].values > 0.5).all()
 
     def test_rectangular_domain_mask(self, bp_detections):
         bf, _ = bp_detections
