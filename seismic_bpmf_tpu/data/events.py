@@ -338,6 +338,20 @@ class Event:
                     epoch_from_utc(np.datetime64(t)) - ot
                 )
 
+    def get_np_array(self, stations=None, components=None):
+        """Dense (n_stations, n_components, n_samples) float32 array of the
+        event's traces (reference parity: BPMF/dataset.py
+        `Event.get_np_array`; missing channels are zero rows)."""
+        stations = list(stations if stations is not None else self.stations)
+        components = list(
+            components if components is not None else self.components
+        )
+        return get_np_array(
+            self.traces, stations, components=components,
+            n_samples=self.n_samples,
+            component_aliases=self.component_aliases,
+        )
+
     def get_peak_amplitudes(self, stations=None, components=None):
         """(n_stations, n_components) peak |amplitude − mean| per channel,
         for amplitude-based local magnitudes (reference parity:
@@ -719,6 +733,11 @@ class Event:
 
             return relocate_nlloc(self, *args, **kwargs)
         raise ValueError(f"unknown relocation routine {routine!r}")
+
+    def relocate_NLLoc(self, *args, **kwargs):
+        """Reference-name alias (BPMF/dataset.py:2388-2421) for
+        ``relocate(routine='nlloc')``."""
+        return self.relocate(*args, routine="nlloc", **kwargs)
 
     def relocate_beam(
         self,
@@ -1331,6 +1350,34 @@ class Template(Event):
 
         cat = self.read_catalog(db_path=db_path)
         return plot_recurrence_times(cat, **kwargs)
+
+    def plot_detection(self, idx_or_gid, filename: Optional[str] = None,
+                       db_path: str = "", duration: float = 60.0,
+                       phase_on_comp: Dict[str, str] = DEFAULT_PHASE_ON_COMP,
+                       offset_ot: float = 10.0, data_reader=None, **kwargs):
+        """Plot one detection from this template's detection file: read
+        the event group, fetch its waveforms in picking mode, and render
+        the gallery (reference parity: BPMF/dataset.py:3896-4000).
+
+        `idx_or_gid`: integer position in the (sorted) group list, or the
+        group name itself."""
+        import h5py
+
+        filename = filename or f"detections_tp{self.tid}.h5"
+        path = os.path.join(db_path, filename)
+        with h5py.File(path, "r") as f:
+            gids = sorted(f.keys())
+        gid = (str(idx_or_gid) if str(idx_or_gid) in gids
+               else gids[int(idx_or_gid)])
+        ev = Event.read_from_file(path, gid=gid)
+        ev.data_reader = data_reader or self.data_reader
+        ev.read_waveforms(
+            duration, phase_on_comp=phase_on_comp, time_shifted=False,
+            offset_ot=offset_ot,
+        )
+        from ..viz import plot_event
+
+        return plot_event(ev, **kwargs)
 
     def __repr__(self):
         return (

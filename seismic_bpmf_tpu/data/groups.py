@@ -68,6 +68,14 @@ class EventGroup:
                         )
         return mv
 
+    def read_waveforms(self, duration: float, **kwargs) -> "EventGroup":
+        """Read every event's time-shifted windows (reference parity:
+        BPMF/dataset.py `EventGroup.read_waveforms`); kwargs forward to
+        `Event.read_waveforms` (offset_phase, phase_on_comp, ...)."""
+        for ev in self.events:
+            ev.read_waveforms(duration, **kwargs)
+        return self
+
     def get_waveforms_arr(self, **kwargs) -> np.ndarray:
         arrs = []
         for ev in self.events:
@@ -275,6 +283,82 @@ class TemplateGroup:
             for fn in filenames
         ]
         return cls(templates, network)
+
+    def box(self, lon_min: float, lon_max: float, lat_min: float,
+            lat_max: float) -> "TemplateGroup":
+        """New TemplateGroup keeping the templates located inside the
+        geographic box (reference parity: BPMF/dataset.py
+        `TemplateGroup.box`)."""
+        kept = [
+            tp for tp in self.templates
+            if (tp.longitude is not None and tp.latitude is not None
+                and lon_min <= tp.longitude <= lon_max
+                and lat_min <= tp.latitude <= lat_max)
+        ]
+        return TemplateGroup(kept, self.network)
+
+    def n_closest_stations(self, n: int, available_stations=None):
+        """Per-template n-closest-station lists (reference parity:
+        BPMF/dataset.py `TemplateGroup.n_closest_stations`)."""
+        return {
+            tp.tid: tp.n_closest_stations(n, available_stations)
+            for tp in self.templates
+        }
+
+    def read_catalog(self, db_path: str = "", extra_attributes=("cc",
+                     "n_dev"), **kwargs):
+        """Concatenated detection catalog of every template in the group
+        (reference parity: BPMF/dataset.py `TemplateGroup.read_catalog`).
+        Templates whose detection file is absent contribute nothing."""
+        from .catalog import Catalog
+
+        cats = []
+        for tp in self.templates:
+            try:
+                cats.append(tp.read_catalog(
+                    db_path=db_path, extra_attributes=extra_attributes,
+                    **kwargs,
+                ))
+            except (OSError, KeyError):
+                continue
+        if not cats:
+            raise FileNotFoundError(
+                f"no detection files under {db_path!r} for any template"
+            )
+        self.catalog = Catalog.concatenate(cats)
+        return self.catalog
+
+    def set_network_to_template_map(self):
+        """Build the per-template channel-presence map (reference parity:
+        BPMF/dataset.py `set_network_to_template_map`; backed by the
+        `network_to_template_map` / `availability_arr` properties)."""
+        _ = self.network_to_template_map
+
+    def plot_detection(self, row_idx, db_path: str = "", **kwargs):
+        """Plot one event of `self.catalog` via the template that
+        detected it (reference parity: BPMF/dataset.py:5298-5353)."""
+        if not hasattr(self, "catalog"):
+            self.read_catalog(db_path=db_path)
+        row = self.catalog.catalog.iloc[int(row_idx)]
+        tp = self.templates[int(self.tindexes.loc[row["tid"]])]
+        ot = row["origin_time"]
+        cat_tp = tp.read_catalog(db_path=db_path).catalog
+        idx = int(np.argmin(np.abs(
+            cat_tp["origin_time"].values - np.datetime64(ot)
+        )))
+        # detection groups are written under the event id
+        # (Template.write_detections), carried as the event_id column
+        return tp.plot_detection(str(cat_tp["event_id"].iloc[idx]),
+                                 db_path=db_path, **kwargs)
+
+    def plot_recurrence_times(self, db_path: str = "", **kwargs):
+        """Recurrence times over the whole group's detections
+        (reference parity: BPMF/dataset.py `plot_recurrence_times`)."""
+        from ..viz import plot_recurrence_times
+
+        if not hasattr(self, "catalog"):
+            self.read_catalog(db_path=db_path)
+        return plot_recurrence_times(self.catalog, **kwargs)
 
     # ------------------------------------------------------------------
     @property

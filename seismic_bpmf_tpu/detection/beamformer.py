@@ -476,6 +476,36 @@ class Beamformer:
         lik = (beam_volume - beam_volume.min()) / rng
         return np.clip(lik, 0.0, 1.0)
 
+    def plot_detection(self, detection, duration: float = 60.0,
+                       offset_ot: float = 10.0, data_reader=None, **kwargs):
+        """Waveform gallery of one detection over the day's max beam
+        (reference parity: BPMF/template_search.py:1040-1133)."""
+        from ..viz import plot_detection
+
+        if not getattr(detection, "traces", None):
+            detection.read_waveforms(
+                duration, time_shifted=False, offset_ot=offset_ot,
+                data_reader=data_reader or getattr(
+                    self.data, "data_reader", None
+                ),
+            )
+        if hasattr(self.data, "date_epoch"):
+            detection._context_time = (
+                detection.origin_time_epoch - self.data.date_epoch
+            )
+        return plot_detection(
+            detection, context=getattr(self, "maxbeam", None),
+            context_sr=self.data.sr, context_label="max beam", **kwargs,
+        )
+
+    def plot_maxbeam(self, detection_indices=None, **kwargs):
+        """Max-beam time series with detections marked (reference parity:
+        BPMF/template_search.py 'plot_maxbeam')."""
+        from ..viz import plot_maxbeam
+
+        return plot_maxbeam(self, detection_indices=detection_indices,
+                            **kwargs)
+
     def plot_likelihood(self, beam_over_sources: np.ndarray, ax=None,
                         figsize=(10, 8), **kwargs):
         """Source-grid likelihood map (min-max normalized beam) with the

@@ -720,6 +720,32 @@ class MatchedFilter:
         return detections
 
     # ------------------------------------------------------------------
+    def plot_detection(self, detection, duration: float = 60.0,
+                       offset_ot: float = 10.0, data_reader=None, **kwargs):
+        """Waveform gallery of one detection over its template's CC series
+        (reference parity: BPMF/similarity_search.py:922-1020; requires
+        the CC series, i.e. `compute_cc_time_series` ran with the series
+        kept)."""
+        from ..viz import plot_detection
+
+        tid = detection.aux_data.get("tid")
+        cc_t = getattr(self, "cc", {}).get(tid)
+        if not getattr(detection, "traces", None):
+            detection.read_waveforms(
+                duration, time_shifted=False, offset_ot=offset_ot,
+                data_reader=data_reader or getattr(
+                    self.data, "data_reader", None
+                ),
+            )
+        if hasattr(self.data, "date_epoch"):
+            detection._context_time = (
+                detection.origin_time_epoch - self.data.date_epoch
+            )
+        return plot_detection(
+            detection, context=cc_t, context_sr=self.data.sr,
+            context_label=f"network CC (template {tid})", **kwargs,
+        )
+
     def plot_cc(self, tid, ax=None, detection=None, figsize=(15, 7)):
         """CC time series + detection threshold for one template
         (reference parity: BPMF/similarity_search.py:812-900)."""

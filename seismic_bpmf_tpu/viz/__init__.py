@@ -5,6 +5,7 @@ from .plots import (
     initialize_map,
     load_topography,
     plot_catalog,
+    plot_detection,
     plot_detection_matrix,
     plot_event,
     plot_maxbeam,
@@ -22,6 +23,7 @@ __all__ = [
     "initialize_map",
     "load_topography",
     "plot_catalog",
+    "plot_detection",
     "plot_detection_matrix",
     "plot_event",
     "plot_maxbeam",

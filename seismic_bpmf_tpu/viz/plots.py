@@ -311,6 +311,54 @@ def plot_space_time(catalog, axis: str = "longitude", figsize=(10, 5),
     return fig
 
 
+def plot_detection(detection, context=None, context_sr=None,
+                   context_label="", figsize=(14, 12), **kwargs):
+    """Waveform gallery of a detection with an optional context panel
+    below — the max beam for backprojection detections or the CC series
+    for matched-filter detections (reference:
+    BPMF/template_search.py:1040-1133, similarity_search.py:922-1020).
+
+    `context`: 1-D series over the scanned day; the detection time is
+    marked.  Returns the Figure.
+    """
+    arr = detection.waveforms_arr
+    n_sta, n_comp, _ = arr.shape
+    extra = 1 if context is not None else 0
+    fig, axes = plt.subplots(
+        n_sta + extra, n_comp, figsize=figsize, squeeze=False,
+        gridspec_kw={"height_ratios": [1] * n_sta + [2] * extra},
+    )
+    t = np.arange(arr.shape[-1]) / detection.sr
+    for s in range(n_sta):
+        for c in range(n_comp):
+            ax = axes[s, c]
+            ax.plot(t, arr[s, c], lw=0.6, color="k")
+            ax.set_ylabel(
+                f"{detection.stations[s]}.{detection.components[c]}",
+                fontsize=7,
+            )
+            if s < n_sta - 1:
+                ax.set_xticklabels([])
+    axes[n_sta - 1, 0].set_xlabel("Time (s)")
+    if context is not None:
+        gs = axes[0, 0].get_gridspec()
+        for ax in axes[n_sta]:
+            ax.remove()
+        ctx_ax = fig.add_subplot(gs[n_sta, :])
+        context = np.asarray(context)
+        sr = context_sr or detection.sr
+        tc = np.arange(len(context)) / sr
+        ctx_ax.plot(tc, context, lw=0.4, color="C0",
+                    label=context_label or "context")
+        t_det = getattr(detection, "_context_time", None)
+        if t_det is not None and 0 <= t_det < tc[-1]:
+            ctx_ax.axvline(t_det, color="C3", lw=1.0, label="detection")
+        ctx_ax.set_xlabel("Time in scanned data (s)")
+        ctx_ax.legend(loc="upper right", fontsize=8)
+    fig.suptitle(f"Detection {detection.id}")
+    return fig
+
+
 def plot_event(event, figsize=(12, 8), component_aliases=None, **kwargs):
     """Waveform gallery of an event with pick markers (reference:
     BPMF/dataset.py:3076-3240 `Event.plot`)."""

@@ -694,6 +694,10 @@ class TestViz:
             viz.plot_detection_matrix(
                 rng.normal(size=(4, 200)).astype(np.float32),
                 ["ST1"], 25.0),
+            viz.plot_detection(
+                tg.templates[0],
+                context=rng.normal(size=2000).astype(np.float32),
+                context_sr=25.0, context_label="max beam"),
         ]
         import matplotlib.pyplot as plt
         import matplotlib.pyplot as _plt
