@@ -22,7 +22,11 @@ import pandas as pd
 
 from ..utils.geo import two_point_distance
 from ..utils.stacking import svdwf
-from .events import Event, Template
+from ..utils.time import epoch_from_utc, sec_to_samp, utc_from_epoch
+from .events import (
+    DEFAULT_OFFSET_PHASE, DEFAULT_PHASE_ON_COMP, Event, Template,
+    _to_datetime64,
+)
 from .network import Network
 from .waveforms import get_np_array
 
@@ -195,6 +199,78 @@ class Stack(Event):
                     sampling_rate=sampling_rate,
                 )
         self.duration = waveforms.shape[-1] / sampling_rate
+        # keep the full stacked windows: read_waveforms re-slices from
+        # them (in-memory source instead of a data file)
+        self.stacked_traces = self.traces
+
+    def read_waveforms(
+        self,
+        duration: float,
+        phase_on_comp=DEFAULT_PHASE_ON_COMP,
+        offset_phase=DEFAULT_OFFSET_PHASE,
+        time_shifted: bool = True,
+        offset_ot: float = 10.0,
+        **kwargs,
+    ):
+        """Re-slice phase windows from the stacked traces (reference
+        parity: BPMF/dataset.py:5451-5523, with the stack's own time
+        base made explicit: the stacked channel for component `c` starts
+        `offset_<PH>` seconds before its phase arrival — the EventGroup
+        extraction convention, read from aux_data with the default
+        pre-pick offsets as fallback).
+
+        `time_shifted=True` trims/pads each channel to the new
+        `offset_phase` pre-pick offset; `time_shifted=False` positions
+        every window `offset_ot` seconds before the origin time.
+        Out-of-range samples are zero-padded.
+        """
+        from .stream import Stream, Trace
+
+        if not hasattr(self, "stacked_traces"):
+            self.stacked_traces = self.traces
+        sr = self.sr
+        n = int(sec_to_samp(duration, sr=sr))
+        out = Stream()
+        for sta in self.stations:
+            for cp in self.components:
+                ph = str(phase_on_comp[cp]).upper()
+                orig_off = float(self.aux_data.get(
+                    f"offset_{ph}", DEFAULT_OFFSET_PHASE[ph]
+                ))
+                mv = float(self.moveouts.loc[sta, f"moveouts_{ph}"])
+                if time_shifted:
+                    rel = orig_off - float(offset_phase[ph])
+                else:
+                    rel = orig_off - mv - float(offset_ot)
+                src = self.stacked_traces.select(station=str(sta),
+                                                 component=cp)
+                if not src:
+                    continue
+                x = np.asarray(src[0].data)
+                k0 = int(sec_to_samp(rel, sr=sr))
+                seg = np.zeros(n, np.float32)
+                a0, a1 = max(0, k0), min(len(x), k0 + n)
+                if a1 > a0:
+                    seg[a0 - k0:a1 - k0] = x[a0:a1]
+                out += Trace(seg, station=str(sta), channel=f"HH{cp}",
+                             sampling_rate=sr)
+        self.traces = out
+        self.duration = duration
+        self.set_aux_data({
+            f"offset_{str(p).upper()}": float(offset_phase[p])
+            for p in offset_phase
+        })
+        self.set_availability(stations=self.stations)
+        return self
+
+    def set_arrival_times_from_moveouts(self, offset_ot: float = 0.0):
+        """Shift the origin by `offset_ot`, then fill arrivals from the
+        moveouts (reference parity: BPMF/dataset.py:5447-5449)."""
+        if offset_ot:
+            self.origin_time = _to_datetime64(utc_from_epoch(
+                self.origin_time_epoch + float(offset_ot)
+            ))
+        return super().set_arrival_times_from_moveouts()
 
     def pick_PS_phases_family_mode(
         self,

@@ -792,6 +792,45 @@ class TestMultipletUtilities:
         c = np.corrcoef(arr[0, 0], sig)[0, 1]
         assert c > 0.95
 
+    def test_stack_read_waveforms_reslices(self, rng, tmp_path):
+        """Stack.read_waveforms re-slices phase windows from the stacked
+        traces (reference parity BPMF/dataset.py:5451-5523): shrinking
+        the pre-pick offset trims the window front, and the result is
+        zero-padded where the stack has no samples."""
+        from seismic_bpmf_tpu.utils import svdwf_multiplets
+
+        tp = _template_with_waveforms(rng, tmp_path)
+        self._detections(rng, tmp_path, tp)
+        stack = svdwf_multiplets(tp, db_path=str(tmp_path))
+        full = stack.waveforms_arr.copy()
+        sr = stack.sr
+        # original extraction offsets: P=1.0s, S=4.0s (aux offset_P/S);
+        # re-read with smaller offsets -> windows start later in the stack
+        stack.read_waveforms(
+            2.0, offset_phase={"P": 0.5, "S": 2.0},
+        )
+        arr = stack.waveforms_arr
+        n = int(2.0 * sr)
+        assert arr.shape[-1] == n
+        # Z carries P: new window starts (1.0-0.5)s into the old one
+        k = int(0.5 * sr)
+        np.testing.assert_allclose(arr[0, 2], full[0, 2, k:k + n],
+                                   atol=1e-6)
+        # N carries S: starts (4.0-2.0)s in
+        k = int(2.0 * sr)
+        np.testing.assert_allclose(arr[0, 0], full[0, 0, k:k + n],
+                                   atol=1e-6)
+        # a window reaching past the stack end is zero-padded
+        stack.read_waveforms(6.0, offset_phase={"P": 0.5, "S": 2.0})
+        tail = stack.waveforms_arr[0, 2]
+        assert tail.shape[-1] == int(6.0 * sr)
+        assert (tail[-int(2.0 * sr):] == 0.0).all()
+        # origin shift helper (reference Stack.set_arrival_times_from_moveouts)
+        ot0 = stack.origin_time_epoch
+        stack.set_arrival_times_from_moveouts(offset_ot=3.0)
+        assert stack.origin_time_epoch == pytest.approx(ot0 + 3.0)
+        assert "P_tt_sec" in stack.arrival_times.columns
+
     def test_cluster_templates(self, rng, tmp_path):
         from seismic_bpmf_tpu.utils import cluster_templates
 
