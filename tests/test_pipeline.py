@@ -268,6 +268,45 @@ class TestBeamRelocation:
         tiny = bf._rectangular_domain(lon0, lat0, side_km=1e-3)
         assert tiny.sum() <= 1
 
+    def test_beamformer_plot_detection_delegate(self, mini_world,
+                                                bp_detections):
+        """Beamformer.plot_detection reads the detection's waveforms in
+        picking mode and renders the gallery over the max beam."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        w = mini_world
+        bf, dets = bp_detections
+        import copy
+
+        ev = copy.deepcopy(max(dets, key=lambda d: d.aux_data["maxbeam"]))
+        fig = bf.plot_detection(ev, duration=20.0,
+                                data_reader=data_reader_hdf5,
+                                figsize=(8, 8))
+        # one row per station + the context row
+        assert len(fig.axes) >= N_STA * 3 + 1
+        plt.close(fig)
+
+    def test_set_source_coordinates_override(self, bp_detections):
+        import pandas as pd
+
+        bf, _ = bp_detections
+        orig = bf.source_coordinates
+        try:
+            override = pd.DataFrame({
+                "longitude": np.zeros(N_SRC),
+                "latitude": np.zeros(N_SRC),
+                "depth": np.zeros(N_SRC),
+            })
+            bf.set_source_coordinates(override)
+            assert (bf.source_coordinates["longitude"] == 0.0).all()
+        finally:
+            del bf._source_coordinates
+        assert bf.source_coordinates is orig or (
+            bf.source_coordinates["longitude"].equals(orig["longitude"])
+        )
+
 
 class TestDeviceDetectionPath:
     def test_pallas_engine_matches_host_path(self, mini_world,
