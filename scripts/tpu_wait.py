@@ -38,8 +38,9 @@ def main():
             return 0
         except Exception as e:  # UNAVAILABLE / init errors while wedged
             waited = time.time() - t0
+            msg = " ".join(str(e).split())[:200]
             print(f"[{waited:.0f}s] backend not ready: "
-                  f"{type(e).__name__}", flush=True)
+                  f"{type(e).__name__}: {msg}", flush=True)
             if waited > args.max_wait:
                 print("giving up", flush=True)
                 return 1
