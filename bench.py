@@ -90,6 +90,21 @@ def check_parity(verbose: bool = True, quick: bool = False) -> bool:
         if verbose:
             print(f"# parity MF[high,dense]: max|diff|={err_d:.2e} "
                   f"{'OK' if err_d <= 5e-6 else 'FAIL'}", file=sys.stderr)
+    if os.environ.get("SEISMIC_BPMF_FUSED", "") == "1":
+        # the fused data|normalization-Hankel kernel is opt-in; gate it
+        # whenever the opt-in is active so enabling it is always
+        # parity-checked TPU-compiled
+        from seismic_bpmf_tpu.ops.pallas_mf import PallasMatchedFilterPlan
+
+        plan = PallasMatchedFilterPlan(tp, mv, w, n_samp,
+                                       precision="high", fused=True)
+        cc = np.asarray(plan(plan.pad_data(data)))[:, : cc_ref.shape[1]]
+        err_f = float(np.abs(cc - cc_ref).max())
+        if err_f > 5e-6:
+            ok = False
+        if verbose:
+            print(f"# parity MF[high,fused]: max|diff|={err_f:.2e} "
+                  f"{'OK' if err_f <= 5e-6 else 'FAIL'}", file=sys.stderr)
     if quick:
         return ok
 

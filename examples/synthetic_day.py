@@ -10,7 +10,11 @@ from one grid source, then runs:
   -> catalog assembly with multiples dedup
   -> moment magnitudes
 
-Run: python examples/synthetic_day.py
+Run: python examples/synthetic_day.py [--cpu]
+
+--cpu forces the CPU backend (set BEFORE jax initializes — the
+accelerator plugin ignores the JAX_PLATFORMS env var); Pallas kernels
+then run in interpret mode, so it smoke-tests the workflow off-chip.
 """
 
 import os
@@ -18,6 +22,12 @@ import sys
 
 # allow running from a repo checkout without installing the package
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if "--cpu" in sys.argv:
+    sys.argv.remove("--cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import tempfile
 import time

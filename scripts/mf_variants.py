@@ -21,6 +21,9 @@ import numpy as np
 
 
 def main():
+    diag_sweep = "--diag" in sys.argv
+    if diag_sweep:
+        sys.argv.remove("--diag")
     smoke = "--cpu" in sys.argv
     if smoke:
         # force the CPU backend BEFORE any backend init (JAX_PLATFORMS
@@ -59,6 +62,19 @@ def main():
     import jax
 
     def make_plans(B, chunk, prec):
+        # variant tags after "high-": dense (unpredicated accumulation),
+        # pack (packed bf16-pair rolls), fused (one concatenated
+        # data|normalization Hankel roll per channel), unrollN
+        # (channel-loop unroll), diag:X (stage-removal cost attribution —
+        # WRONG results, timing only)
+        tags = prec.split("-")[1:]
+        diag = ""
+        unroll = 1
+        for t in tags:
+            if t.startswith("diag:"):
+                diag = t[5:]
+            elif t.startswith("unroll"):
+                unroll = int(t[6:])
         plans = []
         for i in range(0, n_tp, chunk):
             p = PallasMatchedFilterPlan(
@@ -68,8 +84,10 @@ def main():
                 precision=("highest" if prec == "xla-high" else
                            "high" if prec.startswith("high") else prec),
                 lag_block=B, pad_left=0, max_moveout=400,
-                pack_split=(prec == "high-pack"),
-                dense=(prec == "high-dense"),
+                pack_split="pack" in tags,
+                dense="dense" in tags,
+                fused="fused" in tags,
+                unroll=unroll, diag=diag,
             )
             if prec == "xla-high":
                 # XLA's 3-pass f32 HIGH instead of the manual bf16 split:
@@ -81,7 +99,15 @@ def main():
 
     # "high" is the predicated production default; "high-dense" forces
     # the unpredicated functional-accumulation variant
-    precs = ["high", "high-dense", "high-pack", "xla-high"]
+    precs = ["high", "high-dense", "high-pack", "xla-high",
+             "high-fused", "high-fused-dense", "high-fused-pack",
+             "high-unroll2", "high-fused-unroll2"]
+    if diag_sweep:
+        # stage-removal attribution: each mode removes ONE kernel stage;
+        # (baseline - mode) wall time = that stage's cost on hardware
+        precs = ["high", "high-diag:noroll", "high-diag:nonorm",
+                 "high-diag:nocorr", "high-diag:noysel", "high-diag:nomask",
+                 "high-fused", "high-fused-diag:noroll"]
     for B, chunk in combos:
       for prec in precs:
         try:

@@ -36,6 +36,7 @@ BPMF/similarity_search.py:526-533).  Semantics match
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -132,8 +133,9 @@ def _mf_kernel(
     lo_ref,      # (n_ch, n_tp_pad) f32 lower lane bound
     data_ref,    # (n_ch_pad, ext) f32 (ANY/HBM)
     out_ref,     # (n_tp_pad, B) f32 block
-    *scratches,  # dense: (win, y, dma_sem);
-                 # predicated: (win, y, acc, ysel, dma_sem)
+    *scratches,  # fused: (z, [acc, ysel,] dma_sem);
+                 # else:  (win, y, [acc, ysel,] dma_sem)
+                 # (acc/ysel only in the predicated, non-dense variant)
     L: int,
     LM_pad: int,
     B: int,
@@ -143,48 +145,77 @@ def _mf_kernel(
     inv_l: float,
     precision=jax.lax.Precision.HIGHEST,
     dense: bool = False,
+    fused: bool = False,
+    unroll: int = 1,
+    diag: str = "",
 ):
-    if dense:
-        win_scratch, y_scratch, dma_sem = scratches
+    idx = 0
+    if fused:
+        z_scratch = scratches[0]
+        idx = 1
     else:
-        win_scratch, y_scratch, acc_scratch, ysel_scratch, dma_sem = (
-            scratches
-        )
+        win_scratch, y_scratch = scratches[:2]
+        idx = 2
+    if not dense:
+        acc_scratch, ysel_scratch = scratches[idx : idx + 2]
+        idx += 2
+    dma_sem = scratches[idx]
     g = pl.program_id(0)
     ofs = g * B
     W = B + LM_pad
+    # fused layout: per-channel row z = [d (W) | y[:Wq] (Wq)] so ONE
+    # strided roll builds both Hankels; the 127-sample contamination zone
+    # at the seam (columns W-127..W-1 mix d and y) is never read — the
+    # last corr tap block ends at column W-129 and ysel starts at W
+    Wq = 128 * Q + B
+    Wz = W + Wq
     n_k = LM_pad // 128
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1).astype(
         jnp.float32
     )
 
     dma = pltpu.make_async_copy(
-        data_ref.at[:, pl.ds(ofs, W)], win_scratch, dma_sem
+        data_ref.at[:, pl.ds(ofs, W)],
+        z_scratch.at[:, pl.ds(0, W)] if fused else win_scratch,
+        dma_sem,
     )
     dma.start()
     dma.wait()
 
     # per-position normalization for ALL channels at once (VPU, O(log L)):
     # y(p) = rsqrt(r2 - r1^2/L) with r1/r2 the L-sample sliding sums
-    d = win_scratch[...]
-    r1 = _sliding_sum(d, L, W)
-    r2 = _sliding_sum(d * d, L, W)
-    var_l = r2 - r1 * r1 * inv_l
-    y_scratch[...] = jnp.where(
-        var_l > 1e-10, jax.lax.rsqrt(jnp.abs(var_l) + 1e-30), 0.0
-    )
+    d = z_scratch[:, pl.ds(0, W)] if fused else win_scratch[...]
+    if diag == "nonorm":  # diagnostic: skip the sliding sums (wrong CC)
+        y = jnp.ones_like(d)
+    else:
+        r1 = _sliding_sum(d, L, W)
+        r2 = _sliding_sum(d * d, L, W)
+        var_l = r2 - r1 * r1 * inv_l
+        y = jnp.where(
+            var_l > 1e-10, jax.lax.rsqrt(jnp.abs(var_l) + 1e-30), 0.0
+        )
+    if fused:
+        z_scratch[:, pl.ds(W, Wq)] = y[:, :Wq]
+    else:
+        y_scratch[...] = y
+
+    def hankel(row, width):
+        # H[r, col] = row[col + 127 - r]: the whole 128-shift Hankel of a
+        # row built with ONE strided roll (vs 128 per-row copies); the
+        # filter blocks are reversed host-side so the contraction reads
+        # aligned column blocks
+        h = jnp.broadcast_to(row, (128, width))
+        if diag == "noroll":  # diagnostic: measure the roll cost
+            return h
+        return pltpu.roll(h, width - 127, 1, stride=1, stride_axis=0)
 
     def channel_body(c, acc):
-        # G127[r, col] = d[col + 127 - r]: the whole 128-shift Hankel of
-        # the channel's data/normalization rows built with ONE strided roll
-        # (vs 128 per-row copies); the filter blocks are reversed
-        # host-side so the contraction reads aligned column blocks
-        row = win_scratch[pl.ds(c, 1), :]
-        g127 = pltpu.roll(jnp.broadcast_to(row, (128, W)), W - 127, 1,
-                          stride=1, stride_axis=0)
-        yrow = y_scratch[pl.ds(c, 1), :]
-        y127 = pltpu.roll(jnp.broadcast_to(yrow, (128, W)), W - 127, 1,
-                          stride=1, stride_axis=0)
+        if fused:
+            g127 = hankel(z_scratch[pl.ds(c, 1), :], Wz)
+            y127, yofs = g127, W
+        else:
+            g127 = hankel(win_scratch[pl.ds(c, 1), :], W)
+            y127, yofs = hankel(y_scratch[pl.ds(c, 1), :], W), 0
 
         # k loops unrolled at trace time (~10x faster Mosaic compiles,
         # pipelined matmuls) and predicated per channel: only the tap
@@ -196,33 +227,51 @@ def _mf_kernel(
         )
         if dense:
             corr, ysel = None, None
-            for k in range(n_k):
-                term = mm(filt_ref[c, :, 128 * k : 128 * (k + 1)],
-                          g127[:, 128 * k : 128 * k + B])
-                corr = term if corr is None else corr + term
-            for q in range(Q):
-                term = mm(sel_ref[c, :, 128 * q : 128 * (q + 1)],
-                          y127[:, 128 * q : 128 * q + B])
-                ysel = term if ysel is None else ysel + term
-            ccn = corr * ysel
+            if diag != "nocorr":
+                for k in range(n_k):
+                    term = mm(filt_ref[c, :, 128 * k : 128 * (k + 1)],
+                              g127[:, 128 * k : 128 * k + B])
+                    corr = term if corr is None else corr + term
+            if diag != "noysel":
+                for q in range(Q):
+                    term = mm(
+                        sel_ref[c, :, 128 * q : 128 * (q + 1)],
+                        y127[:, yofs + 128 * q : yofs + 128 * q + B],
+                    )
+                    ysel = term if ysel is None else ysel + term
+            if corr is None:
+                ccn = ysel
+            elif ysel is None:
+                ccn = corr
+            else:
+                ccn = corr * ysel
         else:
             klo, khi = kb_ref[c, 0], kb_ref[c, 1]
             qlo, qhi = kb_ref[c, 2], kb_ref[c, 3]
             acc_scratch[...] = jnp.zeros((n_tp_pad, B), jnp.float32)
             ysel_scratch[...] = jnp.zeros((n_tp_pad, B), jnp.float32)
-            for k in range(n_k):
-                @pl.when((k >= klo) & (k < khi))
-                def _(k=k):
-                    fo = filt_ref[c, :, 128 * k : 128 * (k + 1)]
-                    hk = g127[:, 128 * k : 128 * k + B]
-                    acc_scratch[...] = acc_scratch[...] + mm(fo, hk)
-            for q in range(Q):
-                @pl.when((q >= qlo) & (q < qhi))
-                def _(q=q):
-                    sq = sel_ref[c, :, 128 * q : 128 * (q + 1)]
-                    yq = y127[:, 128 * q : 128 * q + B]
-                    ysel_scratch[...] = ysel_scratch[...] + mm(sq, yq)
-            ccn = acc_scratch[...] * ysel_scratch[...]
+            if diag != "nocorr":
+                for k in range(n_k):
+                    @pl.when((k >= klo) & (k < khi))
+                    def _(k=k):
+                        fo = filt_ref[c, :, 128 * k : 128 * (k + 1)]
+                        hk = g127[:, 128 * k : 128 * k + B]
+                        acc_scratch[...] = acc_scratch[...] + mm(fo, hk)
+            if diag != "noysel":
+                for q in range(Q):
+                    @pl.when((q >= qlo) & (q < qhi))
+                    def _(q=q):
+                        sq = sel_ref[c, :, 128 * q : 128 * (q + 1)]
+                        yq = y127[:, yofs + 128 * q : yofs + 128 * q + B]
+                        ysel_scratch[...] = ysel_scratch[...] + mm(sq, yq)
+            if diag == "nocorr":
+                ccn = ysel_scratch[...]
+            elif diag == "noysel":
+                ccn = acc_scratch[...]
+            else:
+                ccn = acc_scratch[...] * ysel_scratch[...]
+        if diag == "nomask":  # diagnostic: skip the OOB mask
+            return acc + ccn
         # per-(t, c) out-of-bounds mask: lane + ofs within [lo, hi]
         hi_col = jnp.transpose(hi_ref[pl.ds(c, 1), :])  # (n_tp_pad, 1)
         lo_col = jnp.transpose(lo_ref[pl.ds(c, 1), :])
@@ -231,7 +280,8 @@ def _mf_kernel(
         return acc + jnp.where(mask, ccn, 0.0)
 
     acc0 = jnp.zeros((n_tp_pad, B), jnp.float32)
-    out_ref[...] = jax.lax.fori_loop(0, n_ch, channel_body, acc0)
+    out_ref[...] = jax.lax.fori_loop(0, n_ch, channel_body, acc0,
+                                     unroll=unroll)
 
 
 def _mf_kernel_split(
@@ -245,8 +295,9 @@ def _mf_kernel_split(
     lo_ref,      # (n_ch, n_tp_pad) f32
     data_ref,    # (n_ch_pad, ext) f32 (ANY/HBM)
     out_ref,     # (n_tp_pad, B) f32 block
-    *scratches,  # dense: (win, y, dma_sem);
-                 # predicated: (win, y, acc, ysel, dma_sem)
+    *scratches,  # fused: (z, [acc, ysel,] dma_sem);
+                 # else:  (win, y, [acc, ysel,] dma_sem)
+                 # (acc/ysel only in the predicated, non-dense variant)
     L: int,
     LM_pad: int,
     B: int,
@@ -256,6 +307,9 @@ def _mf_kernel_split(
     inv_l: float,
     pack_split: bool = False,
     dense: bool = False,
+    fused: bool = False,
+    unroll: int = 1,
+    diag: str = "",
 ):
     """Precision-ladder ("high") variant of `_mf_kernel`: every f32 operand
     is split into two bf16 components (x = x_hi + x_lo, |x_lo| <= 2^-9|x|)
@@ -279,61 +333,99 @@ def _mf_kernel_split(
     this removes the scratch zero/read/write VPU traffic per channel at no
     extra MXU work; for tightly clustered banks the predicated variant
     skips real work and stays preferable.
+
+    `fused=True` stores each channel's normalization row BEHIND its data
+    row in one scratch (z = [d (W) | y[:Wq]]) so ONE strided roll + ONE
+    bf16 split per channel builds both Hankels; the 127-column seam that
+    mixes d and y is never read (corr taps end at column W-129, ysel
+    starts at W).  Halves the per-channel roll/split op count at ~3% fewer
+    elements — a win iff Mosaic's per-op overhead (not element throughput)
+    dominates the roll cost.
     """
-    if dense:
-        win_scratch, y_scratch, dma_sem = scratches
+    idx = 0
+    if fused:
+        z_scratch = scratches[0]
+        idx = 1
     else:
-        win_scratch, y_scratch, acc_scratch, ysel_scratch, dma_sem = (
-            scratches
-        )
+        win_scratch, y_scratch = scratches[:2]
+        idx = 2
+    if not dense:
+        acc_scratch, ysel_scratch = scratches[idx : idx + 2]
+        idx += 2
+    dma_sem = scratches[idx]
     g = pl.program_id(0)
     ofs = g * B
     W = B + LM_pad
+    Wq = 128 * Q + B
+    Wz = W + Wq
     n_k = LM_pad // 128
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1).astype(
         jnp.float32
     )
 
     dma = pltpu.make_async_copy(
-        data_ref.at[:, pl.ds(ofs, W)], win_scratch, dma_sem
+        data_ref.at[:, pl.ds(ofs, W)],
+        z_scratch.at[:, pl.ds(0, W)] if fused else win_scratch,
+        dma_sem,
     )
     dma.start()
     dma.wait()
 
-    d = win_scratch[...]
-    r1 = _sliding_sum(d, L, W)
-    r2 = _sliding_sum(d * d, L, W)
-    var_l = r2 - r1 * r1 * inv_l
-    y_scratch[...] = jnp.where(
-        var_l > 1e-10, jax.lax.rsqrt(jnp.abs(var_l) + 1e-30), 0.0
-    )
+    d = z_scratch[:, pl.ds(0, W)] if fused else win_scratch[...]
+    if diag == "nonorm":  # diagnostic: skip the sliding sums (wrong CC)
+        y = jnp.ones_like(d)
+    else:
+        r1 = _sliding_sum(d, L, W)
+        r2 = _sliding_sum(d * d, L, W)
+        var_l = r2 - r1 * r1 * inv_l
+        y = jnp.where(
+            var_l > 1e-10, jax.lax.rsqrt(jnp.abs(var_l) + 1e-30), 0.0
+        )
+    if fused:
+        z_scratch[:, pl.ds(W, Wq)] = y[:, :Wq]
+    else:
+        y_scratch[...] = y
 
-    def hankel(row):
-        # G127[r, col] = row[col + 127 - r] via one strided roll
-        return pltpu.roll(jnp.broadcast_to(row, (128, W)), W - 127, 1,
-                          stride=1, stride_axis=0)
+    def hankel(row, width):
+        # H[r, col] = row[col + 127 - r] via one strided roll
+        h = jnp.broadcast_to(row, (128, width))
+        if diag == "noroll":  # diagnostic: measure the roll cost
+            return h
+        return pltpu.roll(h, width - 127, 1, stride=1, stride_axis=0)
 
     if pack_split:
         # split ONCE per block on the (n_ch, W) rows and roll the packed
         # 32-bit (hi | lo) pairs — the per-channel work drops to a cheap
         # bit-level unpack of the rolled Hankel
-        d_packed = _pack_bf16_pair(win_scratch[...])
-        y_packed = _pack_bf16_pair(y_scratch[...])
+        if fused:
+            z_packed = _pack_bf16_pair(z_scratch[...])
+        else:
+            d_packed = _pack_bf16_pair(win_scratch[...])
+            y_packed = _pack_bf16_pair(y_scratch[...])
 
     def channel_body(c, acc):
-        if pack_split:
+        if fused:
+            if pack_split:
+                row_z = jax.lax.dynamic_slice_in_dim(z_packed, c, 1, 0)
+                gh, gl = _unpack_bf16_pair(hankel(row_z, Wz))
+            else:
+                gh, gl = _split_bf16(hankel(z_scratch[pl.ds(c, 1), :], Wz))
+            yh, yl, yofs = gh, gl, W
+        elif pack_split:
             row_d = jax.lax.dynamic_slice_in_dim(d_packed, c, 1, 0)
             row_y = jax.lax.dynamic_slice_in_dim(y_packed, c, 1, 0)
-            gh, gl = _unpack_bf16_pair(hankel(row_d))
-            yh, yl = _unpack_bf16_pair(hankel(row_y))
+            gh, gl = _unpack_bf16_pair(hankel(row_d, W))
+            yh, yl = _unpack_bf16_pair(hankel(row_y, W))
+            yofs = 0
         else:
             # the Hankels roll in f32 (Mosaic's strided rotate is 32-bit
             # only) and split ONCE per channel into bf16 pairs — the
             # per-tap-block (128, B) slices overlap at 128-lane offsets,
             # so splitting whole rolled Hankels costs
             # ~(W/B)/(n_k_live + Q) of per-slice splitting
-            gh, gl = _split_bf16(hankel(win_scratch[pl.ds(c, 1), :]))
-            yh, yl = _split_bf16(hankel(y_scratch[pl.ds(c, 1), :]))
+            gh, gl = _split_bf16(hankel(win_scratch[pl.ds(c, 1), :], W))
+            yh, yl = _split_bf16(hankel(y_scratch[pl.ds(c, 1), :], W))
+            yofs = 0
 
         dn = (((1,), (0,)), ((), ()))
         mm = functools.partial(
@@ -342,46 +434,62 @@ def _mf_kernel_split(
         )
         if dense:
             corr, ysel = None, None
-            for k in range(n_k):
-                fh = fh_ref[c, :, 128 * k : 128 * (k + 1)]
-                fl = fl_ref[c, :, 128 * k : 128 * (k + 1)]
-                hk = gh[:, 128 * k : 128 * k + B]
-                lk = gl[:, 128 * k : 128 * k + B]
-                term = mm(fh, hk) + mm(fh, lk) + mm(fl, hk)
-                corr = term if corr is None else corr + term
-            for q in range(Q):
-                sq = sel_ref[c, :, 128 * q : 128 * (q + 1)]
-                yq = yh[:, 128 * q : 128 * q + B]
-                zq = yl[:, 128 * q : 128 * q + B]
-                term = mm(sq, yq) + mm(sq, zq)
-                ysel = term if ysel is None else ysel + term
-            ccn = corr * ysel
+            if diag != "nocorr":
+                for k in range(n_k):
+                    fh = fh_ref[c, :, 128 * k : 128 * (k + 1)]
+                    fl = fl_ref[c, :, 128 * k : 128 * (k + 1)]
+                    hk = gh[:, 128 * k : 128 * k + B]
+                    lk = gl[:, 128 * k : 128 * k + B]
+                    term = mm(fh, hk) + mm(fh, lk) + mm(fl, hk)
+                    corr = term if corr is None else corr + term
+            if diag != "noysel":
+                for q in range(Q):
+                    sq = sel_ref[c, :, 128 * q : 128 * (q + 1)]
+                    yq = yh[:, yofs + 128 * q : yofs + 128 * q + B]
+                    zq = yl[:, yofs + 128 * q : yofs + 128 * q + B]
+                    term = mm(sq, yq) + mm(sq, zq)
+                    ysel = term if ysel is None else ysel + term
+            if corr is None:
+                ccn = ysel
+            elif ysel is None:
+                ccn = corr
+            else:
+                ccn = corr * ysel
         else:
             klo, khi = kb_ref[c, 0], kb_ref[c, 1]
             qlo, qhi = kb_ref[c, 2], kb_ref[c, 3]
             acc_scratch[...] = jnp.zeros((n_tp_pad, B), jnp.float32)
             ysel_scratch[...] = jnp.zeros((n_tp_pad, B), jnp.float32)
-            for k in range(n_k):
-                @pl.when((k >= klo) & (k < khi))
-                def _(k=k):
-                    fh = fh_ref[c, :, 128 * k : 128 * (k + 1)]
-                    fl = fl_ref[c, :, 128 * k : 128 * (k + 1)]
-                    hk = gh[:, 128 * k : 128 * k + B]
-                    lk = gl[:, 128 * k : 128 * k + B]
-                    acc_scratch[...] = (
-                        acc_scratch[...] + mm(fh, hk) + mm(fh, lk)
-                        + mm(fl, hk)
-                    )
-            for q in range(Q):
-                @pl.when((q >= qlo) & (q < qhi))
-                def _(q=q):
-                    sq = sel_ref[c, :, 128 * q : 128 * (q + 1)]
-                    yq = yh[:, 128 * q : 128 * q + B]
-                    zq = yl[:, 128 * q : 128 * q + B]
-                    ysel_scratch[...] = (
-                        ysel_scratch[...] + mm(sq, yq) + mm(sq, zq)
-                    )
-            ccn = acc_scratch[...] * ysel_scratch[...]
+            if diag != "nocorr":
+                for k in range(n_k):
+                    @pl.when((k >= klo) & (k < khi))
+                    def _(k=k):
+                        fh = fh_ref[c, :, 128 * k : 128 * (k + 1)]
+                        fl = fl_ref[c, :, 128 * k : 128 * (k + 1)]
+                        hk = gh[:, 128 * k : 128 * k + B]
+                        lk = gl[:, 128 * k : 128 * k + B]
+                        acc_scratch[...] = (
+                            acc_scratch[...] + mm(fh, hk) + mm(fh, lk)
+                            + mm(fl, hk)
+                        )
+            if diag != "noysel":
+                for q in range(Q):
+                    @pl.when((q >= qlo) & (q < qhi))
+                    def _(q=q):
+                        sq = sel_ref[c, :, 128 * q : 128 * (q + 1)]
+                        yq = yh[:, yofs + 128 * q : yofs + 128 * q + B]
+                        zq = yl[:, yofs + 128 * q : yofs + 128 * q + B]
+                        ysel_scratch[...] = (
+                            ysel_scratch[...] + mm(sq, yq) + mm(sq, zq)
+                        )
+            if diag == "nocorr":
+                ccn = ysel_scratch[...]
+            elif diag == "noysel":
+                ccn = acc_scratch[...]
+            else:
+                ccn = acc_scratch[...] * ysel_scratch[...]
+        if diag == "nomask":  # diagnostic: skip the OOB mask
+            return acc + ccn
         hi_col = jnp.transpose(hi_ref[pl.ds(c, 1), :])
         lo_col = jnp.transpose(lo_ref[pl.ds(c, 1), :])
         pos = lane + jnp.float32(ofs) + base_ref[0, 0]
@@ -389,18 +497,19 @@ def _mf_kernel_split(
         return acc + jnp.where(mask, ccn, 0.0)
 
     acc0 = jnp.zeros((n_tp_pad, B), jnp.float32)
-    out_ref[...] = jax.lax.fori_loop(0, n_ch, channel_body, acc0)
+    out_ref[...] = jax.lax.fori_loop(0, n_ch, channel_body, acc0,
+                                     unroll=unroll)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("L", "B", "LM_pad", "n_corr_pad", "n_ch", "interpret",
-                     "pack_split", "dense"),
+                     "pack_split", "dense", "fused", "unroll", "diag"),
 )
 def _mf_pallas_call_split(
     fh, fl, sel, hi, lo, data_pad, base=None, kb=None,
     *, L, B, LM_pad, n_corr_pad, n_ch, interpret=False, pack_split=False,
-    dense=False,
+    dense=False, fused=False, unroll=1, diag="",
 ):
     if base is None:
         base = jnp.zeros((1, 1), jnp.float32)
@@ -417,12 +526,16 @@ def _mf_pallas_call_split(
     kernel = functools.partial(
         _mf_kernel_split,
         L=L, LM_pad=LM_pad, B=B, n_ch=n_ch, n_tp_pad=n_tp_pad, Q=Q,
-        inv_l=1.0 / L, pack_split=pack_split, dense=dense,
+        inv_l=1.0 / L, pack_split=pack_split, dense=dense, fused=fused,
+        unroll=unroll, diag=diag,
     )
-    scratch = [
-        pltpu.VMEM((n_ch_pad, W), jnp.float32),
-        pltpu.VMEM((n_ch_pad, W), jnp.float32),
-    ]
+    if fused:
+        scratch = [pltpu.VMEM((n_ch_pad, W + 128 * Q + B), jnp.float32)]
+    else:
+        scratch = [
+            pltpu.VMEM((n_ch_pad, W), jnp.float32),
+            pltpu.VMEM((n_ch_pad, W), jnp.float32),
+        ]
     if not dense:
         scratch += [
             pltpu.VMEM((n_tp_pad, B), jnp.float32),
@@ -457,12 +570,13 @@ def _mf_pallas_call_split(
 @functools.partial(
     jax.jit,
     static_argnames=("L", "B", "LM_pad", "n_corr_pad", "n_ch", "interpret",
-                     "precision", "dense"),
+                     "precision", "dense", "fused", "unroll", "diag"),
 )
 def _mf_pallas_call(
     filt, sel, hi, lo, data_pad, base=None, kb=None,
     *, L, B, LM_pad, n_corr_pad, n_ch, interpret=False,
-    precision=jax.lax.Precision.HIGHEST, dense=False,
+    precision=jax.lax.Precision.HIGHEST, dense=False, fused=False,
+    unroll=1, diag="",
 ):
     if base is None:
         base = jnp.zeros((1, 1), jnp.float32)
@@ -478,12 +592,18 @@ def _mf_pallas_call(
     kernel = functools.partial(
         _mf_kernel,
         L=L, LM_pad=LM_pad, B=B, n_ch=n_ch, n_tp_pad=n_tp_pad, Q=Q,
-        inv_l=1.0 / L, precision=precision, dense=dense,
+        inv_l=1.0 / L, precision=precision, dense=dense, fused=fused,
+        unroll=unroll, diag=diag,
     )
-    scratch = [
-        pltpu.VMEM((data_pad.shape[0], W), jnp.float32),
-        pltpu.VMEM((data_pad.shape[0], W), jnp.float32),
-    ]
+    if fused:
+        scratch = [
+            pltpu.VMEM((data_pad.shape[0], W + 128 * Q + B), jnp.float32)
+        ]
+    else:
+        scratch = [
+            pltpu.VMEM((data_pad.shape[0], W), jnp.float32),
+            pltpu.VMEM((data_pad.shape[0], W), jnp.float32),
+        ]
     if not dense:
         scratch += [
             pltpu.VMEM((n_tp_pad, B), jnp.float32),
@@ -526,7 +646,8 @@ class PallasMatchedFilterPlan:
                  lag_block: int = 4096, interpret: bool = False,
                  precision: str = "highest", pad_left: int = None,
                  max_moveout: int = None, pack_split: bool = False,
-                 dense: bool = None):
+                 dense: bool = None, fused: bool = None, unroll: int = 1,
+                 diag: str = ""):
         # note: template_chunk=128 in callers balances VMEM vs MXU occupancy
         templates = np.asarray(templates, np.float32)
         moveouts = np.asarray(moveouts, np.int64)
@@ -539,6 +660,19 @@ class PallasMatchedFilterPlan:
         # 'high' only: roll packed (hi|lo) bf16 pairs instead of rolling
         # f32 Hankels and splitting each per channel (same numerics)
         self.pack_split = pack_split
+        # fused: one concatenated [data | normalization] Hankel roll per
+        # channel (exact same numerics); opt-in until hardware-validated,
+        # or via SEISMIC_BPMF_FUSED=1 once `bench.py --check` passes with it
+        if fused is None:
+            fused = os.environ.get("SEISMIC_BPMF_FUSED", "") == "1"
+        self.fused = bool(fused)
+        # unroll: channel-loop unroll factor (lets Mosaic overlap channel
+        # c+1's VPU Hankel build with channel c's MXU passes)
+        self.unroll = int(unroll)
+        # diag: stage-removal diagnostics for hardware cost attribution
+        # ("noroll"/"nonorm"/"nocorr"/"noysel"/"nomask" — wrong CC values,
+        # never for production)
+        self.diag = diag
         # 'highest' = 6-pass f32 MXU (bit-parity with the NumPy oracle,
         #             ~3e-7); 'high' = explicit 2-component bf16 split,
         # 3-pass corr + exact one-hot select (~1e-6, ~2x faster);
@@ -632,8 +766,6 @@ class PallasMatchedFilterPlan:
         # catch Mosaic lowering issues); opt in per plan or via
         # SEISMIC_BPMF_DENSE=1 once `bench.py --check` passes with it.
         if dense is None:
-            import os
-
             if os.environ.get("SEISMIC_BPMF_DENSE", "") == "1":
                 live = float(
                     np.clip(kb[:, 1] - kb[:, 0], 0, None).sum()
@@ -689,7 +821,8 @@ class PallasMatchedFilterPlan:
                 L=self.L, B=self.B, LM_pad=self.LM_pad,
                 n_corr_pad=self.n_corr_pad, n_ch=self.n_ch,
                 interpret=self.interpret, pack_split=self.pack_split,
-                dense=self.dense,
+                dense=self.dense, fused=self.fused, unroll=self.unroll,
+                diag=self.diag,
             )
         else:
             out = _mf_pallas_call(
@@ -697,7 +830,8 @@ class PallasMatchedFilterPlan:
                 L=self.L, B=self.B, LM_pad=self.LM_pad,
                 n_corr_pad=self.n_corr_pad, n_ch=self.n_ch,
                 interpret=self.interpret, precision=self.precision,
-                dense=self.dense,
+                dense=self.dense, fused=self.fused, unroll=self.unroll,
+                diag=self.diag,
             )
         return out[: self.n_tp, : self.n_corr_unit]
 
