@@ -67,7 +67,8 @@ def main():
         # data|normalization Hankel roll per channel), unrollN
         # (channel-loop unroll), diag:X (stage-removal cost attribution —
         # WRONG results, timing only)
-        tags = prec.split("-")[1:]
+        xla_high = prec.startswith("xla-high")
+        tags = prec.split("-")[2 if xla_high else 1:]
         diag = ""
         unroll = 1
         for t in tags:
@@ -81,7 +82,7 @@ def main():
                 tp[i:i + chunk], mv[i:i + chunk], w[i:i + chunk],
                 n_samp,
                 interpret=(jax.default_backend() == "cpu"),
-                precision=("highest" if prec == "xla-high" else
+                precision=("highest" if xla_high else
                            "high" if prec.startswith("high") else prec),
                 lag_block=B, pad_left=0, max_moveout=400,
                 pack_split="pack" in tags,
@@ -89,7 +90,7 @@ def main():
                 fused="fused" in tags,
                 unroll=unroll, diag=diag,
             )
-            if prec == "xla-high":
+            if xla_high:
                 # XLA's 3-pass f32 HIGH instead of the manual bf16 split:
                 # same MXU pass count as 'high' for the corr sweep, no
                 # per-channel VPU split work
@@ -101,7 +102,7 @@ def main():
     # the unpredicated functional-accumulation variant
     precs = ["high", "high-dense", "high-pack", "xla-high",
              "high-fused", "high-fused-dense", "high-fused-pack",
-             "high-unroll2", "high-fused-unroll2"]
+             "high-unroll2", "high-fused-unroll2", "xla-high-fused"]
     if diag_sweep:
         # stage-removal attribution: each mode removes ONE kernel stage;
         # (baseline - mode) wall time = that stage's cost on hardware

@@ -62,14 +62,19 @@ def _split_bf16(x):
 
 def _make_bp_kernel(*, B, M, S, n_sp, n_src, n_samp, n_q, strict, reduce_max,
                     hoist_hankel, precision=jax.lax.Precision.HIGHEST,
-                    mode="f32"):
+                    mode="f32", unroll=1, diag=""):
     """mode: 'f32' (matmul the weighted one-hot at `precision`), 'split2'
     (precision ladder: PURE 0/1 one-hot — exact in bf16 — contracted against
     a 2-component bf16 split of the data Hankel, weights applied on the VPU
     after the matmul: 2 DEFAULT passes vs HIGHEST's 6 at ~1e-6 error) or
     'bf16' (single hi-component pass, ~2e-3 relative error on the data).
     Selection itself is EXACT in all modes — only the selected feature
-    values round."""
+    values round.
+
+    unroll: station-phase-loop unroll factor (lets Mosaic overlap sp+1's
+    VPU one-hot build with sp's MXU passes).  diag: stage-removal
+    diagnostics for hardware cost attribution ("noroll"/"noonehot"/
+    "nosplit"/"nomask" — wrong beam values, timing only)."""
     neg_inf = float(-jnp.inf)
     W = B + M
 
@@ -111,10 +116,10 @@ def _make_bp_kernel(*, B, M, S, n_sp, n_src, n_samp, n_q, strict, reduce_max,
             """G127[r, col] = g[sp, t0 + col + 127 - r]: the full 128-shift
             Hankel of a station-phase row in ONE strided roll."""
             row = win_scratch[pl.ds(sp, 1), :]
-            return pltpu.roll(
-                jnp.broadcast_to(row, (128, W)), W - 127, 1,
-                stride=1, stride_axis=0,
-            )
+            h = jnp.broadcast_to(row, (128, W))
+            if diag == "noroll":  # diagnostic: measure the roll cost
+                return h
+            return pltpu.roll(h, W - 127, 1, stride=1, stride_axis=0)
 
         @pl.when(g_s == 0)
         def _():
@@ -171,7 +176,10 @@ def _make_bp_kernel(*, B, M, S, n_sp, n_src, n_samp, n_q, strict, reduce_max,
                 @pl.when(q < nq_sp)
                 def _(q=q):
                     # G127 layout: row r holds the shift 127 - r
-                    onehot = (mv_row - q * 128) == (127 - r_col)  # (128, S)
+                    if diag == "noonehot":  # diagnostic: constant select
+                        onehot = jnp.broadcast_to(r_col == 127, (128, S))
+                    else:
+                        onehot = (mv_row - q * 128) == (127 - r_col)
                     hq = h_scratch[
                         pl.ds(h_base, 128),
                         pl.ds(pl.multiple_of(b0 + q * 128, 128), B),
@@ -187,8 +195,11 @@ def _make_bp_kernel(*, B, M, S, n_sp, n_src, n_samp, n_q, strict, reduce_max,
                         # bf16 pair at use — ~1% VPU overhead per matmul
                         oh = onehot.astype(jnp.bfloat16)  # exact 0/1
                         if mode == "split2":
-                            hh, hl = _split_bf16(hq)
-                            contrib = mm(oh, hh) + mm(oh, hl)
+                            if diag == "nosplit":  # diagnostic: 1-pass
+                                contrib = mm(oh, hq.astype(jnp.bfloat16))
+                            else:
+                                hh, hl = _split_bf16(hq)
+                                contrib = mm(oh, hh) + mm(oh, hl)
                         else:
                             contrib = mm(oh, hq.astype(jnp.bfloat16))
                         # weights stay f32: applied on the VPU per source
@@ -197,11 +208,11 @@ def _make_bp_kernel(*, B, M, S, n_sp, n_src, n_samp, n_q, strict, reduce_max,
 
             return carry
 
-        jax.lax.fori_loop(0, n_sp, sp_body, 0)
+        jax.lax.fori_loop(0, n_sp, sp_body, 0, unroll=unroll)
         beam = beam_scratch[...]
 
         t_abs = base_ref[0, 0] + t0 + lane  # (1, B)
-        if strict:
+        if strict and diag != "nomask":
             r8 = g_s % 8
             lo = jnp.transpose(lo_ref[pl.ds(r8, 1), :])  # (S, 1)
             hi = jnp.transpose(hi_ref[pl.ds(r8, 1), :])
@@ -285,13 +296,14 @@ def _local_bases(mv_in: np.ndarray, w_in: np.ndarray, S: int, M: int):
     jax.jit,
     static_argnames=(
         "B", "M", "S", "n_q", "n_samp", "n_src", "strict", "reduce_max",
-        "interpret", "precision", "hoist_hankel", "mode",
+        "interpret", "precision", "hoist_hankel", "mode", "unroll", "diag",
     ),
 )
 def _bp_pallas_call(
     qbase, nq, mv, w, lo, hi, g_pad, base=None,
     *, B, M, S, n_q, n_samp, n_src, strict, reduce_max, interpret=False,
     precision=jax.lax.Precision.HIGHEST, hoist_hankel=None, mode="f32",
+    unroll=1, diag="",
 ):
     if base is None:
         base = jnp.zeros((1, 2), jnp.int32)
@@ -318,7 +330,7 @@ def _bp_pallas_call(
     kernel = _make_bp_kernel(
         B=B, M=M, S=S, n_sp=n_sp, n_src=n_src, n_samp=n_samp, n_q=n_q,
         strict=strict, reduce_max=reduce_max, precision=precision,
-        hoist_hankel=hoist_hankel, mode=mode,
+        hoist_hankel=hoist_hankel, mode=mode, unroll=unroll, diag=diag,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # base
@@ -382,6 +394,8 @@ def beamform_pallas(
     interpret: bool = False,
     precision: str = "highest",
     hoist_hankel: bool = None,
+    unroll: int = 1,
+    diag: str = "",
 ):
     """Beamform via the fused Pallas kernel.
 
@@ -432,6 +446,7 @@ def beamform_pallas(
         B=B, M=M, S=S, n_q=n_q, n_samp=n_samp, n_src=n_src,
         strict=(out_of_bounds == "strict"), reduce_max=(reduce == "max"),
         interpret=interpret, mode=mode, hoist_hankel=hoist_hankel,
+        unroll=unroll, diag=diag,
     )
     if reduce == "max":
         val, idx = out
@@ -459,10 +474,14 @@ class PallasBeamformPlan:
         src_block: int = 512,
         interpret: bool = False,
         precision: str = "highest",
+        unroll: int = 1,
+        diag: str = "",
     ):
         assert reduce in ("max", "none")
         self.mode = _precision_mode(precision)
         self.precision = jax.lax.Precision.HIGHEST
+        self.unroll = int(unroll)
+        self.diag = diag
         mv_flat, w_flat, mv_lo, mv_hi = _flatten_moveouts(
             moveouts, weights_phases, weights_sources
         )
@@ -538,7 +557,7 @@ class PallasBeamformPlan:
             n_samp=self.n_samp, n_src=self.n_src,
             strict=self.strict, reduce_max=(self.reduce == "max"),
             interpret=self.interpret, precision=self.precision,
-            mode=self.mode,
+            mode=self.mode, unroll=self.unroll, diag=self.diag,
         )
         if self.reduce == "max":
             return out[0][0, : self.n_samp], out[1][0, : self.n_samp]
@@ -568,7 +587,7 @@ class PallasBeamformPlan:
                 n_samp=self.n_samp, n_src=self.n_src,
                 strict=self.strict, reduce_max=True,
                 interpret=self.interpret, precision=self.precision,
-                mode=self.mode,
+                mode=self.mode, unroll=self.unroll, diag=self.diag,
             )
             vals.append(v[0])
             idxs.append(i[0])

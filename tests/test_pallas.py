@@ -235,6 +235,39 @@ class TestPallasBeamform:
         np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
 
+    def test_unroll_matches_baseline(self, rng):
+        """Station-phase-loop unrolling is an exact reformulation: beam and
+        argmax must match the baseline bit-for-bit."""
+        from seismic_bpmf_tpu.ops.pallas_bp import PallasBeamformPlan
+
+        feats, mv, w_ph, w_src = self._problem(rng)
+        n_samp = feats.shape[-1]
+        outs = {}
+        for unroll in (1, 3):
+            plan = PallasBeamformPlan(
+                mv, w_ph, w_src, n_samp, interpret=True, precision="high",
+                unroll=unroll,
+            )
+            v, i = plan(feats)
+            outs[unroll] = (np.asarray(v), np.asarray(i))
+        np.testing.assert_array_equal(outs[3][0], outs[1][0])
+        np.testing.assert_array_equal(outs[3][1], outs[1][1])
+
+    def test_diag_modes_run(self, rng):
+        """BP stage-removal diagnostics compile and produce finite output
+        (values intentionally wrong; timing only)."""
+        from seismic_bpmf_tpu.ops.pallas_bp import PallasBeamformPlan
+
+        feats, mv, w_ph, w_src = self._problem(rng)
+        n_samp = feats.shape[-1]
+        for diag in ("noroll", "noonehot", "nosplit", "nomask"):
+            plan = PallasBeamformPlan(
+                mv, w_ph, w_src, n_samp, interpret=True, precision="high",
+                diag=diag,
+            )
+            v, i = plan(feats)
+            assert np.isfinite(np.asarray(v)).all(), diag
+
     @pytest.mark.parametrize("prec", ["highest", "high"])
     def test_no_hoist_narrowed_hankel(self, rng, prec):
         """The large-network fallback (per-block narrowed, nq-predicated
