@@ -66,7 +66,8 @@ def check_parity(verbose: bool = True, quick: bool = False) -> bool:
     w = rng.uniform(0.5, 1.0, size=(n_tp, n_sta, n_comp)).astype(np.float32)
     w /= w.sum(axis=(1, 2), keepdims=True)
     cc_ref = ref.matched_filter(tp, mv, w, data)
-    for prec, tol in (("highest", 5e-6), ("high", 5e-6)):
+    for prec, tol in (("highest", 5e-6), ("high", 5e-6),
+                      ("xla-high", 5e-6)):
         cc = np.asarray(
             matched_filter_pallas(tp, mv, w, data, precision=prec)
         )
@@ -118,7 +119,8 @@ def check_parity(verbose: bool = True, quick: bool = False) -> bool:
     w_src = rng.uniform(0.5, 1.0, size=(n_src, n_sta)).astype(np.float32)
     mb_ref, ms_ref = ref.beamform(feat, mv_bp, w_ph, w_src, reduce="max")
     beam_ref = ref.beamform(feat, mv_bp, w_ph, w_src, reduce="none")
-    for prec, tol in (("highest", 2e-5), ("high", 2e-4)):
+    for prec, tol in (("highest", 2e-5), ("high", 2e-4),
+                      ("xla-high", 2e-4)):
         mb, ms = beamform_pallas(feat, mv_bp, w_ph, w_src, reduce="max",
                                  precision=prec)
         err_bp = float(np.abs(np.asarray(mb) - mb_ref).max())

@@ -82,7 +82,7 @@ def main():
                 tp[i:i + chunk], mv[i:i + chunk], w[i:i + chunk],
                 n_samp,
                 interpret=(jax.default_backend() == "cpu"),
-                precision=("highest" if xla_high else
+                precision=("xla-high" if xla_high else
                            "high" if prec.startswith("high") else prec),
                 lag_block=B, pad_left=0, max_moveout=400,
                 pack_split="pack" in tags,
@@ -90,11 +90,6 @@ def main():
                 fused="fused" in tags,
                 unroll=unroll, diag=diag,
             )
-            if xla_high:
-                # XLA's 3-pass f32 HIGH instead of the manual bf16 split:
-                # same MXU pass count as 'high' for the corr sweep, no
-                # per-channel VPU split work
-                p.precision = jax.lax.Precision.HIGH
             plans.append(p)
         return plans
 
