@@ -209,6 +209,56 @@ def bench_mf(precision: str = "high"):
     }
 
 
+def bench_mf_extraction(precision: str = "high"):
+    """Sustained MF throughput INCLUDING detection extraction: the same
+    128-template day as `bench_mf`, with each chunk's CC running through
+    the batched time-dependent threshold + two-stage top-k candidate
+    extraction (`ops.thresholds.batch_candidates`) exactly as the
+    campaign scan dispatches it (extraction program queued behind the CC
+    scan, O(k) candidate values fetched).  Kernel shapes match `bench_mf`
+    so the scan compile is shared within one bench run."""
+    import jax.numpy as jnp
+
+    from seismic_bpmf_tpu.ops.pallas_mf import PallasMatchedFilterPlan
+    from seismic_bpmf_tpu.ops.thresholds import batch_candidates
+
+    rng = np.random.default_rng(0)
+    n_tp, n_sta, n_comp, L = 128, 10, 3, 200
+    n_samp = 2_160_000
+    data = rng.normal(size=(n_sta, n_comp, n_samp)).astype(np.float32)
+    tp = rng.normal(size=(n_tp, n_sta, n_comp, L)).astype(np.float32)
+    mv = rng.integers(0, 400, size=(n_tp, n_sta, n_comp)).astype(np.int32)
+    w = np.full((n_tp, n_sta, n_comp), 1.0 / (n_sta * n_comp), np.float32)
+    wn = rng.normal(size=500).astype(np.float32)
+    swin = int(1800.0 * 25.0)  # reference 1800 s threshold window @ 25 Hz
+
+    plan = PallasMatchedFilterPlan(tp, mv, w, n_samp, precision=precision)
+    data_pad = plan.pad_data(data)
+    caps = np.full(n_tp, 0.8, np.float32)
+
+    def run():
+        cc = jnp.nan_to_num(plan(data_pad))
+        out = batch_candidates(cc, caps, swin, 8.0, overlap=0.25,
+                               white_noise=wn, k=1024)
+        return [np.asarray(a) for a in out]
+
+    run()  # compile
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        run()
+        times.append(time.time() - t0)
+    dt = min(times)
+    gmacs = n_tp * n_sta * n_comp * plan.n_corr_unit * L / dt / 1e9
+    return {
+        "metric": "matched_filter_with_extraction",
+        "value": round(gmacs, 1),
+        "unit": f"GMAC/s/chip sustained incl. threshold+top-k extraction "
+                f"(128 templates x 1 day, {precision})",
+        "vs_baseline": round(gmacs / CPU_BASELINE_GMACS, 1),
+    }
+
+
 def smooth_grid_moveouts(n_src: int, n_sta: int = 32, sr_hz: float = 25.0,
                          seed: int = 1):
     """Synthetic 3-D travel-time grid: sources on a regular
@@ -352,7 +402,7 @@ def main():
                     help="beamform throughput instead of matched filter")
     ap.add_argument("--n-src", type=int, default=100_000)
     ap.add_argument("--precision", default=None,
-                    choices=["highest", "high", "default"],
+                    choices=["highest", "xla-high", "high", "default"],
                     help="kernel precision (default: 'high' for the MF "
                          "headline, 'highest' for --bp)")
     ap.add_argument("--budget-s", type=float, default=90.0,
@@ -396,6 +446,7 @@ def main():
     if not os.environ.get("BENCH_QUICK"):
         extras = {}
         for name, fn in (
+            ("mf_extraction", bench_mf_extraction),
             ("beamform", lambda: bench_bp(n_src=10_000, budget_s=30.0,
                                           precision="high")),
             ("phasenet", bench_phasenet),
