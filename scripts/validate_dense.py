@@ -35,14 +35,28 @@ def main():
     from seismic_bpmf_tpu.ops.pallas_mf import PallasMatchedFilterPlan
 
     rng = np.random.default_rng(7)
-    n_tp, n_sta, n_comp, L, n_samp = 32, 10, 3, 200, 200_000
+    # Lowering coverage, not scale: 12 lag blocks at the default
+    # lag_block=4096 and a 400-sample moveout spread exercise the same
+    # Mosaic code paths (multi-block sweep, octave predication, one-hot
+    # select) as a production bank, while keeping the float64-accumulated
+    # NumPy oracle tractable on this host's single CPU core.
+    n_tp, n_sta, n_comp, L, n_samp = 8, 10, 3, 200, 48_000
     if interpret:
         n_tp, n_samp = 8, 20_000
     tp = rng.normal(size=(n_tp, n_sta, n_comp, L)).astype(np.float32)
     mv = rng.integers(0, 400, size=(n_tp, n_sta, n_comp)).astype(np.int32)
     w = np.full((n_tp, n_sta, n_comp), 1.0 / (n_sta * n_comp), np.float32)
     data = rng.normal(size=(n_sta, n_comp, n_samp)).astype(np.float32)
-    cc_ref = ref.matched_filter(tp, mv, w, data)
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         f".oracle_dense_{n_tp}x{n_samp}.npy")
+    t0 = time.time()
+    if os.path.exists(cache):
+        cc_ref = np.load(cache)
+        print(f"oracle: loaded cache ({cache})", flush=True)
+    else:
+        cc_ref = ref.matched_filter(tp, mv, w, data)
+        np.save(cache, cc_ref)
+        print(f"oracle: computed in {time.time()-t0:.0f}s", flush=True)
 
     ok = True
     for precision, tol in (("high", 5e-6), ("highest", 5e-7)):
