@@ -40,6 +40,27 @@ CPU_BASELINE_GMACS = 2.0
 CPU_BASELINE_GPTS = 0.02
 
 
+def _rung(name: str, fn, verbose: bool = True) -> bool:
+    """Run one parity rung exception-proof.
+
+    A rung that *crashes* (e.g. a Mosaic lowering rejection that
+    interpret-mode tests cannot see) must degrade to a FAIL line, never
+    kill the bench process before the headline JSON prints — round 3 lost
+    its whole hardware record to exactly that failure mode."""
+    try:
+        err, ok, detail = fn()
+        if verbose:
+            print(f"# parity {name}: {detail} "
+                  f"{'OK' if ok else 'FAIL'}", file=sys.stderr)
+        return ok
+    except Exception as e:  # noqa: BLE001 — any rung crash is a FAIL
+        if verbose:
+            msg = " ".join(str(e).split())[:160]
+            print(f"# parity {name}: CRASH {type(e).__name__}: {msg} FAIL",
+                  file=sys.stderr)
+        return False
+
+
 def check_parity(verbose: bool = True, quick: bool = False) -> bool:
     """TPU-compiled Pallas kernels vs the NumPy oracles on small shapes.
 
@@ -48,8 +69,9 @@ def check_parity(verbose: bool = True, quick: bool = False) -> bool:
     BPMF/similarity_search.py:526-546 (MF), template_search.py:549-572 (BP).
 
     quick=True gates only the MF variants the headline metric uses (each
-    kernel variant costs a 1-2 min remote AOT compile; the full 7-variant
-    gate runs under --check).
+    kernel variant costs a 1-2 min remote AOT compile; the full gate runs
+    under --check).  Every rung runs via `_rung` so a crash in one rung
+    reports FAIL and the rest (and the headline) still run.
     """
     from seismic_bpmf_tpu.ops import reference as ref
     from seismic_bpmf_tpu.ops.pallas_bp import beamform_pallas
@@ -66,46 +88,38 @@ def check_parity(verbose: bool = True, quick: bool = False) -> bool:
     w = rng.uniform(0.5, 1.0, size=(n_tp, n_sta, n_comp)).astype(np.float32)
     w /= w.sum(axis=(1, 2), keepdims=True)
     cc_ref = ref.matched_filter(tp, mv, w, data)
-    for prec, tol in (("highest", 5e-6), ("high", 5e-6),
-                      ("xla-high", 5e-6)):
-        cc = np.asarray(
-            matched_filter_pallas(tp, mv, w, data, precision=prec)
-        )
-        err_mf = float(np.abs(cc - cc_ref).max())
-        if err_mf > tol:
-            ok = False
-        if verbose:
-            print(f"# parity MF[{prec}]: max|diff|={err_mf:.2e} "
-                  f"{'OK' if err_mf <= tol else 'FAIL'}", file=sys.stderr)
+
+    def mf_rung(prec, tol, **kw):
+        def fn():
+            from seismic_bpmf_tpu.ops.pallas_mf import (
+                PallasMatchedFilterPlan,
+            )
+            if kw:
+                plan = PallasMatchedFilterPlan(tp, mv, w, n_samp,
+                                               precision=prec, **kw)
+                cc = np.asarray(plan(plan.pad_data(data)))
+                cc = cc[:, : cc_ref.shape[1]]
+            else:
+                cc = np.asarray(
+                    matched_filter_pallas(tp, mv, w, data, precision=prec)
+                )
+            err = float(np.abs(cc - cc_ref).max())
+            return err, err <= tol, f"max|diff|={err:.2e}"
+        return fn
+
+    for prec, tol in (("highest", 5e-6), ("high", 5e-6)):
+        ok &= _rung(f"MF[{prec}]", mf_rung(prec, tol), verbose)
     if os.environ.get("SEISMIC_BPMF_DENSE", "") == "1":
         # the dense (unpredicated) kernel is opt-in; gate it whenever the
         # opt-in is active so enabling it is always parity-checked
-        from seismic_bpmf_tpu.ops.pallas_mf import PallasMatchedFilterPlan
-
-        plan = PallasMatchedFilterPlan(tp, mv, w, n_samp,
-                                       precision="high", dense=True)
-        cc = np.asarray(plan(plan.pad_data(data)))[:, : cc_ref.shape[1]]
-        err_d = float(np.abs(cc - cc_ref).max())
-        if err_d > 5e-6:
-            ok = False
-        if verbose:
-            print(f"# parity MF[high,dense]: max|diff|={err_d:.2e} "
-                  f"{'OK' if err_d <= 5e-6 else 'FAIL'}", file=sys.stderr)
+        ok &= _rung("MF[high,dense]", mf_rung("high", 5e-6, dense=True),
+                    verbose)
     if os.environ.get("SEISMIC_BPMF_FUSED", "") == "1":
         # the fused data|normalization-Hankel kernel is opt-in; gate it
         # whenever the opt-in is active so enabling it is always
         # parity-checked TPU-compiled
-        from seismic_bpmf_tpu.ops.pallas_mf import PallasMatchedFilterPlan
-
-        plan = PallasMatchedFilterPlan(tp, mv, w, n_samp,
-                                       precision="high", fused=True)
-        cc = np.asarray(plan(plan.pad_data(data)))[:, : cc_ref.shape[1]]
-        err_f = float(np.abs(cc - cc_ref).max())
-        if err_f > 5e-6:
-            ok = False
-        if verbose:
-            print(f"# parity MF[high,fused]: max|diff|={err_f:.2e} "
-                  f"{'OK' if err_f <= 5e-6 else 'FAIL'}", file=sys.stderr)
+        ok &= _rung("MF[high,fused]", mf_rung("high", 5e-6, fused=True),
+                    verbose)
     if quick:
         return ok
 
@@ -119,43 +133,47 @@ def check_parity(verbose: bool = True, quick: bool = False) -> bool:
     w_src = rng.uniform(0.5, 1.0, size=(n_src, n_sta)).astype(np.float32)
     mb_ref, ms_ref = ref.beamform(feat, mv_bp, w_ph, w_src, reduce="max")
     beam_ref = ref.beamform(feat, mv_bp, w_ph, w_src, reduce="none")
-    for prec, tol in (("highest", 2e-5), ("high", 2e-4),
-                      ("xla-high", 2e-4)):
-        mb, ms = beamform_pallas(feat, mv_bp, w_ph, w_src, reduce="max",
-                                 precision=prec)
-        err_bp = float(np.abs(np.asarray(mb) - mb_ref).max())
-        argmax_agree = float(np.mean(np.asarray(ms) == ms_ref))
-        beam = np.asarray(
-            beamform_pallas(feat, mv_bp, w_ph, w_src, reduce="none",
-                            precision=prec)
-        )
-        err_bp_none = float(np.abs(beam - beam_ref).max())
-        # ladder argmax may flip only at value-tolerance near-ties
-        am_ok = argmax_agree == 1.0 if prec == "highest" \
-            else argmax_agree > 0.999
-        if err_bp > tol or err_bp_none > tol or not am_ok:
-            ok = False
-        if verbose:
-            print(f"# parity BP[{prec}]: max|diff| max={err_bp:.2e} "
-                  f"none={err_bp_none:.2e} argmax_agree={argmax_agree:.4f}"
-                  f" {'OK' if am_ok else 'FAIL'}", file=sys.stderr)
+
+    def bp_rung(prec, tol):
+        def fn():
+            mb, ms = beamform_pallas(feat, mv_bp, w_ph, w_src,
+                                     reduce="max", precision=prec)
+            err_bp = float(np.abs(np.asarray(mb) - mb_ref).max())
+            argmax_agree = float(np.mean(np.asarray(ms) == ms_ref))
+            beam = np.asarray(
+                beamform_pallas(feat, mv_bp, w_ph, w_src, reduce="none",
+                                precision=prec)
+            )
+            err_bp_none = float(np.abs(beam - beam_ref).max())
+            # ladder argmax may flip only at value-tolerance near-ties
+            am_ok = argmax_agree == 1.0 if prec == "highest" \
+                else argmax_agree > 0.999
+            rung_ok = err_bp <= tol and err_bp_none <= tol and am_ok
+            return err_bp, rung_ok, (
+                f"max|diff| max={err_bp:.2e} none={err_bp_none:.2e} "
+                f"argmax_agree={argmax_agree:.4f}"
+            )
+        return fn
+
+    for prec, tol in (("highest", 2e-5), ("high", 2e-4)):
+        ok &= _rung(f"BP[{prec}]", bp_rung(prec, tol), verbose)
 
     # large-network fallback path (narrowed, nq-predicated Hankel rebuild)
-    w_sparse = w_src.copy()
-    w_sparse[:, ::2] = 0.0  # dead (station-phase, block) pairs
-    mb_ref2, ms_ref2 = ref.beamform(feat, mv_bp, w_ph, w_sparse,
-                                    reduce="max")
-    mb2, ms2 = beamform_pallas(feat, mv_bp, w_ph, w_sparse, reduce="max",
-                               precision="high", hoist_hankel=False)
-    err2 = float(np.abs(np.asarray(mb2) - mb_ref2).max())
-    am2 = float(np.mean(np.asarray(ms2) == ms_ref2))
-    if err2 > 2e-4 or am2 < 0.999:
-        ok = False
-    if verbose:
-        print(f"# parity BP[no-hoist,high,sparse]: max|diff|={err2:.2e} "
-              f"argmax_agree={am2:.4f} "
-              f"{'OK' if err2 <= 2e-4 and am2 >= 0.999 else 'FAIL'}",
-              file=sys.stderr)
+    def bp_nohoist():
+        w_sparse = w_src.copy()
+        w_sparse[:, ::2] = 0.0  # dead (station-phase, block) pairs
+        mb_ref2, ms_ref2 = ref.beamform(feat, mv_bp, w_ph, w_sparse,
+                                        reduce="max")
+        mb2, ms2 = beamform_pallas(feat, mv_bp, w_ph, w_sparse,
+                                   reduce="max", precision="high",
+                                   hoist_hankel=False)
+        err2 = float(np.abs(np.asarray(mb2) - mb_ref2).max())
+        am2 = float(np.mean(np.asarray(ms2) == ms_ref2))
+        return err2, err2 <= 2e-4 and am2 >= 0.999, (
+            f"max|diff|={err2:.2e} argmax_agree={am2:.4f}"
+        )
+
+    ok &= _rung("BP[no-hoist,high,sparse]", bp_nohoist, verbose)
     return ok
 
 
@@ -394,6 +412,37 @@ def bench_phasenet():
     }
 
 
+def probe_backend(timeout_s: float = 420.0) -> str | None:
+    """Bounded accelerator-init probe: run a trivial matmul in a worker
+    thread; if init blocks past `timeout_s` (a wedged single-chip worker
+    can take ~25 min per blocked attempt) or raises, return a short
+    diagnostic string so the caller can emit a parseable JSON record
+    instead of hanging.  See scripts/tpu_wait.py for the recover-and-wait
+    pattern."""
+    import threading
+
+    result: dict = {}
+
+    def work():
+        try:
+            import jax
+
+            x = jax.numpy.ones((128, 128))
+            jax.block_until_ready(x @ x)
+            result["ok"] = jax.default_backend()
+        except Exception as e:  # noqa: BLE001
+            result["err"] = f"{type(e).__name__}: " \
+                            f"{' '.join(str(e).split())[:200]}"
+
+    t = threading.Thread(target=work, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        return f"backend init still blocked after {timeout_s:.0f}s " \
+               f"(wedged TPU worker?) — see scripts/tpu_wait.py"
+    return result.get("err")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--check", action="store_true",
@@ -402,7 +451,7 @@ def main():
                     help="beamform throughput instead of matched filter")
     ap.add_argument("--n-src", type=int, default=100_000)
     ap.add_argument("--precision", default=None,
-                    choices=["highest", "xla-high", "high", "default"],
+                    choices=["highest", "high", "default"],
                     help="kernel precision (default: 'high' for the MF "
                          "headline, 'highest' for --bp)")
     ap.add_argument("--budget-s", type=float, default=90.0,
@@ -412,6 +461,18 @@ def main():
     ap.add_argument("--no-check", action="store_true",
                     help="skip the parity gate before the throughput run")
     args = ap.parse_args()
+
+    err = probe_backend(
+        float(os.environ.get("BENCH_INIT_TIMEOUT_S", "420"))
+    )
+    if err is not None:
+        print(json.dumps({
+            "metric": "matched_filter_throughput",
+            "value": 0.0,
+            "unit": f"GMAC/s/chip (TPU BACKEND UNAVAILABLE: {err})",
+            "vs_baseline": 0.0,
+        }))
+        sys.exit(1)
 
     if args.check:
         ok = check_parity()
@@ -440,7 +501,17 @@ def main():
             "vs_baseline": 0.0,
         }))
         sys.exit(1)
-    result = bench_mf(precision=args.precision or "high")
+    try:
+        result = bench_mf(precision=args.precision or "high")
+    except Exception as e:  # always print one parseable JSON line
+        msg = f"{type(e).__name__}: {' '.join(str(e).split())[:200]}"
+        print(json.dumps({
+            "metric": "matched_filter_throughput",
+            "value": 0.0,
+            "unit": f"GMAC/s/chip (HEADLINE CRASH: {msg})",
+            "vs_baseline": 0.0,
+        }))
+        sys.exit(1)
     # secondary driver-visible figures (stderr comment lines + extras
     # file); BENCH_QUICK=1 skips them
     if not os.environ.get("BENCH_QUICK"):

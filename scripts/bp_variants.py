@@ -59,7 +59,7 @@ def main():
                  for d in ("", "noroll", "noonehot", "nosplit", "nomask")]
     else:
         cells = [(p, u, "")
-                 for p in ("high", "highest", "xla-high") for u in (1, 2, 4)]
+                 for p in ("high", "highest") for u in (1, 2, 4)]
 
     for prec, unroll, diag in cells:
         label = prec + (f"-unroll{unroll}" if unroll > 1 else "") + (

@@ -67,8 +67,7 @@ def main():
         # data|normalization Hankel roll per channel), unrollN
         # (channel-loop unroll), diag:X (stage-removal cost attribution —
         # WRONG results, timing only)
-        xla_high = prec.startswith("xla-high")
-        tags = prec.split("-")[2 if xla_high else 1:]
+        tags = prec.split("-")[1:]
         diag = ""
         unroll = 1
         for t in tags:
@@ -82,8 +81,7 @@ def main():
                 tp[i:i + chunk], mv[i:i + chunk], w[i:i + chunk],
                 n_samp,
                 interpret=(jax.default_backend() == "cpu"),
-                precision=("xla-high" if xla_high else
-                           "high" if prec.startswith("high") else prec),
+                precision=("high" if prec.startswith("high") else prec),
                 lag_block=B, pad_left=0, max_moveout=400,
                 pack_split="pack" in tags,
                 dense="dense" in tags,
@@ -95,9 +93,9 @@ def main():
 
     # "high" is the predicated production default; "high-dense" forces
     # the unpredicated functional-accumulation variant
-    precs = ["high", "high-dense", "high-pack", "xla-high",
+    precs = ["high", "high-dense", "high-pack",
              "high-fused", "high-fused-dense", "high-fused-pack",
-             "high-unroll2", "high-fused-unroll2", "xla-high-fused"]
+             "high-unroll2", "high-fused-unroll2"]
     if diag_sweep:
         # stage-removal attribution: each mode removes ONE kernel stage;
         # (baseline - mode) wall time = that stage's cost on hardware

@@ -36,19 +36,31 @@ def main():
 
     rng = np.random.default_rng(7)
     # Lowering coverage, not scale: 12 lag blocks at the default
-    # lag_block=4096 and a 400-sample moveout spread exercise the same
-    # Mosaic code paths (multi-block sweep, octave predication, one-hot
-    # select) as a production bank, while keeping the float64-accumulated
-    # NumPy oracle tractable on this host's single CPU core.
-    n_tp, n_sta, n_comp, L, n_samp = 8, 10, 3, 200, 48_000
+    # lag_block=4096 (incl. a partial tail at lag_block=4096) and a
+    # 400-sample moveout spread exercise the same Mosaic code paths
+    # (multi-block sweep, octave predication, one-hot select) as a
+    # production bank, while keeping the float64-accumulated NumPy oracle
+    # tractable on this host's single CPU core.  n_tp=16 = two 8-row
+    # template tiles, so the multi-tile template iteration is covered too.
+    n_tp, n_sta, n_comp, L, n_samp = 16, 10, 3, 200, 48_000
     if interpret:
         n_tp, n_samp = 8, 20_000
     tp = rng.normal(size=(n_tp, n_sta, n_comp, L)).astype(np.float32)
     mv = rng.integers(0, 400, size=(n_tp, n_sta, n_comp)).astype(np.int32)
     w = np.full((n_tp, n_sta, n_comp), 1.0 / (n_sta * n_comp), np.float32)
     data = rng.normal(size=(n_sta, n_comp, n_samp)).astype(np.float32)
+    # the cache key must cover EVERY oracle input (templates, moveouts,
+    # weights, data) plus an oracle version tag, or a config change would
+    # silently reuse a stale oracle and this gate could pass against
+    # wrong expected values
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(b"oracle-v1")
+    for a in (tp, mv, w, data):
+        h.update(a.tobytes())
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         f".oracle_dense_{n_tp}x{n_samp}.npy")
+                         f".oracle_dense_{h.hexdigest()[:16]}.npy")
     t0 = time.time()
     if os.path.exists(cache):
         cc_ref = np.load(cache)

@@ -246,10 +246,9 @@ def build_parser() -> argparse.ArgumentParser:
     bp.add_argument("--engine", default="auto",
                     choices=["auto", "pallas", "onehot", "gather"])
     bp.add_argument("--precision", default="high",
-                    choices=["highest", "xla-high", "high", "default"],
+                    choices=["highest", "high", "default"],
                     help="'highest' = 6-pass f32 parity; 'high' = bf16-split "
-                         "ladder (~2x, oracle-gate parity); 'xla-high' = "
-                         "XLA's builtin 3-pass f32 HIGH; 'default' = "
+                         "ladder (~2x, oracle-gate parity); 'default' = "
                          "single bf16 pass (~3x, ~2e-2)")
     bp.add_argument("--picker-checkpoint",
                     help="PhaseNet checkpoint dir (orbax); default: envelopes")
@@ -272,10 +271,9 @@ def build_parser() -> argparse.ArgumentParser:
     mf.add_argument("--max-kurto", type=float, default=100.0,
                     help="CC-kurtosis sanity threshold (reference default)")
     mf.add_argument("--precision", default="high",
-                    choices=["highest", "xla-high", "high", "default"],
+                    choices=["highest", "high", "default"],
                     help="'highest' = 6-pass f32 parity; 'high' = bf16-split "
-                         "ladder (~2x, oracle-gate parity); 'xla-high' = "
-                         "XLA's builtin 3-pass f32 HIGH; 'default' = "
+                         "ladder (~2x, oracle-gate parity); 'default' = "
                          "single bf16 pass (fastest, ~2e-4)")
     mf.add_argument("--db", help="output directory for per-template detections")
 

@@ -41,11 +41,10 @@ def _round_up(x: int, m: int) -> int:
 def _precision_mode(precision: str) -> str:
     """Map the user-facing precision name to the kernel mode.
 
-    'xla-high' runs the f32 one-hot matmul at XLA's builtin 3-pass HIGH
-    instead of HIGHEST's 6 — no per-slice VPU split work (vs 'high'),
-    three passes instead of two."""
-    modes = {"highest": "f32", "xla-high": "f32", "high": "split2",
-             "default": "bf16"}
+    Note: Mosaic lowers only Precision.DEFAULT/HIGHEST inside Pallas, so
+    there is no XLA 'HIGH' rung here — the 3-pass idea is what 'high'
+    (split2: explicit bf16 hi/lo ladder) already implements."""
+    modes = {"highest": "f32", "high": "split2", "default": "bf16"}
     if precision not in modes:
         raise ValueError(f"unknown precision {precision!r}")
     return modes[precision]
@@ -452,8 +451,7 @@ def beamform_pallas(
         strict=(out_of_bounds == "strict"), reduce_max=(reduce == "max"),
         interpret=interpret, mode=mode, hoist_hankel=hoist_hankel,
         unroll=unroll, diag=diag,
-        precision=(jax.lax.Precision.HIGH if precision == "xla-high"
-                   else jax.lax.Precision.HIGHEST),
+        precision=jax.lax.Precision.HIGHEST,
     )
     if reduce == "max":
         val, idx = out
@@ -486,10 +484,7 @@ class PallasBeamformPlan:
     ):
         assert reduce in ("max", "none")
         self.mode = _precision_mode(precision)
-        self.precision = (
-            jax.lax.Precision.HIGH if precision == "xla-high"
-            else jax.lax.Precision.HIGHEST
-        )
+        self.precision = jax.lax.Precision.HIGHEST
         self.unroll = int(unroll)
         self.diag = diag
         mv_flat, w_flat, mv_lo, mv_hi = _flatten_moveouts(

@@ -676,16 +676,14 @@ class PallasMatchedFilterPlan:
         # 'highest'  = 6-pass f32 MXU (bit-parity with the NumPy oracle,
         #              ~3e-7); 'high' = explicit 2-component bf16 split,
         # 3-pass corr + exact one-hot select (~1e-6, ~2x faster);
-        # 'xla-high' = f32 operands at XLA's builtin 3-pass HIGH (same MXU
-        #              pass count as 'high' with no per-channel VPU split
-        #              work, 2x the filter VMEM);
-        # 'default'  = single bf16 pass (~2e-4, fastest)
-        if precision not in ("highest", "xla-high", "high", "default"):
+        # 'default'  = single bf16 pass (~2e-4, fastest).
+        # No XLA-HIGH rung: Mosaic lowers only DEFAULT/HIGHEST inside
+        # Pallas; the 3-pass idea is what 'high' implements explicitly.
+        if precision not in ("highest", "high", "default"):
             raise ValueError(f"unknown precision {precision!r}")
         self.precision_name = precision
         self.precision = (
             jax.lax.Precision.HIGHEST if precision == "highest"
-            else jax.lax.Precision.HIGH if precision == "xla-high"
             else jax.lax.Precision.DEFAULT
         )
         n_corr_unit = n_samp - L + 1

@@ -566,8 +566,7 @@ def beamform_sharded_pallas(
             B=B, M=M, S=S, n_q=n_q, n_samp=n_samp, n_src=n_src,
             strict=(out_of_bounds == "strict"), reduce_max=reduce_max,
             interpret=interpret, mode=pbp._precision_mode(precision),
-            precision=(jax.lax.Precision.HIGH if precision == "xla-high"
-                       else jax.lax.Precision.HIGHEST),
+            precision=jax.lax.Precision.HIGHEST,
         )
         if not reduce_max:
             return out

@@ -79,8 +79,7 @@ class TestPallasMatchedFilter:
         w /= w.sum(axis=(1, 2), keepdims=True)
         w[0, 1] = 0.0
         want = ref.matched_filter(tp, mv, w, data)
-        for prec, tol in (("highest", 2e-6), ("high", 5e-6),
-                          ("xla-high", 2e-6)):
+        for prec, tol in (("highest", 2e-6), ("high", 5e-6)):
             # two baselines: dense and predicated kernels associate the
             # per-block sums differently (summation-order noise, covered
             # by test_dense_high_matches_predicated), so bit-identity of
@@ -196,8 +195,7 @@ class TestPallasBeamform:
         )
         np.testing.assert_array_equal(np.asarray(got_i), want_i)
 
-    @pytest.mark.parametrize("prec,tol", [("high", 5e-4), ("default", 5e-2),
-                                          ("xla-high", 5e-4)])
+    @pytest.mark.parametrize("prec,tol", [("high", 5e-4), ("default", 5e-2)])
     def test_precision_ladder(self, rng, prec, tol):
         """bf16 ladder modes: exact one-hot selection, bf16-split data,
         VPU weights.  'high' keeps ~1e-5 absolute error on O(1) beams;
