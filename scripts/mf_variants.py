@@ -53,11 +53,19 @@ def main():
     mv = rng.integers(0, 400, size=(n_tp, n_sta, n_comp)).astype(np.int32)
     w = np.full((n_tp, n_sta, n_comp), 1.0 / (n_sta * n_comp), np.float32)
 
-    # oracle slice for a correctness spot-check (first 2 templates,
-    # decimated lags)
+    # oracle slice for a correctness spot-check: first 2 templates over a
+    # data PREFIX only — the float64 NumPy oracle runs ~13 MMAC/s on this
+    # host, so a full-day oracle would cost ~30 min before any TPU work.
+    # Lags < n_pref - L - max_mv depend only on the prefix, so comparing
+    # that lag range against the full-day kernel output is exact.
     from seismic_bpmf_tpu.ops import reference as ref
 
-    cc_ref = ref.matched_filter(tp[:2], mv[:2], w[:2], data)
+    n_pref = min(n_samp, 24_000)
+    max_mv_check = int(mv[:2].max())
+    n_lag_check = n_pref - L - max_mv_check + 1
+    cc_ref = ref.matched_filter(
+        tp[:2], mv[:2], w[:2], data[:, :, :n_pref]
+    )[:, :n_lag_check]
 
     import jax
 

@@ -7,6 +7,11 @@ from seismic_bpmf_tpu.ops import reference as ref
 from seismic_bpmf_tpu.ops.pallas_bp import beamform_pallas
 from seismic_bpmf_tpu.ops.pallas_mf import matched_filter_pallas
 
+# interpret-mode kernel parity is the slow half of the suite (~3 min);
+# run the fast dev loop with `-m "not slow"` — the default run (and the
+# driver's) still includes everything, 0 skips
+pytestmark = pytest.mark.slow
+
 
 class TestPallasMatchedFilter:
     def test_parity(self, rng):

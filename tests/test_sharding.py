@@ -4,6 +4,10 @@ import jax
 import numpy as np
 import pytest
 
+# the 8-device-mesh parity set is the slow half of the suite; run the
+# fast dev loop with `-m "not slow"` — the default run still includes it
+pytestmark = pytest.mark.slow
+
 from seismic_bpmf_tpu.ops import beamform, matched_filter
 from seismic_bpmf_tpu.parallel import (
     beamform_sharded,
