@@ -107,19 +107,17 @@ def check_parity(verbose: bool = True, quick: bool = False) -> bool:
             return err, err <= tol, f"max|diff|={err:.2e}"
         return fn
 
+    # the default plan auto-picks dense (unpredicated) vs predicated from
+    # the live-block fraction; gate BOTH code paths at the headline
+    # precision so whichever the heuristic picks is always parity-checked
+    # TPU-compiled (hardware-promoted after the round-4 sweep: dense won
+    # +16%, scripts/validate_dense.py passed at both precisions)
     for prec, tol in (("highest", 5e-6), ("high", 5e-6)):
         ok &= _rung(f"MF[{prec}]", mf_rung(prec, tol), verbose)
-    if os.environ.get("SEISMIC_BPMF_DENSE", "") == "1":
-        # the dense (unpredicated) kernel is opt-in; gate it whenever the
-        # opt-in is active so enabling it is always parity-checked
-        ok &= _rung("MF[high,dense]", mf_rung("high", 5e-6, dense=True),
-                    verbose)
-    if os.environ.get("SEISMIC_BPMF_FUSED", "") == "1":
-        # the fused data|normalization-Hankel kernel is opt-in; gate it
-        # whenever the opt-in is active so enabling it is always
-        # parity-checked TPU-compiled
-        ok &= _rung("MF[high,fused]", mf_rung("high", 5e-6, fused=True),
-                    verbose)
+    ok &= _rung("MF[high,dense]", mf_rung("high", 5e-6, dense=True),
+                verbose)
+    ok &= _rung("MF[high,predicated]",
+                mf_rung("high", 5e-6, dense=False), verbose)
     if quick:
         return ok
 

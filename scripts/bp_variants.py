@@ -1,12 +1,14 @@
 #!/usr/bin/env python
-"""BP kernel variant sweep: station-phase-loop unroll x precision, plus a
-stage-removal diagnostic mode (--diag), on a scaled-down headline shape
-(relative costs are grid-size-dominated, so a 0.1-day window ranks
-variants ~50x faster than a full day).
+"""BP kernel precision sweep plus a stage-removal diagnostic mode
+(--diag), on a scaled-down headline shape (relative costs are
+grid-size-dominated, so a 0.1-day window ranks variants ~50x faster than
+a full day).
 
     python scripts/bp_variants.py [n_src] [n_samp] [--diag] [--cpu]
 
-Variants: highest / high (split2 bf16 ladder) x unroll 1/2/4.
+Variants: highest / high (split2 bf16 ladder).  (The unroll knob was
+deleted: Mosaic lowers only unroll=1/full, and full unroll crashes the
+compiler — round-4 MF hardware sweep.)
 --diag:   high + noroll / noonehot / nosplit / nomask — each removes ONE
           kernel stage, so (baseline - mode) wall time = that stage's
           hardware cost.  Diag beam values are intentionally wrong.
@@ -55,21 +57,19 @@ def main():
     w_src = rng.uniform(0.5, 1.0, size=(n_src, n_sta)).astype(np.float32)
 
     if diag_sweep:
-        cells = [("high", 1, d)
+        cells = [("high", d)
                  for d in ("", "noroll", "noonehot", "nosplit", "nomask")]
     else:
-        cells = [(p, u, "")
-                 for p in ("high", "highest") for u in (1, 2, 4)]
+        cells = [(p, "") for p in ("high", "highest")]
 
-    for prec, unroll, diag in cells:
-        label = prec + (f"-unroll{unroll}" if unroll > 1 else "") + (
-            f"-diag:{diag}" if diag else "")
+    for prec, diag in cells:
+        label = prec + (f"-diag:{diag}" if diag else "")
         try:
             t0 = time.time()
             plan = PallasBeamformPlan(
                 mv, w_ph, w_src, n_samp,
                 interpret=(jax.default_backend() == "cpu"),
-                precision=prec, unroll=unroll, diag=diag,
+                precision=prec, diag=diag,
             )
             g = plan.fold_and_pad(feats)
             v, i = plan.call_folded(g)

@@ -71,18 +71,16 @@ def main():
 
     def make_plans(B, chunk, prec):
         # variant tags after "high-": dense (unpredicated accumulation),
-        # pack (packed bf16-pair rolls), fused (one concatenated
-        # data|normalization Hankel roll per channel), unrollN
-        # (channel-loop unroll), diag:X (stage-removal cost attribution —
-        # WRONG results, timing only)
+        # diag:X (stage-removal cost attribution — WRONG results, timing
+        # only).  fused/pack/unroll variants were deleted after the
+        # round-4 hardware sweep (fused a wash — the kernel is MXU-bound;
+        # pack and partial unroll fail Mosaic lowering; full unroll
+        # crashes the compiler).
         tags = prec.split("-")[1:]
         diag = ""
-        unroll = 1
         for t in tags:
             if t.startswith("diag:"):
                 diag = t[5:]
-            elif t.startswith("unroll"):
-                unroll = int(t[6:])
         plans = []
         for i in range(0, n_tp, chunk):
             p = PallasMatchedFilterPlan(
@@ -91,25 +89,21 @@ def main():
                 interpret=(jax.default_backend() == "cpu"),
                 precision=("high" if prec.startswith("high") else prec),
                 lag_block=B, pad_left=0, max_moveout=400,
-                pack_split="pack" in tags,
                 dense="dense" in tags,
-                fused="fused" in tags,
-                unroll=unroll, diag=diag,
+                diag=diag,
             )
             plans.append(p)
         return plans
 
     # "high" is the predicated production default; "high-dense" forces
     # the unpredicated functional-accumulation variant
-    precs = ["high", "high-dense", "high-pack",
-             "high-fused", "high-fused-dense", "high-fused-pack",
-             "high-unroll2", "high-fused-unroll2"]
+    precs = ["high", "high-dense"]
     if diag_sweep:
         # stage-removal attribution: each mode removes ONE kernel stage;
         # (baseline - mode) wall time = that stage's cost on hardware
-        precs = ["high", "high-diag:noroll", "high-diag:nonorm",
-                 "high-diag:nocorr", "high-diag:noysel", "high-diag:nomask",
-                 "high-fused", "high-fused-diag:noroll"]
+        precs = ["high-dense", "high-dense-diag:noroll",
+                 "high-dense-diag:nonorm", "high-dense-diag:nocorr",
+                 "high-dense-diag:noysel", "high-dense-diag:nomask"]
     for B, chunk in combos:
       for prec in precs:
         try:

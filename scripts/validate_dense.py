@@ -1,8 +1,10 @@
 #!/usr/bin/env python
 """Hardware parity gate for the unpredicated 'dense' MF kernel variant.
 
-Interpret-mode tests cannot catch Mosaic lowering issues, so the dense
-variant stays opt-in until this passes on the real chip:
+Interpret-mode tests cannot catch Mosaic lowering issues; this gate
+PASSED on the real chip (round 4, all four cells) and dense became the
+live-block-fraction auto default in `PallasMatchedFilterPlan`.  Re-run
+after any kernel change:
 
     python scripts/validate_dense.py        # ~2-4 min (two compiles)
 

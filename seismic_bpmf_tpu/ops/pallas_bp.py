@@ -66,7 +66,7 @@ def _split_bf16(x):
 
 def _make_bp_kernel(*, B, M, S, n_sp, n_src, n_samp, n_q, strict, reduce_max,
                     hoist_hankel, precision=jax.lax.Precision.HIGHEST,
-                    mode="f32", unroll=1, diag=""):
+                    mode="f32", diag=""):
     """mode: 'f32' (matmul the weighted one-hot at `precision`), 'split2'
     (precision ladder: PURE 0/1 one-hot — exact in bf16 — contracted against
     a 2-component bf16 split of the data Hankel, weights applied on the VPU
@@ -75,10 +75,11 @@ def _make_bp_kernel(*, B, M, S, n_sp, n_src, n_samp, n_q, strict, reduce_max,
     Selection itself is EXACT in all modes — only the selected feature
     values round.
 
-    unroll: station-phase-loop unroll factor (lets Mosaic overlap sp+1's
-    VPU one-hot build with sp's MXU passes).  diag: stage-removal
-    diagnostics for hardware cost attribution ("noroll"/"noonehot"/
-    "nosplit"/"nomask" — wrong beam values, timing only)."""
+    diag: stage-removal diagnostics for hardware cost attribution
+    ("noroll"/"noonehot"/"nosplit"/"nomask" — wrong beam values, timing
+    only).  (A station-phase-loop unroll knob was removed after hardware
+    sweeps: Mosaic lowers only unroll=1 or a full unroll, and the full
+    unroll crashes the compiler at production sizes.)"""
     neg_inf = float(-jnp.inf)
     W = B + M
 
@@ -212,7 +213,7 @@ def _make_bp_kernel(*, B, M, S, n_sp, n_src, n_samp, n_q, strict, reduce_max,
 
             return carry
 
-        jax.lax.fori_loop(0, n_sp, sp_body, 0, unroll=unroll)
+        jax.lax.fori_loop(0, n_sp, sp_body, 0)
         beam = beam_scratch[...]
 
         t_abs = base_ref[0, 0] + t0 + lane  # (1, B)
@@ -300,14 +301,14 @@ def _local_bases(mv_in: np.ndarray, w_in: np.ndarray, S: int, M: int):
     jax.jit,
     static_argnames=(
         "B", "M", "S", "n_q", "n_samp", "n_src", "strict", "reduce_max",
-        "interpret", "precision", "hoist_hankel", "mode", "unroll", "diag",
+        "interpret", "precision", "hoist_hankel", "mode", "diag",
     ),
 )
 def _bp_pallas_call(
     qbase, nq, mv, w, lo, hi, g_pad, base=None,
     *, B, M, S, n_q, n_samp, n_src, strict, reduce_max, interpret=False,
     precision=jax.lax.Precision.HIGHEST, hoist_hankel=None, mode="f32",
-    unroll=1, diag="",
+    diag="",
 ):
     if base is None:
         base = jnp.zeros((1, 2), jnp.int32)
@@ -334,7 +335,7 @@ def _bp_pallas_call(
     kernel = _make_bp_kernel(
         B=B, M=M, S=S, n_sp=n_sp, n_src=n_src, n_samp=n_samp, n_q=n_q,
         strict=strict, reduce_max=reduce_max, precision=precision,
-        hoist_hankel=hoist_hankel, mode=mode, unroll=unroll, diag=diag,
+        hoist_hankel=hoist_hankel, mode=mode, diag=diag,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # base
@@ -398,7 +399,6 @@ def beamform_pallas(
     interpret: bool = False,
     precision: str = "highest",
     hoist_hankel: bool = None,
-    unroll: int = 1,
     diag: str = "",
 ):
     """Beamform via the fused Pallas kernel.
@@ -450,7 +450,7 @@ def beamform_pallas(
         B=B, M=M, S=S, n_q=n_q, n_samp=n_samp, n_src=n_src,
         strict=(out_of_bounds == "strict"), reduce_max=(reduce == "max"),
         interpret=interpret, mode=mode, hoist_hankel=hoist_hankel,
-        unroll=unroll, diag=diag,
+        diag=diag,
         precision=jax.lax.Precision.HIGHEST,
     )
     if reduce == "max":
@@ -479,13 +479,11 @@ class PallasBeamformPlan:
         src_block: int = 512,
         interpret: bool = False,
         precision: str = "highest",
-        unroll: int = 1,
         diag: str = "",
     ):
         assert reduce in ("max", "none")
         self.mode = _precision_mode(precision)
         self.precision = jax.lax.Precision.HIGHEST
-        self.unroll = int(unroll)
         self.diag = diag
         mv_flat, w_flat, mv_lo, mv_hi = _flatten_moveouts(
             moveouts, weights_phases, weights_sources
@@ -562,7 +560,7 @@ class PallasBeamformPlan:
             n_samp=self.n_samp, n_src=self.n_src,
             strict=self.strict, reduce_max=(self.reduce == "max"),
             interpret=self.interpret, precision=self.precision,
-            mode=self.mode, unroll=self.unroll, diag=self.diag,
+            mode=self.mode, diag=self.diag,
         )
         if self.reduce == "max":
             return out[0][0, : self.n_samp], out[1][0, : self.n_samp]
@@ -592,7 +590,7 @@ class PallasBeamformPlan:
                 n_samp=self.n_samp, n_src=self.n_src,
                 strict=self.strict, reduce_max=True,
                 interpret=self.interpret, precision=self.precision,
-                mode=self.mode, unroll=self.unroll, diag=self.diag,
+                mode=self.mode, diag=self.diag,
             )
             vals.append(v[0])
             idxs.append(i[0])

@@ -36,7 +36,6 @@ BPMF/similarity_search.py:526-533).  Semantics match
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -61,37 +60,6 @@ def _split_bf16(x):
         rounded & jnp.uint32(0xFFFF0000), jnp.float32
     )
     return hi.astype(jnp.bfloat16), (x - hi).astype(jnp.bfloat16)
-
-
-def _bf16_rtn_bits(x):
-    """uint32 f32 bit pattern of round-to-nearest-even bf16(x), in the
-    high half (low mantissa bits zeroed)."""
-    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
-    rounded = u + jnp.uint32(0x7FFF) + ((u >> 16) & jnp.uint32(1))
-    return rounded & jnp.uint32(0xFFFF0000)
-
-
-def _pack_bf16_pair(x):
-    """f32 -> ONE uint32 holding the (hi, lo) bf16 pair's bit patterns
-    (hi in the high half, lo in the low half).  Numerically identical to
-    `_split_bf16`; packing lets the Hankel roll once per channel on a
-    32-bit array (Mosaic's strided rotate is 32-bit only) with a cheap
-    bit-level unpack instead of the full round-to-nearest split."""
-    hi_bits = _bf16_rtn_bits(x)
-    hi = jax.lax.bitcast_convert_type(hi_bits, jnp.float32)
-    lo_bits = _bf16_rtn_bits(x - hi)
-    return hi_bits | (lo_bits >> 16)
-
-
-def _unpack_bf16_pair(p):
-    """Packed uint32 -> (hi, lo) bf16 arrays (exact bit recovery)."""
-    hi = jax.lax.bitcast_convert_type(
-        p & jnp.uint32(0xFFFF0000), jnp.float32
-    ).astype(jnp.bfloat16)
-    lo = jax.lax.bitcast_convert_type(
-        p << jnp.uint32(16), jnp.float32
-    ).astype(jnp.bfloat16)
-    return hi, lo
 
 
 def _sliding_sum(x, L: int, W: int):
@@ -133,8 +101,7 @@ def _mf_kernel(
     lo_ref,      # (n_ch, n_tp_pad) f32 lower lane bound
     data_ref,    # (n_ch_pad, ext) f32 (ANY/HBM)
     out_ref,     # (n_tp_pad, B) f32 block
-    *scratches,  # fused: (z, [acc, ysel,] dma_sem);
-                 # else:  (win, y, [acc, ysel,] dma_sem)
+    *scratches,  # (win, y, [acc, ysel,] dma_sem)
                  # (acc/ysel only in the predicated, non-dense variant)
     L: int,
     LM_pad: int,
@@ -145,17 +112,10 @@ def _mf_kernel(
     inv_l: float,
     precision=jax.lax.Precision.HIGHEST,
     dense: bool = False,
-    fused: bool = False,
-    unroll: int = 1,
     diag: str = "",
 ):
-    idx = 0
-    if fused:
-        z_scratch = scratches[0]
-        idx = 1
-    else:
-        win_scratch, y_scratch = scratches[:2]
-        idx = 2
+    win_scratch, y_scratch = scratches[:2]
+    idx = 2
     if not dense:
         acc_scratch, ysel_scratch = scratches[idx : idx + 2]
         idx += 2
@@ -163,12 +123,6 @@ def _mf_kernel(
     g = pl.program_id(0)
     ofs = g * B
     W = B + LM_pad
-    # fused layout: per-channel row z = [d (W) | y[:Wq] (Wq)] so ONE
-    # strided roll builds both Hankels; the 127-sample contamination zone
-    # at the seam (columns W-127..W-1 mix d and y) is never read — the
-    # last corr tap block ends at column W-129 and ysel starts at W
-    Wq = 128 * Q + B
-    Wz = W + Wq
     n_k = LM_pad // 128
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1).astype(
         jnp.float32
@@ -176,7 +130,7 @@ def _mf_kernel(
 
     dma = pltpu.make_async_copy(
         data_ref.at[:, pl.ds(ofs, W)],
-        z_scratch.at[:, pl.ds(0, W)] if fused else win_scratch,
+        win_scratch,
         dma_sem,
     )
     dma.start()
@@ -184,7 +138,7 @@ def _mf_kernel(
 
     # per-position normalization for ALL channels at once (VPU, O(log L)):
     # y(p) = rsqrt(r2 - r1^2/L) with r1/r2 the L-sample sliding sums
-    d = z_scratch[:, pl.ds(0, W)] if fused else win_scratch[...]
+    d = win_scratch[...]
     if diag == "nonorm":  # diagnostic: skip the sliding sums (wrong CC)
         y = jnp.ones_like(d)
     else:
@@ -194,10 +148,7 @@ def _mf_kernel(
         y = jnp.where(
             var_l > 1e-10, jax.lax.rsqrt(jnp.abs(var_l) + 1e-30), 0.0
         )
-    if fused:
-        z_scratch[:, pl.ds(W, Wq)] = y[:, :Wq]
-    else:
-        y_scratch[...] = y
+    y_scratch[...] = y
 
     def hankel(row, width):
         # H[r, col] = row[col + 127 - r]: the whole 128-shift Hankel of a
@@ -210,12 +161,8 @@ def _mf_kernel(
         return pltpu.roll(h, width - 127, 1, stride=1, stride_axis=0)
 
     def channel_body(c, acc):
-        if fused:
-            g127 = hankel(z_scratch[pl.ds(c, 1), :], Wz)
-            y127, yofs = g127, W
-        else:
-            g127 = hankel(win_scratch[pl.ds(c, 1), :], W)
-            y127, yofs = hankel(y_scratch[pl.ds(c, 1), :], W), 0
+        g127 = hankel(win_scratch[pl.ds(c, 1), :], W)
+        y127, yofs = hankel(y_scratch[pl.ds(c, 1), :], W), 0
 
         # k loops unrolled at trace time (~10x faster Mosaic compiles,
         # pipelined matmuls) and predicated per channel: only the tap
@@ -280,8 +227,7 @@ def _mf_kernel(
         return acc + jnp.where(mask, ccn, 0.0)
 
     acc0 = jnp.zeros((n_tp_pad, B), jnp.float32)
-    out_ref[...] = jax.lax.fori_loop(0, n_ch, channel_body, acc0,
-                                     unroll=unroll)
+    out_ref[...] = jax.lax.fori_loop(0, n_ch, channel_body, acc0)
 
 
 def _mf_kernel_split(
@@ -295,8 +241,7 @@ def _mf_kernel_split(
     lo_ref,      # (n_ch, n_tp_pad) f32
     data_ref,    # (n_ch_pad, ext) f32 (ANY/HBM)
     out_ref,     # (n_tp_pad, B) f32 block
-    *scratches,  # fused: (z, [acc, ysel,] dma_sem);
-                 # else:  (win, y, [acc, ysel,] dma_sem)
+    *scratches,  # (win, y, [acc, ysel,] dma_sem)
                  # (acc/ysel only in the predicated, non-dense variant)
     L: int,
     LM_pad: int,
@@ -305,10 +250,7 @@ def _mf_kernel_split(
     n_tp_pad: int,
     Q: int,
     inv_l: float,
-    pack_split: bool = False,
     dense: bool = False,
-    fused: bool = False,
-    unroll: int = 1,
     diag: str = "",
 ):
     """Precision-ladder ("high") variant of `_mf_kernel`: every f32 operand
@@ -332,23 +274,15 @@ def _mf_kernel_split(
     high (moveout span ~ the whole LM range, the usual production case)
     this removes the scratch zero/read/write VPU traffic per channel at no
     extra MXU work; for tightly clustered banks the predicated variant
-    skips real work and stays preferable.
-
-    `fused=True` stores each channel's normalization row BEHIND its data
-    row in one scratch (z = [d (W) | y[:Wq]]) so ONE strided roll + ONE
-    bf16 split per channel builds both Hankels; the 127-column seam that
-    mixes d and y is never read (corr taps end at column W-129, ysel
-    starts at W).  Halves the per-channel roll/split op count at ~3% fewer
-    elements — a win iff Mosaic's per-op overhead (not element throughput)
-    dominates the roll cost.
+    skips real work and stays preferable.  Hardware stage attribution
+    (v5e, 128 templates x 30 ch x 1 day, B=8192): corr matmuls ~55% of
+    wall at ~92% of MXU bf16 peak, ysel matmuls ~31% at ~87%, rolls/loop
+    ~14%, sliding sums and the OOB mask unmeasurably small — the kernel
+    is MXU-bound, so variants that only reduce VPU work (fused rolls,
+    packed splits) cannot win and were removed after hardware sweeps.
     """
-    idx = 0
-    if fused:
-        z_scratch = scratches[0]
-        idx = 1
-    else:
-        win_scratch, y_scratch = scratches[:2]
-        idx = 2
+    win_scratch, y_scratch = scratches[:2]
+    idx = 2
     if not dense:
         acc_scratch, ysel_scratch = scratches[idx : idx + 2]
         idx += 2
@@ -356,8 +290,6 @@ def _mf_kernel_split(
     g = pl.program_id(0)
     ofs = g * B
     W = B + LM_pad
-    Wq = 128 * Q + B
-    Wz = W + Wq
     n_k = LM_pad // 128
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1).astype(
         jnp.float32
@@ -365,13 +297,13 @@ def _mf_kernel_split(
 
     dma = pltpu.make_async_copy(
         data_ref.at[:, pl.ds(ofs, W)],
-        z_scratch.at[:, pl.ds(0, W)] if fused else win_scratch,
+        win_scratch,
         dma_sem,
     )
     dma.start()
     dma.wait()
 
-    d = z_scratch[:, pl.ds(0, W)] if fused else win_scratch[...]
+    d = win_scratch[...]
     if diag == "nonorm":  # diagnostic: skip the sliding sums (wrong CC)
         y = jnp.ones_like(d)
     else:
@@ -381,10 +313,7 @@ def _mf_kernel_split(
         y = jnp.where(
             var_l > 1e-10, jax.lax.rsqrt(jnp.abs(var_l) + 1e-30), 0.0
         )
-    if fused:
-        z_scratch[:, pl.ds(W, Wq)] = y[:, :Wq]
-    else:
-        y_scratch[...] = y
+    y_scratch[...] = y
 
     def hankel(row, width):
         # H[r, col] = row[col + 127 - r] via one strided roll
@@ -393,39 +322,15 @@ def _mf_kernel_split(
             return h
         return pltpu.roll(h, width - 127, 1, stride=1, stride_axis=0)
 
-    if pack_split:
-        # split ONCE per block on the (n_ch, W) rows and roll the packed
-        # 32-bit (hi | lo) pairs — the per-channel work drops to a cheap
-        # bit-level unpack of the rolled Hankel
-        if fused:
-            z_packed = _pack_bf16_pair(z_scratch[...])
-        else:
-            d_packed = _pack_bf16_pair(win_scratch[...])
-            y_packed = _pack_bf16_pair(y_scratch[...])
-
     def channel_body(c, acc):
-        if fused:
-            if pack_split:
-                row_z = jax.lax.dynamic_slice_in_dim(z_packed, c, 1, 0)
-                gh, gl = _unpack_bf16_pair(hankel(row_z, Wz))
-            else:
-                gh, gl = _split_bf16(hankel(z_scratch[pl.ds(c, 1), :], Wz))
-            yh, yl, yofs = gh, gl, W
-        elif pack_split:
-            row_d = jax.lax.dynamic_slice_in_dim(d_packed, c, 1, 0)
-            row_y = jax.lax.dynamic_slice_in_dim(y_packed, c, 1, 0)
-            gh, gl = _unpack_bf16_pair(hankel(row_d, W))
-            yh, yl = _unpack_bf16_pair(hankel(row_y, W))
-            yofs = 0
-        else:
-            # the Hankels roll in f32 (Mosaic's strided rotate is 32-bit
-            # only) and split ONCE per channel into bf16 pairs — the
-            # per-tap-block (128, B) slices overlap at 128-lane offsets,
-            # so splitting whole rolled Hankels costs
-            # ~(W/B)/(n_k_live + Q) of per-slice splitting
-            gh, gl = _split_bf16(hankel(win_scratch[pl.ds(c, 1), :], W))
-            yh, yl = _split_bf16(hankel(y_scratch[pl.ds(c, 1), :], W))
-            yofs = 0
+        # the Hankels roll in f32 (Mosaic's strided rotate is 32-bit
+        # only) and split ONCE per channel into bf16 pairs — the
+        # per-tap-block (128, B) slices overlap at 128-lane offsets,
+        # so splitting whole rolled Hankels costs
+        # ~(W/B)/(n_k_live + Q) of per-slice splitting
+        gh, gl = _split_bf16(hankel(win_scratch[pl.ds(c, 1), :], W))
+        yh, yl = _split_bf16(hankel(y_scratch[pl.ds(c, 1), :], W))
+        yofs = 0
 
         dn = (((1,), (0,)), ((), ()))
         mm = functools.partial(
@@ -497,19 +402,18 @@ def _mf_kernel_split(
         return acc + jnp.where(mask, ccn, 0.0)
 
     acc0 = jnp.zeros((n_tp_pad, B), jnp.float32)
-    out_ref[...] = jax.lax.fori_loop(0, n_ch, channel_body, acc0,
-                                     unroll=unroll)
+    out_ref[...] = jax.lax.fori_loop(0, n_ch, channel_body, acc0)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("L", "B", "LM_pad", "n_corr_pad", "n_ch", "interpret",
-                     "pack_split", "dense", "fused", "unroll", "diag"),
+                     "dense", "diag"),
 )
 def _mf_pallas_call_split(
     fh, fl, sel, hi, lo, data_pad, base=None, kb=None,
-    *, L, B, LM_pad, n_corr_pad, n_ch, interpret=False, pack_split=False,
-    dense=False, fused=False, unroll=1, diag="",
+    *, L, B, LM_pad, n_corr_pad, n_ch, interpret=False,
+    dense=False, diag="",
 ):
     if base is None:
         base = jnp.zeros((1, 1), jnp.float32)
@@ -526,16 +430,12 @@ def _mf_pallas_call_split(
     kernel = functools.partial(
         _mf_kernel_split,
         L=L, LM_pad=LM_pad, B=B, n_ch=n_ch, n_tp_pad=n_tp_pad, Q=Q,
-        inv_l=1.0 / L, pack_split=pack_split, dense=dense, fused=fused,
-        unroll=unroll, diag=diag,
+        inv_l=1.0 / L, dense=dense, diag=diag,
     )
-    if fused:
-        scratch = [pltpu.VMEM((n_ch_pad, W + 128 * Q + B), jnp.float32)]
-    else:
-        scratch = [
-            pltpu.VMEM((n_ch_pad, W), jnp.float32),
-            pltpu.VMEM((n_ch_pad, W), jnp.float32),
-        ]
+    scratch = [
+        pltpu.VMEM((n_ch_pad, W), jnp.float32),
+        pltpu.VMEM((n_ch_pad, W), jnp.float32),
+    ]
     if not dense:
         scratch += [
             pltpu.VMEM((n_tp_pad, B), jnp.float32),
@@ -570,13 +470,12 @@ def _mf_pallas_call_split(
 @functools.partial(
     jax.jit,
     static_argnames=("L", "B", "LM_pad", "n_corr_pad", "n_ch", "interpret",
-                     "precision", "dense", "fused", "unroll", "diag"),
+                     "precision", "dense", "diag"),
 )
 def _mf_pallas_call(
     filt, sel, hi, lo, data_pad, base=None, kb=None,
     *, L, B, LM_pad, n_corr_pad, n_ch, interpret=False,
-    precision=jax.lax.Precision.HIGHEST, dense=False, fused=False,
-    unroll=1, diag="",
+    precision=jax.lax.Precision.HIGHEST, dense=False, diag="",
 ):
     if base is None:
         base = jnp.zeros((1, 1), jnp.float32)
@@ -592,18 +491,12 @@ def _mf_pallas_call(
     kernel = functools.partial(
         _mf_kernel,
         L=L, LM_pad=LM_pad, B=B, n_ch=n_ch, n_tp_pad=n_tp_pad, Q=Q,
-        inv_l=1.0 / L, precision=precision, dense=dense, fused=fused,
-        unroll=unroll, diag=diag,
+        inv_l=1.0 / L, precision=precision, dense=dense, diag=diag,
     )
-    if fused:
-        scratch = [
-            pltpu.VMEM((data_pad.shape[0], W + 128 * Q + B), jnp.float32)
-        ]
-    else:
-        scratch = [
-            pltpu.VMEM((data_pad.shape[0], W), jnp.float32),
-            pltpu.VMEM((data_pad.shape[0], W), jnp.float32),
-        ]
+    scratch = [
+        pltpu.VMEM((data_pad.shape[0], W), jnp.float32),
+        pltpu.VMEM((data_pad.shape[0], W), jnp.float32),
+    ]
     if not dense:
         scratch += [
             pltpu.VMEM((n_tp_pad, B), jnp.float32),
@@ -643,10 +536,9 @@ class PallasMatchedFilterPlan:
     """
 
     def __init__(self, templates, moveouts, weights, n_samp: int,
-                 lag_block: int = 4096, interpret: bool = False,
+                 lag_block: int = 8192, interpret: bool = False,
                  precision: str = "highest", pad_left: int = None,
-                 max_moveout: int = None, pack_split: bool = False,
-                 dense: bool = None, fused: bool = None, unroll: int = 1,
+                 max_moveout: int = None, dense: bool = None,
                  diag: str = ""):
         # note: template_chunk=128 in callers balances VMEM vs MXU occupancy
         templates = np.asarray(templates, np.float32)
@@ -657,18 +549,6 @@ class PallasMatchedFilterPlan:
         self.n_tp, self.n_ch, self.L = n_tp, n_ch, L
         self.n_samp = n_samp
         self.interpret = interpret
-        # 'high' only: roll packed (hi|lo) bf16 pairs instead of rolling
-        # f32 Hankels and splitting each per channel (same numerics)
-        self.pack_split = pack_split
-        # fused: one concatenated [data | normalization] Hankel roll per
-        # channel (exact same numerics); opt-in until hardware-validated,
-        # or via SEISMIC_BPMF_FUSED=1 once `bench.py --check` passes with it
-        if fused is None:
-            fused = os.environ.get("SEISMIC_BPMF_FUSED", "") == "1"
-        self.fused = bool(fused)
-        # unroll: channel-loop unroll factor (lets Mosaic overlap channel
-        # c+1's VPU Hankel build with channel c's MXU passes)
-        self.unroll = int(unroll)
         # diag: stage-removal diagnostics for hardware cost attribution
         # ("noroll"/"nonorm"/"nocorr"/"noysel"/"nomask" — wrong CC values,
         # never for production)
@@ -760,23 +640,21 @@ class PallasMatchedFilterPlan:
         kb[:, 3] = np.clip(mv_hi_c // 128 + 1, 0, Q)
         kb[empty_c] = 0
         self.kb = jnp.asarray(kb)
-        # 'high' only: when most tap blocks are live anyway, the
-        # unpredicated dense kernel (functional accumulation, no
-        # accumulator scratch zero/read/write per channel) can win;
-        # tightly clustered banks keep the predicated skip.  Off by
-        # default until hardware-validated (interpret-mode tests cannot
-        # catch Mosaic lowering issues); opt in per plan or via
-        # SEISMIC_BPMF_DENSE=1 once `bench.py --check` passes with it.
+        # when most tap blocks are live anyway, the unpredicated dense
+        # kernel (functional accumulation, no accumulator scratch
+        # zero/read/write per channel) wins: hardware-measured +16%
+        # (5.2 vs 4.45 TMAC/s on v5e, 128 templates x 1 day, B=8192),
+        # parity-gated on hardware at both precisions
+        # (scripts/validate_dense.py, bench.py --check).  Tightly
+        # clustered banks keep the predicated skip, which drops real
+        # MXU work.  Default = live-block-fraction heuristic.
         if dense is None:
-            if os.environ.get("SEISMIC_BPMF_DENSE", "") == "1":
-                live = float(
-                    np.clip(kb[:, 1] - kb[:, 0], 0, None).sum()
-                    + np.clip(kb[:, 3] - kb[:, 2], 0, None).sum()
-                )
-                total = float(n_ch * (n_k + Q))
-                dense = total > 0 and live / total >= 0.75
-            else:
-                dense = False
+            live = float(
+                np.clip(kb[:, 1] - kb[:, 0], 0, None).sum()
+                + np.clip(kb[:, 3] - kb[:, 2], 0, None).sum()
+            )
+            total = float(n_ch * (n_k + Q))
+            dense = total > 0 and live / total >= 0.75
         self.dense = bool(dense)
 
         n_samp_eff = n_samp + pad_left
@@ -822,9 +700,8 @@ class PallasMatchedFilterPlan:
                 data_pad, kb=self.kb,
                 L=self.L, B=self.B, LM_pad=self.LM_pad,
                 n_corr_pad=self.n_corr_pad, n_ch=self.n_ch,
-                interpret=self.interpret, pack_split=self.pack_split,
-                dense=self.dense, fused=self.fused, unroll=self.unroll,
-                diag=self.diag,
+                interpret=self.interpret,
+                dense=self.dense, diag=self.diag,
             )
         else:
             out = _mf_pallas_call(
@@ -832,8 +709,7 @@ class PallasMatchedFilterPlan:
                 L=self.L, B=self.B, LM_pad=self.LM_pad,
                 n_corr_pad=self.n_corr_pad, n_ch=self.n_ch,
                 interpret=self.interpret, precision=self.precision,
-                dense=self.dense, fused=self.fused, unroll=self.unroll,
-                diag=self.diag,
+                dense=self.dense, diag=self.diag,
             )
         return out[: self.n_tp, : self.n_corr_unit]
 
@@ -844,7 +720,7 @@ def matched_filter_pallas(
     weights,
     data,
     step: int = 1,
-    lag_block: int = 4096,
+    lag_block: int = 8192,
     template_chunk: int = 128,
     interpret: bool = False,
     precision: str = "highest",

@@ -420,12 +420,11 @@ def matched_filter_sharded_pallas(
             L=plan.L, B=B, LM_pad=LM_pad, n_corr_pad=chunk,
             n_ch=plan.n_ch, interpret=interpret,
         )
-        common.update(dense=plan.dense, fused=plan.fused,
-                      unroll=plan.unroll, diag=plan.diag)
+        common.update(dense=plan.dense, diag=plan.diag)
         if split:
             return pmf._mf_pallas_call_split(
                 fa_l, fb_l, sel_l, hi_l, lo_l, data_ext, base, kb=kb_l,
-                pack_split=plan.pack_split, **common,
+                **common,
             )
         return pmf._mf_pallas_call(
             fa_l, sel_l, hi_l, lo_l, data_ext, base, kb=kb_l,

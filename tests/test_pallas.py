@@ -65,56 +65,6 @@ class TestPallasMatchedFilter:
             got = np.asarray(plan(plan.pad_data(data)))
             np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
-    def test_fused_and_unroll_match_baseline(self, rng):
-        """'fused' (one concatenated data|normalization Hankel roll per
-        channel) and channel-loop unrolling are exact reformulations: they
-        must match the baseline kernel bit-for-bit at both precisions, in
-        every dense/pack combination."""
-        from seismic_bpmf_tpu.ops.pallas_mf import PallasMatchedFilterPlan
-
-        n_tp, n_sta, n_comp, L, n_samp = 5, 3, 2, 40, 3000
-        data = rng.normal(size=(n_sta, n_comp, n_samp)).astype(np.float32)
-        tp = rng.normal(size=(n_tp, n_sta, n_comp, L)).astype(np.float32)
-        mv = rng.integers(-30, 200, size=(n_tp, n_sta, n_comp)).astype(
-            np.int32
-        )
-        w = rng.uniform(0.1, 1, size=(n_tp, n_sta, n_comp)).astype(
-            np.float32
-        )
-        w /= w.sum(axis=(1, 2), keepdims=True)
-        w[0, 1] = 0.0
-        want = ref.matched_filter(tp, mv, w, data)
-        for prec, tol in (("highest", 2e-6), ("high", 5e-6)):
-            # two baselines: dense and predicated kernels associate the
-            # per-block sums differently (summation-order noise, covered
-            # by test_dense_high_matches_predicated), so bit-identity of
-            # fused/unroll/pack holds only within the same dense setting
-            bases = {}
-            for dense in (False, True):
-                plan = PallasMatchedFilterPlan(
-                    tp, mv, w, n_samp, lag_block=512, precision=prec,
-                    interpret=True, dense=dense,
-                )
-                bases[dense] = np.asarray(plan(plan.pad_data(data)))
-                np.testing.assert_allclose(bases[dense], want, atol=tol)
-            combos = [
-                dict(fused=True),
-                dict(fused=True, dense=True),
-                dict(fused=True, unroll=2),
-                dict(unroll=3),
-            ]
-            if prec == "high":
-                combos.append(dict(fused=True, pack_split=True))
-            for kw in combos:
-                plan = PallasMatchedFilterPlan(
-                    tp, mv, w, n_samp, lag_block=512, precision=prec,
-                    interpret=True, **kw,
-                )
-                got = np.asarray(plan(plan.pad_data(data)))
-                np.testing.assert_array_equal(
-                    got, bases[kw.get("dense", False)], err_msg=str(kw)
-                )
-
     def test_diag_modes_run(self, rng):
         """Stage-removal diagnostics (hardware cost attribution) produce
         finite output of the right shape; values are intentionally wrong."""
@@ -128,7 +78,7 @@ class TestPallasMatchedFilter:
         for diag in ("noroll", "nonorm", "nocorr", "noysel", "nomask"):
             plan = PallasMatchedFilterPlan(
                 tp, mv, w, n_samp, lag_block=512, precision="high",
-                interpret=True, fused=True, diag=diag,
+                interpret=True, diag=diag,
             )
             out = np.asarray(plan(plan.pad_data(data)))
             assert out.shape == (n_tp, n_samp - L + 1)
@@ -239,24 +189,6 @@ class TestPallasBeamform:
         v2, i2 = plan.call_folded_chunked(g, 3)
         np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
-
-    def test_unroll_matches_baseline(self, rng):
-        """Station-phase-loop unrolling is an exact reformulation: beam and
-        argmax must match the baseline bit-for-bit."""
-        from seismic_bpmf_tpu.ops.pallas_bp import PallasBeamformPlan
-
-        feats, mv, w_ph, w_src = self._problem(rng)
-        n_samp = feats.shape[-1]
-        outs = {}
-        for unroll in (1, 3):
-            plan = PallasBeamformPlan(
-                mv, w_ph, w_src, n_samp, interpret=True, precision="high",
-                unroll=unroll,
-            )
-            v, i = plan(feats)
-            outs[unroll] = (np.asarray(v), np.asarray(i))
-        np.testing.assert_array_equal(outs[3][0], outs[1][0])
-        np.testing.assert_array_equal(outs[3][1], outs[1][1])
 
     def test_diag_modes_run(self, rng):
         """BP stage-removal diagnostics compile and produce finite output

@@ -133,25 +133,6 @@ class TestMatchedFilterShardedPallas:
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
-    def test_fused_env_optin_sharded(self, rng, monkeypatch):
-        """SEISMIC_BPMF_FUSED=1 turns on the fused data|normalization
-        Hankel kernel inside the sharded wrapper too; results must stay
-        at oracle tolerance."""
-        from seismic_bpmf_tpu.ops.reference import matched_filter as mf_ref
-        from seismic_bpmf_tpu.parallel import matched_filter_sharded_pallas
-
-        monkeypatch.setenv("SEISMIC_BPMF_FUSED", "1")
-        tp, mv, w, data = _mf_problem(rng, n_samp=2048)
-        want = mf_ref(tp, mv, w, data)
-        mesh = make_mesh({"tp": 2, "time": 4})
-        got = np.asarray(
-            matched_filter_sharded_pallas(
-                tp, mv, w, data, mesh, lag_block=128, interpret=True,
-                precision="high",
-            )
-        )
-        np.testing.assert_allclose(got, want, atol=2e-5)
-
     def test_precision_ladder_and_negative_moveouts(self, rng):
         """'high' (bf16-split, 3-pass) sharded scan stays within ~2e-5 of
         the oracle, with negative template moveouts exercising the
