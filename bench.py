@@ -448,6 +448,9 @@ def main():
     ap.add_argument("--bp", action="store_true",
                     help="beamform throughput instead of matched filter")
     ap.add_argument("--n-src", type=int, default=100_000)
+    ap.add_argument("--n-sta", type=int, default=32,
+                    help="BP: station count (BASELINE dense-array config "
+                         "uses 128)")
     ap.add_argument("--precision", default=None,
                     choices=["highest", "high", "default"],
                     help="kernel precision (default: 'high' for the MF "
@@ -483,7 +486,7 @@ def main():
         sys.exit(0 if ok else 1)
 
     if args.bp:
-        print(json.dumps(bench_bp(n_src=args.n_src,
+        print(json.dumps(bench_bp(n_src=args.n_src, n_sta=args.n_sta,
                                   precision=args.precision or "highest",
                                   budget_s=args.budget_s)))
         return
