@@ -146,6 +146,45 @@ class MatchedFilter:
             return jax.default_backend() not in ("cpu",)
         return False
 
+    @staticmethod
+    def _device_memory_gb() -> float:
+        """Per-device HBM capacity in GB, for the auto template-chunk
+        bound.  Falls back to 16 GB (v5e) when the backend does not
+        expose memory stats (e.g. a tunneled accelerator)."""
+        import jax
+
+        try:
+            stats = jax.devices()[0].memory_stats() or {}
+            limit = stats.get("bytes_limit", 0)
+            if limit:
+                return limit / 1024.0**3
+        except Exception:
+            pass
+        return 16.0
+
+    def _extraction_chunk(self, n_templates: int) -> int:
+        """Templates whose CC series may be device-resident at once.
+
+        `max_memory_gb` keeps the reference semantics (GB divided by the
+        per-template CC-row size, BPMF/similarity_search.py:726-807).
+        When unset on an accelerator, auto-bound instead: the batched
+        threshold/top-k extraction program holds ~3 extra f32 copies of
+        the chunk's CC stack as HLO temps (pad + layout copy + windowed
+        reduce_sum) on top of the stack itself — an unbounded
+        1024-template day (1024 x 2.16 M f32 = 8.2 GB/copy) blows a
+        16 GB-HBM chip.  Budget a quarter of device memory for the stack
+        so stack + temps stay under ~the free half; at v5e (15.75 GB)
+        this lands on ~120-template chunks, the measured throughput
+        optimum (BENCHMARKS.md round-4 extraction rows)."""
+        row_gb = max(self.memory_cc_time_series_gb, 1e-9)
+        if self.max_memory_gb is not None:
+            return max(1, int(self.max_memory_gb / row_gb))
+        if self._use_pallas():
+            return max(
+                1, int(self._device_memory_gb() / 4.0 / (4.0 * row_gb))
+            )
+        return n_templates
+
     # ------------------------------------------------------------------
     @property
     def components(self):
@@ -811,13 +850,7 @@ class MatchedFilter:
         self.extract_peak_amplitudes = extract_peak_amplitudes
 
         tg = self.template_group
-        if self.max_memory_gb is not None:
-            n_chunk = max(
-                1, int(self.max_memory_gb / max(self.memory_cc_time_series_gb,
-                                                1e-9))
-            )
-        else:
-            n_chunk = tg.n_templates
+        n_chunk = self._extraction_chunk(tg.n_templates)
         detections: Dict = {}
         t_mf = t_det = 0.0
 

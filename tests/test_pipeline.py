@@ -308,6 +308,47 @@ class TestBeamRelocation:
         )
 
 
+class TestExtractionChunkBound:
+    """`_extraction_chunk`: a user `max_memory_gb` keeps the reference
+    semantics (GB / per-row CC size, BPMF/similarity_search.py:726-807);
+    unset on an accelerator it auto-bounds so the batched extraction's
+    ~3 HLO-temp copies of the CC stack fit in HBM (a 1024-template
+    25 Hz day OOMed a 16 GB chip unchunked)."""
+
+    def _mf(self, **kw):
+        from types import SimpleNamespace
+
+        mf = MatchedFilter(SimpleNamespace(n_templates=1024), **kw)
+        # a full 25 Hz day at step 1: 2.16 M samples x 4 B per CC row
+        mf.data = SimpleNamespace(duration=86400.0, sr=25.0)
+        return mf
+
+    def test_user_bound_keeps_reference_semantics(self):
+        mf = self._mf(max_memory_gb=1.0, engine="pallas")
+        assert mf._extraction_chunk(1024) == int(
+            1.0 / mf.memory_cc_time_series_gb
+        )
+
+    def test_host_path_unbounded(self):
+        assert self._mf(engine="xla")._extraction_chunk(1024) == 1024
+
+    def test_device_auto_bound_fits_hbm(self, monkeypatch):
+        mf = self._mf(engine="pallas")
+        monkeypatch.setattr(
+            MatchedFilter, "_device_memory_gb",
+            staticmethod(lambda: 16.0),
+        )
+        n = mf._extraction_chunk(1024)
+        row = mf.memory_cc_time_series_gb
+        assert 1 <= n < 1024
+        # stack + temps (~4x the stack) stay inside a quarter of HBM;
+        # one more template per chunk would cross the budget
+        assert 4.0 * n * row <= 16.0 / 4.0 < 4.0 * (n + 1) * row
+
+    def test_device_memory_probe_positive(self):
+        assert MatchedFilter._device_memory_gb() > 0
+
+
 class TestDeviceDetectionPath:
     def test_pallas_engine_matches_host_path(self, mini_world,
                                              template_group):
