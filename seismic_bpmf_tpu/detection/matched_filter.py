@@ -100,12 +100,18 @@ class MatchedFilter:
         key = (tuple(run.tolist()), n_samp, self.step, self.precision,
                content)
         plans = getattr(self, "_pallas_plans", {})
+        # ALL plans — across template chunks AND across the extraction
+        # loop's calls — share one padded data geometry derived from the
+        # FULL bank's moveout bounds, so each day is padded + uploaded
+        # ONCE (a 1024-template campaign otherwise re-uploads the ~260 MB
+        # day once per ~120-template extraction chunk: 9x the transfer,
+        # measured ~39 s/day of the production loop)
+        mv_bank = np.asarray(
+            self.template_group.moveouts_arr
+        ).reshape(self.template_group.n_templates, -1)
+        pad_left = int(-min(0, mv_bank.min(initial=0)))
+        max_mv = int(mv_bank.max(initial=0))
         if key not in plans:
-            # all chunk plans share one padded data geometry (global
-            # moveout bounds) so the day is padded + uploaded ONCE
-            mv_all = np.asarray(moveouts).reshape(len(templates), -1)
-            pad_left = int(-min(0, mv_all.min(initial=0)))
-            max_mv = int(mv_all.max(initial=0))
             plans[key] = [
                 PallasMatchedFilterPlan(
                     templates[i : i + template_chunk],
@@ -119,11 +125,24 @@ class MatchedFilter:
                 for i in range(0, len(templates), template_chunk)
             ]
             # bound device-resident filter memory across a campaign whose
-            # weights drift day to day: keep the few most recent plan sets
-            while len(plans) > 4:
+            # weights drift day to day: keep ~2 full bank sweeps' worth of
+            # plan sets (the extraction loop stripes one sweep over
+            # ceil(n_templates/len(templates)) keys)
+            n_keys = max(
+                4,
+                2 * -(-self.template_group.n_templates
+                      // max(1, len(templates))),
+            )
+            while len(plans) > n_keys:
                 plans.pop(next(iter(plans)))
             self._pallas_plans = plans
-        data_pad = plans[key][0].pad_data(self.data_arr)
+        pad_key = (id(self.data_arr), n_samp,
+                   plans[key][0].pad_left, plans[key][0].ext)
+        if getattr(self, "_data_pad_key", None) == pad_key:
+            data_pad = self._data_pad
+        else:
+            data_pad = plans[key][0].pad_data(self.data_arr)
+            self._data_pad, self._data_pad_key = data_pad, pad_key
         outs = []
         for plan in plans[key]:
             out = plan(data_pad)
@@ -212,6 +231,9 @@ class MatchedFilter:
         """Attach continuous data; RMS-normalize channels (reference:
         BPMF/similarity_search.py:163-185)."""
         self.data = data
+        # a new day invalidates the cached padded device upload (id()
+        # alone could be reused by the allocator)
+        self._data_pad, self._data_pad_key = None, None
         self.data_arr = data.get_np_array(
             self.stations, components=self.components
         ).astype(np.float32)
