@@ -106,11 +106,7 @@ class MatchedFilter:
         # ONCE (a 1024-template campaign otherwise re-uploads the ~260 MB
         # day once per ~120-template extraction chunk: 9x the transfer,
         # measured ~39 s/day of the production loop)
-        mv_bank = np.asarray(
-            self.template_group.moveouts_arr
-        ).reshape(self.template_group.n_templates, -1)
-        pad_left = int(-min(0, mv_bank.min(initial=0)))
-        max_mv = int(mv_bank.max(initial=0))
+        pad_left, max_mv = self._bank_pad_overrides()
         if key not in plans:
             plans[key] = [
                 PallasMatchedFilterPlan(
@@ -153,6 +149,17 @@ class MatchedFilter:
                 ]
             outs.append(out)
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
+    def _bank_pad_overrides(self):
+        """(pad_left, max_moveout) of the FULL bank — every template-chunk
+        plan is built with these overrides so they all consume one padded
+        data layout."""
+        mv_bank = np.asarray(
+            self.template_group.moveouts_arr
+        ).reshape(self.template_group.n_templates, -1)
+        pad_left = int(-min(0, mv_bank.min(initial=0)))
+        max_mv = int(mv_bank.max(initial=0))
+        return pad_left, max_mv
 
     def _use_pallas(self) -> bool:
         """The fused Pallas kernel is the default on accelerators; the
@@ -227,21 +234,79 @@ class MatchedFilter:
         return nbytes / 1024.0**3
 
     # ------------------------------------------------------------------
+    def _prepare_data_arr(self, data):
+        """Host-side of `set_data`: channel extraction + RMS normalization
+        (reference: BPMF/similarity_search.py:163-185).  Returns
+        (data_arr, data_norm_or_None); touches no engine state, so it is
+        safe on a prefetch thread."""
+        arr = data.get_np_array(
+            self.stations, components=self.components
+        ).astype(np.float32)
+        norm = None
+        if self.normalize:
+            norm = np.std(arr, axis=-1, keepdims=True)
+            norm[norm == 0.0] = 1.0
+            arr = arr / norm
+            norm = norm.squeeze(-1)
+        return arr, norm
+
+    def preupload_day(self, data):
+        """Prepare `data` for a later `set_data(data)` call: normalize on
+        the calling (prefetch) thread and START the padded device upload,
+        so the ~260 MB/day transfer (~7 s over a tunneled link, measured)
+        overlaps the previous day's scan instead of stalling this day's
+        first chunk.  Single-slot: one day may be in flight at a time
+        (`workflow.scan_days` prefetches exactly one)."""
+        import weakref
+
+        arr, norm = self._prepare_data_arr(data)
+        bundle = {"arr": arr, "norm": norm, "ref": weakref.ref(data)}
+        if self.mesh is None and self._use_pallas():
+            tg = self.template_group
+            n_samp = int(arr.shape[-1])
+            L = int(tg.waveforms_arr.shape[-1])
+            pad_left, max_mv = self._bank_pad_overrides()
+            from ..ops.pallas_mf import (
+                PallasMatchedFilterPlan, pad_day_data,
+            )
+
+            pad_left, ext = PallasMatchedFilterPlan.data_layout(
+                n_samp, L, pad_left, max_mv
+            )
+            bundle["pad"] = (
+                pad_day_data(arr, arr.shape[0] * arr.shape[1], n_samp,
+                             pad_left, ext),
+                (id(arr), n_samp, pad_left, ext),
+            )
+        pre = getattr(self, "_preloaded", None)
+        if not isinstance(pre, dict):
+            pre = {}
+        # drop dead entries (their Data was collected unconsumed)
+        pre = {k: b for k, b in pre.items() if b["ref"]() is not None}
+        pre[id(data)] = bundle
+        self._preloaded = pre
+        return data
+
     def set_data(self, data):
         """Attach continuous data; RMS-normalize channels (reference:
-        BPMF/similarity_search.py:163-185)."""
+        BPMF/similarity_search.py:163-185).  Consumes a pending
+        `preupload_day(data)` bundle when one matches."""
         self.data = data
         # a new day invalidates the cached padded device upload (id()
         # alone could be reused by the allocator)
         self._data_pad, self._data_pad_key = None, None
-        self.data_arr = data.get_np_array(
-            self.stations, components=self.components
-        ).astype(np.float32)
-        if self.normalize:
-            norm = np.std(self.data_arr, axis=-1, keepdims=True)
-            norm[norm == 0.0] = 1.0
-            self.data_norm = norm.squeeze(-1)
-            self.data_arr = self.data_arr / norm
+        pre = getattr(self, "_preloaded", None)
+        bundle = pre.pop(id(data), None) if isinstance(pre, dict) else None
+        if bundle is not None and bundle["ref"]() is data:
+            self.data_arr = bundle["arr"]
+            if bundle["norm"] is not None:
+                self.data_norm = bundle["norm"]
+            if "pad" in bundle:
+                self._data_pad, self._data_pad_key = bundle["pad"]
+            return
+        self.data_arr, norm = self._prepare_data_arr(data)
+        if norm is not None:
+            self.data_norm = norm
 
     # ------------------------------------------------------------------
     # channel-weight policies (reference: similarity_search.py:288-474)

@@ -527,6 +527,33 @@ def _mf_pallas_call(
     )(base, kb, filt, sel, hi, lo, data_pad)
 
 
+@functools.partial(jax.jit, static_argnames=("n_ch_pad", "ext", "pad_left"))
+def _pad_day_device(data, n_ch_pad: int, ext: int, pad_left: int):
+    n_ch, n_samp = data.shape
+    hi_clip = min(ext, pad_left + n_samp)
+    out = jnp.zeros((n_ch_pad, ext), jnp.float32)
+    return jax.lax.dynamic_update_slice(
+        out, data[:, : hi_clip - pad_left], (0, pad_left)
+    )
+
+
+def pad_day_data(data, n_ch: int, n_samp: int, pad_left: int,
+                 ext: int) -> jnp.ndarray:
+    """Host data (n_sta, n_comp, n_samp) -> padded device layout.
+
+    Uploads the RAW (n_ch, n_samp) array and pads on device: over a
+    tunneled accelerator link (~40 MB/s measured) the zero margin would
+    otherwise cost extra transfer, and the host-side 278 MB zero+copy is
+    skipped entirely."""
+    data = np.ascontiguousarray(
+        np.asarray(data, np.float32).reshape(n_ch, n_samp)
+    )
+    return _pad_day_device(
+        jnp.asarray(data), n_ch_pad=_round_up(n_ch, 8), ext=int(ext),
+        pad_left=int(pad_left),
+    )
+
+
 class PallasMatchedFilterPlan:
     """Device-resident matched-filter plan: filters built and transferred
     once, then applied to any number of (device-resident) data windows.
@@ -581,10 +608,8 @@ class PallasMatchedFilterPlan:
 
         self.n_tp_pad = n_tp_pad = _round_up(max(n_tp, 8), 8)
         self.B = B = lag_block
-        LM_pad = _round_up(L + max_mv, 128)
+        LM_pad = self._lm_pad(L, max_mv)
         self.Q = Q = max_mv // 128 + 1
-        if 128 * Q > LM_pad:  # short templates: keep the y-Hankel in range
-            LM_pad += 128
         self.LM_pad = LM_pad
         self.n_corr_unit = n_corr_unit
         self.n_corr_pad = _round_up(n_corr_unit, B)
@@ -681,16 +706,33 @@ class PallasMatchedFilterPlan:
     def ext(self) -> int:
         return self.n_corr_pad + self.LM_pad
 
+    @staticmethod
+    def _lm_pad(L: int, max_mv: int) -> int:
+        """Tap-axis padded length shared by the filter build and the data
+        layout (`max_mv` already includes `pad_left`)."""
+        LM_pad = _round_up(L + max_mv, 128)
+        Q = max_mv // 128 + 1
+        if 128 * Q > LM_pad:  # short templates: keep the y-Hankel in range
+            LM_pad += 128
+        return LM_pad
+
+    @classmethod
+    def data_layout(
+        cls, n_samp: int, L: int, pad_left: int, max_moveout: int,
+        lag_block: int = 8192,
+    ) -> tuple:
+        """(pad_left, ext) of the padded data layout a plan built with the
+        same (n_samp, L, pad_left, max_moveout, lag_block) will consume —
+        lets a prefetch thread pad + upload a day BEFORE any plan exists."""
+        max_mv = int(max_moveout) + int(pad_left)
+        LM_pad = cls._lm_pad(int(L), max_mv)
+        n_corr_pad = _round_up(int(n_samp) - int(L) + 1, int(lag_block))
+        return int(pad_left), n_corr_pad + LM_pad
+
     def pad_data(self, data) -> jnp.ndarray:
         """Host data (n_sta, n_comp, n_samp) -> padded device layout."""
-        data = np.asarray(data, np.float32).reshape(self.n_ch, self.n_samp)
-        n_ch_pad = _round_up(self.n_ch, 8)
-        data_pad = np.zeros((n_ch_pad, self.ext), np.float32)
-        hi_clip = min(self.ext, self.pad_left + self.n_samp)
-        data_pad[: self.n_ch, self.pad_left : hi_clip] = (
-            data[:, : hi_clip - self.pad_left]
-        )
-        return jnp.asarray(data_pad)
+        return pad_day_data(data, self.n_ch, self.n_samp, self.pad_left,
+                            self.ext)
 
     def __call__(self, data_pad: jnp.ndarray) -> jnp.ndarray:
         """(padded, device-resident) data -> (n_tp, n_corr) device CC."""

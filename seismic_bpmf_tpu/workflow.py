@@ -355,7 +355,7 @@ def scan_days(
     results: Dict = {}
     todo = [d for d in dates if str(d) not in done]
     pool = ThreadPoolExecutor(max_workers=1)
-    pending = pool.submit(make_data, todo[0]) if todo else None
+    fetch = make_data
 
     if stage == "mf":
         day_kwargs = {
@@ -367,6 +367,12 @@ def scan_days(
         mesh = stage_kwargs.pop("mesh", None)
         engine = MatchedFilter(template_group, cfg=cfg, mesh=mesh,
                                **stage_kwargs)
+
+        def fetch(date):
+            # normalize AND start the padded device upload on this
+            # prefetch thread: the ~260 MB/day transfer then overlaps the
+            # previous day's scan (set_data consumes the bundle)
+            return engine.preupload_day(make_data(date))
 
         def run_day(date, data):
             dets = matched_filter_day(
@@ -389,10 +395,11 @@ def scan_days(
             bf_holder["bf"] = bf
             return dets, len(dets)
 
+    pending = pool.submit(fetch, todo[0]) if todo else None
     for i, date in enumerate(todo):
         key = str(date)
         data = pending.result()
-        pending = (pool.submit(make_data, todo[i + 1])
+        pending = (pool.submit(fetch, todo[i + 1])
                    if i + 1 < len(todo) else None)
         detections, n = run_day(date, data)
         results[key] = detections

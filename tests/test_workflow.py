@@ -333,3 +333,83 @@ def test_scan_days_reuses_template_plans(world, tmp_path, monkeypatch):
     assert len(builds) == n_after_first  # identical content: cache hit
     mf._pallas_scan(run, tpl, mv, we * 0.5)
     assert len(builds) > n_after_first  # changed weights: rebuild
+
+
+def test_preupload_day_parity(world, monkeypatch):
+    """`preupload_day` + `set_data` must (a) hand the engine the SAME
+    normalized array and padded upload a plain `set_data` would build, and
+    (b) actually be consumed — the scan must not re-pad the day."""
+    from seismic_bpmf_tpu.detection.matched_filter import MatchedFilter
+    import seismic_bpmf_tpu.ops.pallas_mf as pmf
+
+    w = world
+    bf, detections = workflow.backproject_day(
+        w["data"], w["net"], w["tts"], cfg=w["cfg"],
+        minimum_interevent_time=10.0, threshold_window_sec=150.0,
+        num_closest_stations=N_STA,
+    )
+    tg = workflow.build_templates(
+        detections, w["net"], cfg=w["cfg"], data_reader=data_reader_hdf5,
+    )
+    kw = dict(cfg=w["cfg"], min_channels=3, min_stations=2, max_kurto=1e6,
+              engine="pallas")
+
+    mf1 = MatchedFilter(tg, **kw)
+    mf1.set_data(w["data"])
+    mf1.set_weights_channels(method="simple", normalize=True)
+    d1 = mf1.run_matched_filter_search(5.0, threshold_window_dur=150.0)
+
+    mf2 = MatchedFilter(tg, **kw)
+    mf2.preupload_day(w["data"])
+    (bundle,) = mf2._preloaded.values()
+    assert "pad" in bundle  # pallas engine: padded upload started
+    np.testing.assert_allclose(bundle["arr"], mf1.data_arr, rtol=1e-6)
+    mf2.set_data(w["data"])
+    assert mf2._data_pad is not None and not mf2._preloaded
+    np.testing.assert_allclose(mf2.data_norm, mf1.data_norm, rtol=1e-6)
+    mf2.set_weights_channels(method="simple", normalize=True)
+
+    def no_repad(self, data):  # consumed bundle => never called
+        raise AssertionError("scan re-padded a preuploaded day")
+
+    monkeypatch.setattr(pmf.PallasMatchedFilterPlan, "pad_data", no_repad)
+    d2 = mf2.run_matched_filter_search(5.0, threshold_window_dur=150.0)
+
+    assert set(d1) == set(d2)
+    for tid in d1:
+        assert len(d1[tid]) == len(d2[tid])
+        for e1, e2 in zip(d1[tid], d2[tid]):
+            assert e1.origin_time == e2.origin_time
+            assert np.isclose(e1.aux_data["cc"], e2.aux_data["cc"],
+                              rtol=1e-5)
+
+
+def test_data_layout_matches_plan(world):
+    """`PallasMatchedFilterPlan.data_layout` must predict the exact padded
+    geometry of a plan built with the same overrides, and the module-level
+    `pad_day_data` must equal the plan's own `pad_data`."""
+    from seismic_bpmf_tpu.ops.pallas_mf import (
+        PallasMatchedFilterPlan, pad_day_data,
+    )
+
+    rng = np.random.default_rng(3)
+    n_tp, n_sta, n_comp, L, n_samp = 4, 3, 2, 96, 4096
+    tp = rng.normal(size=(n_tp, n_sta, n_comp, L)).astype(np.float32)
+    mv = rng.integers(-40, 300, size=(n_tp, n_sta, n_comp)).astype(np.int64)
+    wgt = np.full((n_tp, n_sta, n_comp), 1.0 / 6, np.float32)
+    pad_left = int(-min(0, mv.min()))
+    max_mv = int(mv.max())
+    plan = PallasMatchedFilterPlan(
+        tp, mv, wgt, n_samp, interpret=True, pad_left=pad_left,
+        max_moveout=max_mv,
+    )
+    got_pl, got_ext = PallasMatchedFilterPlan.data_layout(
+        n_samp, L, pad_left, max_mv
+    )
+    assert (got_pl, got_ext) == (plan.pad_left, plan.ext)
+    data = rng.normal(size=(n_sta, n_comp, n_samp)).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(plan.pad_data(data)),
+        np.asarray(pad_day_data(data, n_sta * n_comp, n_samp, got_pl,
+                                got_ext)),
+    )
