@@ -93,13 +93,12 @@ class Event:
                 "Event moveouts should be seconds, got an integer array — "
                 "if these are sample counts, pass moveouts / sampling_rate"
             )
-        # one column per phase, indexed by station (the reference's
-        # moveout-table schema: columns 'moveouts_<PH>')
-        self.moveouts = pd.DataFrame(
-            mv,
-            index=pd.Index(self.stations, name="stations"),
-            columns=[f"moveouts_{p.upper()}" for p in self.phases],
-        )
+        # the moveout table is built lazily (see the `moveouts` property):
+        # a 1024-template day produces thousands of detection Events whose
+        # table is never read (measured ~1.1 ms/Event, pandas-dominated),
+        # so only the raw array is stored here
+        self._moveouts_raw = mv
+        self._moveouts_df = None
         if id is None:
             ts = pd.Timestamp(self.origin_time)
             self.id = ts.strftime("%Y%m%d_%H%M%S.%f")
@@ -111,6 +110,23 @@ class Event:
     # ------------------------------------------------------------------
     # properties
     # ------------------------------------------------------------------
+    @property
+    def moveouts(self) -> pd.DataFrame:
+        """One column per phase, indexed by station (the reference's
+        moveout-table schema: columns 'moveouts_<PH>').  Constructed on
+        first access; in-place `.loc` edits persist."""
+        if self._moveouts_df is None:
+            self._moveouts_df = pd.DataFrame(
+                self._moveouts_raw,
+                index=pd.Index(self.stations, name="stations"),
+                columns=[f"moveouts_{p.upper()}" for p in self.phases],
+            )
+        return self._moveouts_df
+
+    @moveouts.setter
+    def moveouts(self, value):
+        self._moveouts_df = value
+
     @property
     def origin_time_epoch(self) -> float:
         return epoch_from_utc(self.origin_time)

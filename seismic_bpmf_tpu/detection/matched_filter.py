@@ -763,7 +763,15 @@ class MatchedFilter:
         sr = self.data.sr
         template = tg.templates[tt]
         stations = list(self.stations)
-        mv = template.moveouts.loc[stations].values
+        # per-template station-ordered moveout rows: the pandas .loc
+        # lookup costs ~1 ms and the bank is fixed for the engine's
+        # lifetime, so cache across days
+        mv_cache = getattr(self, "_tpl_mv_cache", None)
+        if mv_cache is None:
+            mv_cache = self._tpl_mv_cache = {}
+        mv = mv_cache.get(tt)
+        if mv is None:
+            mv = mv_cache[tt] = template.moveouts.loc[stations].values
         mv_arr = tg.moveouts_arr[tt]  # (n_sta, n_comp) samples
         data_path, data_filename = os.path.split(str(self.data.where))
         detections = []
