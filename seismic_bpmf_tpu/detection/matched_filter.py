@@ -47,6 +47,7 @@ class MatchedFilter:
         engine: str = "auto",
         precision: str = "high",
         template_chunk: int = 128,
+        screen_margin: float = 0.01,
     ):
         self.template_group = template_group
         self.min_channels = min_channels
@@ -65,9 +66,17 @@ class MatchedFilter:
         self.engine = engine
         # 'high' (default) = bf16-split ladder, ~4e-7 CC error at ~2x
         # 'highest' throughput; 'highest' = 6-pass f32 oracle parity;
-        # 'default' = single bf16 pass (~2e-4, fastest).  Applies to the
-        # Pallas engines; the XLA fallbacks always run f32 HIGHEST.
+        # 'default' = single bf16 pass (~2e-4, fastest);
+        # 'screen' = scan at 'default' speed, widen candidate extraction
+        # by `screen_margin`, then recompute each candidate's CC exactly
+        # (float64 host refine) before the threshold decision — detection
+        # CC values match 'highest' to oracle precision, only the
+        # time-dependent threshold itself carries the screened series'
+        # ~2e-4 rounding (a <=0.2% threshold perturbation at 8x deviations).
+        # Applies to the Pallas engines; the XLA fallbacks run f32 HIGHEST
+        # (screen refine still applies on top).
         self.precision = precision
+        self.screen_margin = float(screen_margin)
         # templates per fused-kernel plan: larger chunks amortize the
         # per-channel Hankel build across more templates (VMEM-bounded)
         self.template_chunk = template_chunk
@@ -115,7 +124,11 @@ class MatchedFilter:
                     weights[i : i + template_chunk],
                     n_samp,
                     interpret=interpret,
-                    precision=self.precision,
+                    # screen: the scan runs at 'default' (single bf16
+                    # pass); exactness is restored per candidate by the
+                    # host refine in _build_events
+                    precision=("default" if self.precision == "screen"
+                               else self.precision),
                     pad_left=pad_left, max_moveout=max_mv,
                 )
                 for i in range(0, len(templates), template_chunk)
@@ -436,7 +449,9 @@ class MatchedFilter:
                     cc_sums = matched_filter_sharded_pallas(
                         templates, moveouts, weights, self.data_arr,
                         self.mesh, step=self.step,
-                        precision=self.precision,
+                        precision=("default"
+                                   if self.precision == "screen"
+                                   else self.precision),
                     )
                 else:
                     from ..parallel import matched_filter_sharded
@@ -485,7 +500,7 @@ class MatchedFilter:
         Reference parity: BPMF/similarity_search.py:187-286.
         """
         sr = self.data.sr
-        cc_idx = np.flatnonzero(cc_t > threshold)
+        cc_idx = np.flatnonzero(cc_t > threshold - self._margin())
         cc_idx = dedup_detection_indexes(cc_idx, cc_t, search_win)
 
         if self.anomalous_cdf_at_mean_plus_1sig > 0.0 and len(cc_idx):
@@ -524,6 +539,29 @@ class MatchedFilter:
             keep = (det >= lo) & (det < hi)
             cc_idx = cc_idx[keep]
         return cc_idx
+
+    def _margin(self) -> float:
+        """Candidate-extraction widening: nonzero only in screen mode."""
+        return self.screen_margin if self.precision == "screen" else 0.0
+
+    def _exact_cc_at(self, tid, tt, cc_idx) -> np.ndarray:
+        """Exact network CC at the given CC indexes (float64 host compute,
+        ~L*n_ch MACs per lag — microseconds against a day scan).
+
+        Matches the oracle semantics the kernels implement
+        (`ops.reference.matched_filter(network_sum=True)`; reference:
+        BPMF/similarity_search.py:526-546): per-channel demeaned-template
+        correlation over the moveout-shifted window, normalized by the
+        window's demeaned L2 norm, weight-summed, with out-of-bounds
+        windows contributing zero."""
+        from ..ops.reference import matched_filter_at
+
+        tg = self.template_group
+        t = self.tids_subset.index(tid)
+        return matched_filter_at(
+            tg.waveforms_arr[tt], tg.moveouts_arr[tt],
+            self._weights_arr[t], self.data_arr, cc_idx, step=self.step,
+        )
 
     @staticmethod
     def _dedup_sparse(cand, vals, search_win):
@@ -610,6 +648,7 @@ class MatchedFilter:
             k=self.MAX_CANDIDATES,
             k_blocks=self.MAX_CANDIDATE_BLOCKS,
             threshold_type=self.threshold_type,
+            margin=self._margin(),
         )
         self._cand_pending = (dev_tids, out)
         if fetch:
@@ -673,7 +712,7 @@ class MatchedFilter:
                 jnp.float32(self.max_CC_threshold * weights_t.sum()), thr
             )
             idx, cc_vals, thr_vals, n_above, kurto = detect_candidates(
-                cc_dev, thr, k=max_candidates
+                cc_dev, thr, k=max_candidates, margin=self._margin()
             )
         if n_above > len(idx):
             return None
@@ -758,7 +797,18 @@ class MatchedFilter:
         )
 
     def _build_events(self, tid, tt, cc_idx, cc_vals, thr_vals):
-        """Instantiate detection Events from selected CC indexes."""
+        """Instantiate detection Events from selected CC indexes.
+
+        In screen mode this is where exactness is restored: the candidates
+        arrived via the margin-widened comparison on the fast single-pass
+        CC series, so each one's CC is recomputed exactly here and the
+        true-threshold decision is re-taken on the exact value."""
+        if self.precision == "screen" and len(cc_idx):
+            cc_vals = self._exact_cc_at(tid, tt, cc_idx)
+            keep = cc_vals > np.asarray(thr_vals)
+            cc_idx = np.asarray(cc_idx)[keep]
+            cc_vals = cc_vals[keep]
+            thr_vals = np.asarray(thr_vals)[keep]
         tg = self.template_group
         sr = self.data.sr
         template = tg.templates[tt]

@@ -161,6 +161,51 @@ def matched_filter(
     return cc.astype(np.float32)
 
 
+def matched_filter_at(
+    template: np.ndarray,
+    moveouts: np.ndarray,
+    weights: np.ndarray,
+    data: np.ndarray,
+    cc_idx: np.ndarray,
+    step: int = 1,
+) -> np.ndarray:
+    """Exact network CC of ONE template at the given CC indexes.
+
+    Vectorized float64 evaluation of `matched_filter(network_sum=True)`
+    restricted to sparse lags (~L*n_ch MACs per lag) — the refine step of
+    the screen-precision engine.  Guards match the TPU kernels
+    (window variance <= 1e-10 -> 0; out-of-bounds windows -> 0).
+
+    template : (n_sta, n_comp, L); moveouts/weights : (n_sta, n_comp);
+    data : (n_sta, n_comp, n_samp); cc_idx : (n,) CC indexes (step units).
+    """
+    tpl = np.asarray(template, np.float64)
+    mv = np.asarray(moveouts)
+    w = np.asarray(weights, np.float64)
+    L = tpl.shape[-1]
+    n_samp = data.shape[-1]
+    tpl_dm = tpl - tpl.mean(axis=-1, keepdims=True)
+    x_norm = np.sqrt((tpl_dm**2).sum(-1))
+    scale = np.where(x_norm > 0, w / np.maximum(x_norm, 1e-30), 0.0)
+
+    det = np.asarray(cc_idx, np.int64) * int(step)       # (n,)
+    starts = det[:, None, None] + mv[None]               # (n, n_sta, n_comp)
+    valid = (starts >= 0) & (starts + L <= n_samp)
+    s_cl = np.clip(starts, 0, max(n_samp - L, 0))
+    n_sta, n_comp = mv.shape
+    sta_i = np.arange(n_sta)[None, :, None, None]
+    cmp_i = np.arange(n_comp)[None, None, :, None]
+    win = data[sta_i, cmp_i, s_cl[..., None] + np.arange(L)].astype(
+        np.float64
+    )                                                    # (n, sta, comp, L)
+    r1 = win.sum(-1)
+    r2 = (win * win).sum(-1)
+    var = r2 - r1 * r1 / L
+    y = np.where(var > 1e-10, 1.0 / np.sqrt(np.maximum(var, 1e-30)), 0.0)
+    corr = np.einsum("nscl,scl->nsc", win, tpl_dm * scale[..., None])
+    return ((corr * y) * valid).sum(axis=(-1, -2)).astype(np.float32)
+
+
 # ---------------------------------------------------------------------------
 # Time-dependent detection thresholds
 # ---------------------------------------------------------------------------

@@ -232,8 +232,9 @@ def _tdt_mad_kernel(ts, noise, num_dev, *, window, shift, n_win):
     static_argnames=("win", "shift", "n_win", "k", "k_blocks",
                      "threshold_type"),
 )
-def _batch_candidates_kernel(ts, gauss, num_dev, caps, *, win, shift,
-                             n_win, k, k_blocks, threshold_type="rms"):
+def _batch_candidates_kernel(ts, gauss, num_dev, caps, margin, *, win,
+                             shift, n_win, k, k_blocks,
+                             threshold_type="rms"):
     def one(x, cap):
         if threshold_type == "rms":
             thr = _tdt_rms_kernel(
@@ -244,7 +245,8 @@ def _batch_candidates_kernel(ts, gauss, num_dev, caps, *, win, shift,
                 x, gauss, num_dev, window=win, shift=shift, n_win=n_win
             )
         thr = jnp.minimum(thr, cap)
-        return _candidate_extract_two_stage(x, thr, k, k_blocks)
+        return _candidate_extract_two_stage(x, thr, k, k_blocks,
+                                            margin=margin)
 
     return jax.vmap(one)(ts, caps)
 
@@ -259,6 +261,7 @@ def batch_candidates(
     k: int = 1024,
     k_blocks: int = 256,
     threshold_type: str = "rms",
+    margin: float = 0.0,
 ):
     """Thresholds + top-k candidate extraction for a whole template chunk
     in ONE device program and one host fetch.
@@ -270,6 +273,11 @@ def batch_candidates(
     `detect_candidates`, EXACT when `n_above <= k` and
     `blocks_hit <= k_blocks` (the two-stage extraction's validity bounds
     — the caller must fall back per row otherwise).
+
+    `margin` widens the candidate comparison to ``cc > thr - margin``
+    (reported `thr_vals` stay the true thresholds): the screen-precision
+    engine extracts with a safety margin covering the screened series'
+    rounding error, then refines candidates exactly.
     """
     ts = jnp.asarray(cc, jnp.float32)
     n = ts.shape[-1]
@@ -291,7 +299,7 @@ def batch_candidates(
     gauss = jnp.asarray(white_noise, jnp.float32)[:n_noise]
     return _batch_candidates_kernel(
         ts, gauss, jnp.float32(num_dev),
-        jnp.asarray(caps, jnp.float32),
+        jnp.asarray(caps, jnp.float32), jnp.float32(margin),
         win=win, shift=shift, n_win=n_win, k=k, k_blocks=k_blocks,
         threshold_type=threshold_type,
     )
@@ -307,11 +315,11 @@ def _cc_kurtosis(cc):
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def _candidate_extract_kernel(cc, thr, k: int):
+def _candidate_extract_kernel(cc, thr, k: int, margin=0.0):
     """One-stage exact extraction: top-k lags by threshold excess over the
     full series.  Correct for any candidate distribution, but the top_k
     sorts the whole multi-million-sample series."""
-    excess = cc - thr
+    excess = cc - thr + margin
     vals, idx = jax.lax.top_k(excess, k)
     n_above = jnp.sum(excess > 0.0)
     return idx, cc[idx], thr[idx], n_above, _cc_kurtosis(cc)
@@ -320,7 +328,8 @@ def _candidate_extract_kernel(cc, thr, k: int):
 CANDIDATE_BLOCK = 512
 
 
-def _candidate_extract_two_stage(cc, thr, k: int, k_blocks: int):
+def _candidate_extract_two_stage(cc, thr, k: int, k_blocks: int,
+                                 margin=0.0):
     """Two-stage exact extraction: above-threshold samples are rare and
     clustered, so reduce the series into `CANDIDATE_BLOCK`-sample blocks,
     take the `k_blocks` blocks with the most above-threshold samples
@@ -335,7 +344,7 @@ def _candidate_extract_two_stage(cc, thr, k: int, k_blocks: int):
     n = cc.shape[0]
     n_blocks = -(-n // block)
     pad = n_blocks * block - n
-    excess = cc - thr
+    excess = cc - thr + margin
     excess_p = jnp.pad(excess, (0, pad), constant_values=-jnp.inf)
     eb = excess_p.reshape(n_blocks, block)
     counts = jnp.sum(eb > 0.0, axis=-1)
@@ -352,7 +361,7 @@ def _candidate_extract_two_stage(cc, thr, k: int, k_blocks: int):
             blocks_hit)
 
 
-def detect_candidates(cc, threshold, k: int = 2048):
+def detect_candidates(cc, threshold, k: int = 2048, margin: float = 0.0):
     """Device-side detection candidate extraction.
 
     Computes, on device, the top-k lags by threshold excess and summary
@@ -360,12 +369,13 @@ def detect_candidates(cc, threshold, k: int = 2048):
     multi-million-sample CC series.  Returns
     (indices (k,), cc values (k,), threshold values (k,), n_above, kurtosis)
     as host arrays/scalars; entries beyond `n_above` are below threshold.
+    `margin` widens the comparison to ``cc > thr - margin`` (screen mode).
     """
     cc = jnp.asarray(cc, jnp.float32)
     threshold = jnp.asarray(threshold, jnp.float32)
     k = min(k, cc.shape[0])
     idx, cc_vals, thr_vals, n_above, kurto = _candidate_extract_kernel(
-        cc, threshold, k
+        cc, threshold, k, jnp.float32(margin)
     )
     return (
         np.asarray(idx),

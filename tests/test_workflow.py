@@ -413,3 +413,78 @@ def test_data_layout_matches_plan(world):
         np.asarray(pad_day_data(data, n_sta * n_comp, n_samp, got_pl,
                                 got_ext)),
     )
+
+
+def test_screen_precision_detection_parity(world):
+    """'screen' mode (single-pass bf16 scan + margin-widened extraction +
+    exact per-candidate refine) must reproduce the 'highest' engine's
+    detections: same events, CC values at oracle precision."""
+    from seismic_bpmf_tpu.detection.matched_filter import MatchedFilter
+
+    w = world
+    bf, detections = workflow.backproject_day(
+        w["data"], w["net"], w["tts"], cfg=w["cfg"],
+        minimum_interevent_time=10.0, threshold_window_sec=150.0,
+        num_closest_stations=N_STA,
+    )
+    tg = workflow.build_templates(
+        detections, w["net"], cfg=w["cfg"], data_reader=data_reader_hdf5,
+    )
+    kw = dict(cfg=w["cfg"], min_channels=3, min_stations=2, max_kurto=1e6,
+              engine="pallas")
+
+    mf_hi = MatchedFilter(tg, precision="highest", **kw)
+    mf_hi.set_data(w["data"])
+    mf_hi.set_weights_channels(method="simple", normalize=True)
+    d_hi = mf_hi.run_matched_filter_search(5.0, threshold_window_dur=150.0)
+
+    mf_sc = MatchedFilter(tg, precision="screen", **kw)
+    mf_sc.set_data(w["data"])
+    mf_sc.set_weights_channels(method="simple", normalize=True)
+    d_sc = mf_sc.run_matched_filter_search(5.0, threshold_window_dur=150.0)
+
+    assert set(d_hi) == set(d_sc)
+    n_total = 0
+    for tid in d_hi:
+        assert len(d_hi[tid]) == len(d_sc[tid])
+        for e1, e2 in zip(d_hi[tid], d_sc[tid]):
+            assert e1.origin_time == e2.origin_time
+            # refined CC is float64-exact; 'highest' is f32 (~3e-7)
+            assert np.isclose(e1.aux_data["cc"], e2.aux_data["cc"],
+                              atol=5e-6, rtol=0)
+            n_total += 1
+    assert n_total >= 2
+
+
+def test_exact_cc_at_matches_oracle(world):
+    """The screen refine (`_exact_cc_at`) must agree with the NumPy oracle
+    CC at arbitrary lags, including out-of-bounds windows."""
+    from seismic_bpmf_tpu.detection.matched_filter import MatchedFilter
+    from seismic_bpmf_tpu.ops.reference import matched_filter as oracle
+
+    w = world
+    bf, detections = workflow.backproject_day(
+        w["data"], w["net"], w["tts"], cfg=w["cfg"],
+        minimum_interevent_time=10.0, threshold_window_sec=150.0,
+        num_closest_stations=N_STA,
+    )
+    tg = workflow.build_templates(
+        detections, w["net"], cfg=w["cfg"], data_reader=data_reader_hdf5,
+    )
+    mf = MatchedFilter(tg, cfg=w["cfg"], min_channels=3, min_stations=2,
+                       max_kurto=1e6, engine="pallas", precision="screen")
+    mf.set_data(w["data"])
+    mf.set_weights_channels(method="simple", normalize=True)
+    # prime tids_subset/_weights_arr without running the scan
+    mf.compute_cc_time_series(tids=tg.tids[:1])
+    tid = tg.tids[0]
+    tt = int(tg.tindexes.loc[tid])
+
+    cc_full = oracle(
+        tg.waveforms_arr[tt : tt + 1], tg.moveouts_arr[tt : tt + 1],
+        mf._weights_arr[:1], mf.data_arr, network_sum=True,
+    )[0]
+    n_corr = cc_full.shape[0]
+    idx = np.array([0, 1, 5, n_corr // 2, n_corr - 2, n_corr - 1])
+    got = mf._exact_cc_at(tid, tt, idx)
+    np.testing.assert_allclose(got, cc_full[idx], atol=1e-6, rtol=0)
