@@ -90,14 +90,17 @@ def main():
                 precision=("high" if prec.startswith("high") else prec),
                 lag_block=B, pad_left=0, max_moveout=400,
                 dense="dense" in tags,
+                ysel=("gather" if "gather" in tags else "matmul"),
                 diag=diag,
             )
             plans.append(p)
         return plans
 
     # "high" is the predicated production default; "high-dense" forces
-    # the unpredicated functional-accumulation variant
-    precs = ["high", "high-dense"]
+    # the unpredicated functional-accumulation variant; the "gather" tag
+    # swaps the one-hot normalization-select matmuls for per-template
+    # dynamic y-row slices (exact f32, no y Hankel roll / bf16 y split)
+    precs = ["high", "high-dense", "high-dense-gather", "high-gather"]
     if diag_sweep:
         # stage-removal attribution: each mode removes ONE kernel stage;
         # (baseline - mode) wall time = that stage's cost on hardware

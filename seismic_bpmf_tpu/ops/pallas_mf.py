@@ -87,22 +87,56 @@ def _sliding_sum(x, L: int, W: int):
     return out
 
 
+def _gather_ysel(ysel_scratch, yhank_scratch, mv_ref, c, n_tp_pad: int,
+                 B: int):
+    """Normalization moveout-select as a per-template dynamic slice:
+    ysel[t, :] = y[c, mv[c, t] : mv[c, t] + B].
+
+    The one-hot select matmul is a gather in disguise — each template picks
+    ONE lane offset of the per-channel rsqrt-variance row.  Expressing it as
+    n_tp dynamic (1, B) VMEM slices replaces Q matmul tap-blocks per channel
+    (2 MXU passes each in the 'high' ladder, 6 at HIGHEST) with pure vector
+    copies, and the selected values are EXACT f32 (no bf16 split needed).
+
+    Mosaic only lowers dynamic LANE offsets it can prove 128-aligned, so
+    the gather reads the channel's y Hankel (`yhank_scratch[r, col] =
+    y[col + 127 - r]`, the same roll the matmul path builds): the sub-block
+    part of the moveout selects the ROW (dynamic sublane offsets are
+    unrestricted) and the lane offset `mv - mv % 128` carries a
+    `pl.multiple_of` alignment proof."""
+
+    def t_body(t, carry):
+        mv = mv_ref[c, t]
+        r = jax.lax.rem(mv, 128)
+        kofs = pl.multiple_of(mv - r, 128)
+        ysel_scratch[pl.ds(t, 1), :] = yhank_scratch[
+            pl.ds(127 - r, 1), pl.ds(kofs, B)
+        ]
+        return carry
+
+    jax.lax.fori_loop(0, n_tp_pad, t_body, 0)
+
+
 def _mf_kernel(
     base_ref,    # (1, 1) f32 (SMEM): absolute lag of this shard's first lag
     kb_ref,      # (n_ch, 4) int32 (SMEM): per-channel live tap-block bounds
                  #  [klo, khi) for the corr sweep, [qlo, qhi) for the
                  #  normalization select — blocks outside a channel's
                  #  moveout span hold all-zero filter rows and are skipped
+    mv_ref,      # (n_ch, n_tp_pad) int32 (SMEM): per-(channel, template)
+                 #  moveout (pad_left-folded; only read in gather mode)
     filt_ref,    # (n_ch, n_tp_pad, LM_pad) f32 corr filters (weight-folded,
                  #  REVERSED within each 128-tap block for the G127 layout)
     sel_ref,     # (n_ch, n_tp_pad, Q*128) f32 one-hot at the moveout
-                 #  (block-reversed likewise)
+                 #  (block-reversed likewise; (1, 1) SMEM dummy in gather
+                 #  mode, where the select is a dynamic slice instead)
     hi_ref,      # (n_ch, n_tp_pad) f32 upper lane bound (abs units)
     lo_ref,      # (n_ch, n_tp_pad) f32 lower lane bound
     data_ref,    # (n_ch_pad, ext) f32 (ANY/HBM)
     out_ref,     # (n_tp_pad, B) f32 block
-    *scratches,  # (win, y, [acc, ysel,] dma_sem)
-                 # (acc/ysel only in the predicated, non-dense variant)
+    *scratches,  # (win, y, [acc,] [ysel,] dma_sem)
+                 # (acc only in the predicated, non-dense variant; ysel in
+                 #  the predicated variant and in gather mode)
     L: int,
     LM_pad: int,
     B: int,
@@ -112,13 +146,20 @@ def _mf_kernel(
     inv_l: float,
     precision=jax.lax.Precision.HIGHEST,
     dense: bool = False,
+    gather: bool = False,
     diag: str = "",
 ):
     win_scratch, y_scratch = scratches[:2]
     idx = 2
     if not dense:
-        acc_scratch, ysel_scratch = scratches[idx : idx + 2]
-        idx += 2
+        acc_scratch = scratches[idx]
+        idx += 1
+    if not dense or gather:
+        ysel_scratch = scratches[idx]
+        idx += 1
+    if gather:
+        yhank_scratch = scratches[idx]
+        idx += 1
     dma_sem = scratches[idx]
     g = pl.program_id(0)
     ofs = g * B
@@ -162,7 +203,14 @@ def _mf_kernel(
 
     def channel_body(c, acc):
         g127 = hankel(win_scratch[pl.ds(c, 1), :], W)
-        y127, yofs = hankel(y_scratch[pl.ds(c, 1), :], W), 0
+        if gather:
+            y127, yofs = None, 0
+            if diag != "noysel":
+                yhank_scratch[...] = hankel(y_scratch[pl.ds(c, 1), :], W)
+                _gather_ysel(ysel_scratch, yhank_scratch, mv_ref, c,
+                             n_tp_pad, B)
+        else:
+            y127, yofs = hankel(y_scratch[pl.ds(c, 1), :], W), 0
 
         # k loops unrolled at trace time (~10x faster Mosaic compiles,
         # pipelined matmuls) and predicated per channel: only the tap
@@ -180,12 +228,15 @@ def _mf_kernel(
                               g127[:, 128 * k : 128 * k + B])
                     corr = term if corr is None else corr + term
             if diag != "noysel":
-                for q in range(Q):
-                    term = mm(
-                        sel_ref[c, :, 128 * q : 128 * (q + 1)],
-                        y127[:, yofs + 128 * q : yofs + 128 * q + B],
-                    )
-                    ysel = term if ysel is None else ysel + term
+                if gather:
+                    ysel = ysel_scratch[...]
+                else:
+                    for q in range(Q):
+                        term = mm(
+                            sel_ref[c, :, 128 * q : 128 * (q + 1)],
+                            y127[:, yofs + 128 * q : yofs + 128 * q + B],
+                        )
+                        ysel = term if ysel is None else ysel + term
             if corr is None:
                 ccn = ysel
             elif ysel is None:
@@ -196,7 +247,8 @@ def _mf_kernel(
             klo, khi = kb_ref[c, 0], kb_ref[c, 1]
             qlo, qhi = kb_ref[c, 2], kb_ref[c, 3]
             acc_scratch[...] = jnp.zeros((n_tp_pad, B), jnp.float32)
-            ysel_scratch[...] = jnp.zeros((n_tp_pad, B), jnp.float32)
+            if not gather:
+                ysel_scratch[...] = jnp.zeros((n_tp_pad, B), jnp.float32)
             if diag != "nocorr":
                 for k in range(n_k):
                     @pl.when((k >= klo) & (k < khi))
@@ -204,7 +256,7 @@ def _mf_kernel(
                         fo = filt_ref[c, :, 128 * k : 128 * (k + 1)]
                         hk = g127[:, 128 * k : 128 * k + B]
                         acc_scratch[...] = acc_scratch[...] + mm(fo, hk)
-            if diag != "noysel":
+            if diag != "noysel" and not gather:
                 for q in range(Q):
                     @pl.when((q >= qlo) & (q < qhi))
                     def _(q=q):
@@ -233,10 +285,12 @@ def _mf_kernel(
 def _mf_kernel_split(
     base_ref,    # (1, 1) f32 (SMEM)
     kb_ref,      # (n_ch, 4) int32 (SMEM)
+    mv_ref,      # (n_ch, n_tp_pad) int32 (SMEM; gather mode only)
     fh_ref,      # (n_ch, n_tp_pad, LM_pad) bf16: hi component of the
                  #  weight-folded corr filters (block-reversed)
     fl_ref,      # (n_ch, n_tp_pad, LM_pad) bf16: lo residual component
-    sel_ref,     # (n_ch, n_tp_pad, Q*128) bf16 one-hot (exact in bf16)
+    sel_ref,     # (n_ch, n_tp_pad, Q*128) bf16 one-hot (exact in bf16;
+                 #  (1, 1) SMEM dummy in gather mode)
     hi_ref,      # (n_ch, n_tp_pad) f32
     lo_ref,      # (n_ch, n_tp_pad) f32
     data_ref,    # (n_ch_pad, ext) f32 (ANY/HBM)
@@ -251,6 +305,7 @@ def _mf_kernel_split(
     Q: int,
     inv_l: float,
     dense: bool = False,
+    gather: bool = False,
     diag: str = "",
 ):
     """Precision-ladder ("high") variant of `_mf_kernel`: every f32 operand
@@ -284,8 +339,14 @@ def _mf_kernel_split(
     win_scratch, y_scratch = scratches[:2]
     idx = 2
     if not dense:
-        acc_scratch, ysel_scratch = scratches[idx : idx + 2]
-        idx += 2
+        acc_scratch = scratches[idx]
+        idx += 1
+    if not dense or gather:
+        ysel_scratch = scratches[idx]
+        idx += 1
+    if gather:
+        yhank_scratch = scratches[idx]
+        idx += 1
     dma_sem = scratches[idx]
     g = pl.program_id(0)
     ofs = g * B
@@ -329,7 +390,16 @@ def _mf_kernel_split(
         # so splitting whole rolled Hankels costs
         # ~(W/B)/(n_k_live + Q) of per-slice splitting
         gh, gl = _split_bf16(hankel(win_scratch[pl.ds(c, 1), :], W))
-        yh, yl = _split_bf16(hankel(y_scratch[pl.ds(c, 1), :], W))
+        if gather:
+            # the dynamic-slice select reads EXACT f32 y from the rolled
+            # Hankel (no bf16 y split), skipping Q*2 MXU passes
+            yh = yl = None
+            if diag != "noysel":
+                yhank_scratch[...] = hankel(y_scratch[pl.ds(c, 1), :], W)
+                _gather_ysel(ysel_scratch, yhank_scratch, mv_ref, c,
+                             n_tp_pad, B)
+        else:
+            yh, yl = _split_bf16(hankel(y_scratch[pl.ds(c, 1), :], W))
         yofs = 0
 
         dn = (((1,), (0,)), ((), ()))
@@ -348,12 +418,15 @@ def _mf_kernel_split(
                     term = mm(fh, hk) + mm(fh, lk) + mm(fl, hk)
                     corr = term if corr is None else corr + term
             if diag != "noysel":
-                for q in range(Q):
-                    sq = sel_ref[c, :, 128 * q : 128 * (q + 1)]
-                    yq = yh[:, yofs + 128 * q : yofs + 128 * q + B]
-                    zq = yl[:, yofs + 128 * q : yofs + 128 * q + B]
-                    term = mm(sq, yq) + mm(sq, zq)
-                    ysel = term if ysel is None else ysel + term
+                if gather:
+                    ysel = ysel_scratch[...]
+                else:
+                    for q in range(Q):
+                        sq = sel_ref[c, :, 128 * q : 128 * (q + 1)]
+                        yq = yh[:, yofs + 128 * q : yofs + 128 * q + B]
+                        zq = yl[:, yofs + 128 * q : yofs + 128 * q + B]
+                        term = mm(sq, yq) + mm(sq, zq)
+                        ysel = term if ysel is None else ysel + term
             if corr is None:
                 ccn = ysel
             elif ysel is None:
@@ -364,7 +437,8 @@ def _mf_kernel_split(
             klo, khi = kb_ref[c, 0], kb_ref[c, 1]
             qlo, qhi = kb_ref[c, 2], kb_ref[c, 3]
             acc_scratch[...] = jnp.zeros((n_tp_pad, B), jnp.float32)
-            ysel_scratch[...] = jnp.zeros((n_tp_pad, B), jnp.float32)
+            if not gather:
+                ysel_scratch[...] = jnp.zeros((n_tp_pad, B), jnp.float32)
             if diag != "nocorr":
                 for k in range(n_k):
                     @pl.when((k >= klo) & (k < khi))
@@ -377,7 +451,7 @@ def _mf_kernel_split(
                             acc_scratch[...] + mm(fh, hk) + mm(fh, lk)
                             + mm(fl, hk)
                         )
-            if diag != "noysel":
+            if diag != "noysel" and not gather:
                 for q in range(Q):
                     @pl.when((q >= qlo) & (q < qhi))
                     def _(q=q):
@@ -407,40 +481,44 @@ def _mf_kernel_split(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("L", "B", "LM_pad", "n_corr_pad", "n_ch", "interpret",
-                     "dense", "diag"),
+    static_argnames=("L", "B", "LM_pad", "n_corr_pad", "n_ch", "Q",
+                     "interpret", "dense", "gather", "diag"),
 )
 def _mf_pallas_call_split(
-    fh, fl, sel, hi, lo, data_pad, base=None, kb=None,
-    *, L, B, LM_pad, n_corr_pad, n_ch, interpret=False,
-    dense=False, diag="",
+    fh, fl, sel, hi, lo, data_pad, base=None, kb=None, mv=None,
+    *, L, B, LM_pad, n_corr_pad, n_ch, Q=None, interpret=False,
+    dense=False, gather=False, diag="",
 ):
     if base is None:
         base = jnp.zeros((1, 1), jnp.float32)
     n_tp_pad = fh.shape[1]
-    Q = sel.shape[-1] // 128
+    if Q is None:
+        Q = sel.shape[-1] // 128
     n_k = LM_pad // 128
     if kb is None:
         kb = jnp.tile(
             jnp.asarray([[0, n_k, 0, Q]], jnp.int32), (fh.shape[0], 1)
         )
+    if mv is None:
+        mv = jnp.zeros((fh.shape[0], n_tp_pad), jnp.int32)
     n_blocks = n_corr_pad // B
     W = B + LM_pad
     n_ch_pad = data_pad.shape[0]
     kernel = functools.partial(
         _mf_kernel_split,
         L=L, LM_pad=LM_pad, B=B, n_ch=n_ch, n_tp_pad=n_tp_pad, Q=Q,
-        inv_l=1.0 / L, dense=dense, diag=diag,
+        inv_l=1.0 / L, dense=dense, gather=gather, diag=diag,
     )
     scratch = [
         pltpu.VMEM((n_ch_pad, W), jnp.float32),
         pltpu.VMEM((n_ch_pad, W), jnp.float32),
     ]
     if not dense:
-        scratch += [
-            pltpu.VMEM((n_tp_pad, B), jnp.float32),
-            pltpu.VMEM((n_tp_pad, B), jnp.float32),
-        ]
+        scratch.append(pltpu.VMEM((n_tp_pad, B), jnp.float32))
+    if not dense or gather:
+        scratch.append(pltpu.VMEM((n_tp_pad, B), jnp.float32))
+    if gather:
+        scratch.append(pltpu.VMEM((128, W), jnp.float32))
     scratch.append(pltpu.SemaphoreType.DMA)
     return pl.pallas_call(
         kernel,
@@ -448,9 +526,13 @@ def _mf_pallas_call_split(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # base
             pl.BlockSpec(memory_space=pltpu.SMEM),   # kb
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # mv
             pl.BlockSpec(memory_space=pltpu.VMEM),   # fh
             pl.BlockSpec(memory_space=pltpu.VMEM),   # fl
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # sel
+            # gather mode never touches sel: a (1, 1) SMEM dummy replaces
+            # the one-hot bank (no VMEM residency, no device transfer)
+            pl.BlockSpec(memory_space=pltpu.SMEM if gather
+                         else pltpu.VMEM),            # sel
             pl.BlockSpec(memory_space=pltpu.VMEM),   # hi
             pl.BlockSpec(memory_space=pltpu.VMEM),   # lo
             pl.BlockSpec(memory_space=pl.ANY),       # data
@@ -464,44 +546,50 @@ def _mf_pallas_call_split(
             vmem_limit_bytes=110 * 1024 * 1024
         ),
         interpret=interpret,
-    )(base, kb, fh, fl, sel, hi, lo, data_pad)
+    )(base, kb, mv, fh, fl, sel, hi, lo, data_pad)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("L", "B", "LM_pad", "n_corr_pad", "n_ch", "interpret",
-                     "precision", "dense", "diag"),
+    static_argnames=("L", "B", "LM_pad", "n_corr_pad", "n_ch", "Q",
+                     "interpret", "precision", "dense", "gather", "diag"),
 )
 def _mf_pallas_call(
-    filt, sel, hi, lo, data_pad, base=None, kb=None,
-    *, L, B, LM_pad, n_corr_pad, n_ch, interpret=False,
-    precision=jax.lax.Precision.HIGHEST, dense=False, diag="",
+    filt, sel, hi, lo, data_pad, base=None, kb=None, mv=None,
+    *, L, B, LM_pad, n_corr_pad, n_ch, Q=None, interpret=False,
+    precision=jax.lax.Precision.HIGHEST, dense=False, gather=False,
+    diag="",
 ):
     if base is None:
         base = jnp.zeros((1, 1), jnp.float32)
     n_tp_pad = filt.shape[1]
-    Q = sel.shape[-1] // 128
+    if Q is None:
+        Q = sel.shape[-1] // 128
     n_k = LM_pad // 128
     if kb is None:
         kb = jnp.tile(
             jnp.asarray([[0, n_k, 0, Q]], jnp.int32), (filt.shape[0], 1)
         )
+    if mv is None:
+        mv = jnp.zeros((filt.shape[0], n_tp_pad), jnp.int32)
     n_blocks = n_corr_pad // B
     W = B + LM_pad
     kernel = functools.partial(
         _mf_kernel,
         L=L, LM_pad=LM_pad, B=B, n_ch=n_ch, n_tp_pad=n_tp_pad, Q=Q,
-        inv_l=1.0 / L, precision=precision, dense=dense, diag=diag,
+        inv_l=1.0 / L, precision=precision, dense=dense, gather=gather,
+        diag=diag,
     )
     scratch = [
         pltpu.VMEM((data_pad.shape[0], W), jnp.float32),
         pltpu.VMEM((data_pad.shape[0], W), jnp.float32),
     ]
     if not dense:
-        scratch += [
-            pltpu.VMEM((n_tp_pad, B), jnp.float32),
-            pltpu.VMEM((n_tp_pad, B), jnp.float32),
-        ]
+        scratch.append(pltpu.VMEM((n_tp_pad, B), jnp.float32))
+    if not dense or gather:
+        scratch.append(pltpu.VMEM((n_tp_pad, B), jnp.float32))
+    if gather:
+        scratch.append(pltpu.VMEM((128, W), jnp.float32))
     scratch.append(pltpu.SemaphoreType.DMA)
     return pl.pallas_call(
         kernel,
@@ -509,8 +597,12 @@ def _mf_pallas_call(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # base
             pl.BlockSpec(memory_space=pltpu.SMEM),   # kb
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # mv
             pl.BlockSpec(memory_space=pltpu.VMEM),   # filt
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # sel
+            # gather mode never touches sel: a (1, 1) SMEM dummy replaces
+            # the one-hot bank (no VMEM residency, no device transfer)
+            pl.BlockSpec(memory_space=pltpu.SMEM if gather
+                         else pltpu.VMEM),            # sel
             pl.BlockSpec(memory_space=pltpu.VMEM),   # hi
             pl.BlockSpec(memory_space=pltpu.VMEM),   # lo
             pl.BlockSpec(memory_space=pl.ANY),       # data
@@ -524,7 +616,7 @@ def _mf_pallas_call(
             vmem_limit_bytes=110 * 1024 * 1024
         ),
         interpret=interpret,
-    )(base, kb, filt, sel, hi, lo, data_pad)
+    )(base, kb, mv, filt, sel, hi, lo, data_pad)
 
 
 @functools.partial(jax.jit, static_argnames=("n_ch_pad", "ext", "pad_left"))
@@ -566,7 +658,7 @@ class PallasMatchedFilterPlan:
                  lag_block: int = 8192, interpret: bool = False,
                  precision: str = "highest", pad_left: int = None,
                  max_moveout: int = None, dense: bool = None,
-                 diag: str = ""):
+                 ysel: str = None, diag: str = ""):
         # note: template_chunk=128 in callers balances VMEM vs MXU occupancy
         templates = np.asarray(templates, np.float32)
         moveouts = np.asarray(moveouts, np.int64)
@@ -681,6 +773,22 @@ class PallasMatchedFilterPlan:
             total = float(n_ch * (n_k + Q))
             dense = total > 0 and live / total >= 0.75
         self.dense = bool(dense)
+        # normalization select: 'gather' replaces the Q one-hot matmul
+        # tap-blocks per channel with n_tp dynamic (1, B) VMEM slices of
+        # the f32 y row (exact select, no MXU passes, no y Hankel roll,
+        # no bf16 y split).  Default pending the hardware sweep
+        # (scripts/mf_variants.py); 'matmul' is the round-4 measured rung.
+        if ysel is None:
+            ysel = "matmul"
+        if ysel not in ("matmul", "gather"):
+            raise ValueError(f"unknown ysel {ysel!r}")
+        self.ysel = ysel
+        # per-(channel, template) moveout table for the gather (SMEM);
+        # padded/dead rows clamp to 0 — their corr rows are all-zero and
+        # the hi/lo lag mask removes them, so any in-bounds y is fine
+        mv_t = np.zeros((n_ch, n_tp_pad), np.int32)
+        mv_t[:, :n_tp] = np.clip(mv_flat, 0, max_mv).T
+        self.mv_table = jnp.asarray(mv_t)
 
         n_samp_eff = n_samp + pad_left
         hi = (n_samp_eff - L - mv_flat).astype(np.float32)
@@ -690,15 +798,21 @@ class PallasMatchedFilterPlan:
         hi_in[:, :n_tp] = hi.T
         lo_in[:, :n_tp] = lo.T
 
+        if self.ysel == "gather":
+            # the one-hot bank is never read: a (1, 1) SMEM dummy saves
+            # its VMEM residency AND its device transfer
+            sel_dev = jnp.zeros((1, 1), jnp.float32)
         if precision == "high":
             fh = filt.astype(np.float32).astype(jnp.bfloat16)
             fl = (filt - np.asarray(fh, np.float32)).astype(jnp.bfloat16)
             self.filt_hi = jnp.asarray(fh)
             self.filt_lo = jnp.asarray(fl)
-            self.sel = jnp.asarray(sel.astype(jnp.bfloat16))
+            self.sel = (sel_dev if self.ysel == "gather"
+                        else jnp.asarray(sel.astype(jnp.bfloat16)))
         else:
             self.filt = jnp.asarray(filt)
-            self.sel = jnp.asarray(sel)
+            self.sel = (sel_dev if self.ysel == "gather"
+                        else jnp.asarray(sel))
         self.hi = jnp.asarray(hi_in)
         self.lo = jnp.asarray(lo_in)
 
@@ -736,22 +850,24 @@ class PallasMatchedFilterPlan:
 
     def __call__(self, data_pad: jnp.ndarray) -> jnp.ndarray:
         """(padded, device-resident) data -> (n_tp, n_corr) device CC."""
+        gather = self.ysel == "gather"
         if self.precision_name == "high":
             out = _mf_pallas_call_split(
                 self.filt_hi, self.filt_lo, self.sel, self.hi, self.lo,
-                data_pad, kb=self.kb,
+                data_pad, kb=self.kb, mv=self.mv_table,
                 L=self.L, B=self.B, LM_pad=self.LM_pad,
-                n_corr_pad=self.n_corr_pad, n_ch=self.n_ch,
+                n_corr_pad=self.n_corr_pad, n_ch=self.n_ch, Q=self.Q,
                 interpret=self.interpret,
-                dense=self.dense, diag=self.diag,
+                dense=self.dense, gather=gather, diag=self.diag,
             )
         else:
             out = _mf_pallas_call(
-                self.filt, self.sel, self.hi, self.lo, data_pad, kb=self.kb,
+                self.filt, self.sel, self.hi, self.lo, data_pad,
+                kb=self.kb, mv=self.mv_table,
                 L=self.L, B=self.B, LM_pad=self.LM_pad,
-                n_corr_pad=self.n_corr_pad, n_ch=self.n_ch,
+                n_corr_pad=self.n_corr_pad, n_ch=self.n_ch, Q=self.Q,
                 interpret=self.interpret, precision=self.precision,
-                dense=self.dense, diag=self.diag,
+                dense=self.dense, gather=gather, diag=self.diag,
             )
         return out[: self.n_tp, : self.n_corr_unit]
 

@@ -65,6 +65,34 @@ class TestPallasMatchedFilter:
             got = np.asarray(plan(plan.pad_data(data)))
             np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
+    def test_gather_ysel_matches_oracle(self, rng):
+        """'gather' normalization select (per-template dynamic y-row
+        slices instead of one-hot matmuls) equals the oracle at every
+        precision rung, dense and predicated, incl. negative moveouts
+        and a dead channel."""
+        from seismic_bpmf_tpu.ops.pallas_mf import PallasMatchedFilterPlan
+
+        n_tp, n_sta, n_comp, L, n_samp = 5, 3, 2, 40, 2000
+        data = rng.normal(size=(n_sta, n_comp, n_samp)).astype(np.float32)
+        tp = rng.normal(size=(n_tp, n_sta, n_comp, L)).astype(np.float32)
+        mv = rng.integers(-30, 200, size=(n_tp, n_sta, n_comp)).astype(
+            np.int32
+        )
+        w = rng.uniform(0.1, 1, size=(n_tp, n_sta, n_comp)).astype(
+            np.float32
+        )
+        w /= w.sum(axis=(1, 2), keepdims=True)
+        w[0, 1] = 0.0
+        want = ref.matched_filter(tp, mv, w, data)
+        for prec, tol in (("highest", 1e-5), ("high", 5e-6)):
+            for dense in (False, True):
+                plan = PallasMatchedFilterPlan(
+                    tp, mv, w, n_samp, lag_block=512, precision=prec,
+                    interpret=True, dense=dense, ysel="gather",
+                )
+                got = np.asarray(plan(plan.pad_data(data)))
+                np.testing.assert_allclose(got, want, rtol=1e-4, atol=tol)
+
     def test_diag_modes_run(self, rng):
         """Stage-removal diagnostics (hardware cost attribution) produce
         finite output of the right shape; values are intentionally wrong."""
