@@ -116,7 +116,13 @@ class MatchedFilter:
         # day once per ~120-template extraction chunk: 9x the transfer,
         # measured ~39 s/day of the production loop)
         pad_left, max_mv = self._bank_pad_overrides()
-        if key not in plans:
+        if key in plans:
+            # true LRU: refresh recency on hit so alternating weight
+            # epochs (e.g. a campaign flip-flopping between two
+            # availability states) don't thrash the eviction below,
+            # which drops the first-inserted key
+            plans[key] = plans.pop(key)
+        else:
             plans[key] = [
                 PallasMatchedFilterPlan(
                     templates[i : i + template_chunk],

@@ -295,8 +295,9 @@ def _mf_kernel_split(
     lo_ref,      # (n_ch, n_tp_pad) f32
     data_ref,    # (n_ch_pad, ext) f32 (ANY/HBM)
     out_ref,     # (n_tp_pad, B) f32 block
-    *scratches,  # (win, y, [acc, ysel,] dma_sem)
-                 # (acc/ysel only in the predicated, non-dense variant)
+    *scratches,  # (win, y, [acc,] [ysel,] [yhank,] dma_sem)
+                 # (acc only in the predicated, non-dense variant; ysel /
+                 #  yhank only in gather mode)
     L: int,
     LM_pad: int,
     B: int,
@@ -706,6 +707,27 @@ class PallasMatchedFilterPlan:
         self.n_corr_unit = n_corr_unit
         self.n_corr_pad = _round_up(n_corr_unit, B)
 
+        # normalization select: 'gather' replaces the Q one-hot matmul
+        # tap-blocks per channel with n_tp dynamic (1, B) VMEM slices of
+        # the f32 y row (exact select, no MXU passes, no y Hankel roll,
+        # no bf16 y split).  Default pending the hardware sweep
+        # (scripts/mf_variants.py); 'matmul' is the round-4 measured rung.
+        if ysel is None:
+            ysel = "matmul"
+        if ysel not in ("matmul", "gather"):
+            raise ValueError(f"unknown ysel {ysel!r}")
+        self.ysel = ysel
+        if ysel == "gather" and int(mv_flat.max(initial=0)) > max_mv:
+            # fail loud like the matmul path (whose one-hot/filter build
+            # raises on out-of-range offsets): a silently clamped
+            # mv_table row would gather the wrong normalization window
+            raise ValueError(
+                f"max_moveout override {max_mv - pad_left} is smaller "
+                f"than the bank's actual max moveout "
+                f"{int(mv_flat.max(initial=0)) - pad_left} "
+                f"(ysel='gather' cannot clamp)"
+            )
+
         tp_flat = templates.reshape(n_tp, n_ch, L)
         tp_dm = tp_flat - tp_flat.mean(axis=-1, keepdims=True)
         x_norm = np.sqrt((tp_dm.astype(np.float64) ** 2).sum(-1)).astype(
@@ -720,25 +742,28 @@ class PallasMatchedFilterPlan:
         filt = np.zeros((n_tp, n_ch, LM_pad), np.float32)
         idx = mv_flat[:, :, None] + np.arange(L)[None, None, :]
         np.put_along_axis(filt, idx, tp_dm * scale[:, :, None], axis=-1)
-        sel = np.zeros((n_tp, n_ch, Q * 128), np.float32)
-        np.put_along_axis(
-            sel, mv_flat[:, :, None],
-            (scale > 0)[:, :, None].astype(np.float32), axis=-1,
-        )
+        if ysel == "matmul":
+            sel = np.zeros((n_tp, n_ch, Q * 128), np.float32)
+            np.put_along_axis(
+                sel, mv_flat[:, :, None],
+                (scale > 0)[:, :, None].astype(np.float32), axis=-1,
+            )
+            sel = np.ascontiguousarray(np.transpose(sel, (1, 0, 2)))
         filt = np.ascontiguousarray(np.transpose(filt, (1, 0, 2)))
-        sel = np.ascontiguousarray(np.transpose(sel, (1, 0, 2)))
         if n_tp_pad > n_tp:
             pad = ((0, 0), (0, n_tp_pad - n_tp), (0, 0))
             filt = np.pad(filt, pad)
-            sel = np.pad(sel, pad)
+            if ysel == "matmul":
+                sel = np.pad(sel, pad)
         # reverse each 128-tap block for the kernel's G127 Hankel layout
         # (G127[r, col] = d[col + 127 - r])
         filt = np.ascontiguousarray(
             filt.reshape(n_ch, n_tp_pad, -1, 128)[..., ::-1]
         ).reshape(n_ch, n_tp_pad, LM_pad)
-        sel = np.ascontiguousarray(
-            sel.reshape(n_ch, n_tp_pad, -1, 128)[..., ::-1]
-        ).reshape(n_ch, n_tp_pad, Q * 128)
+        if ysel == "matmul":
+            sel = np.ascontiguousarray(
+                sel.reshape(n_ch, n_tp_pad, -1, 128)[..., ::-1]
+            ).reshape(n_ch, n_tp_pad, Q * 128)
 
         # per-channel live tap-block bounds: k blocks outside the channel's
         # moveout span hold all-zero filter rows and are skipped in-kernel
@@ -773,19 +798,10 @@ class PallasMatchedFilterPlan:
             total = float(n_ch * (n_k + Q))
             dense = total > 0 and live / total >= 0.75
         self.dense = bool(dense)
-        # normalization select: 'gather' replaces the Q one-hot matmul
-        # tap-blocks per channel with n_tp dynamic (1, B) VMEM slices of
-        # the f32 y row (exact select, no MXU passes, no y Hankel roll,
-        # no bf16 y split).  Default pending the hardware sweep
-        # (scripts/mf_variants.py); 'matmul' is the round-4 measured rung.
-        if ysel is None:
-            ysel = "matmul"
-        if ysel not in ("matmul", "gather"):
-            raise ValueError(f"unknown ysel {ysel!r}")
-        self.ysel = ysel
         # per-(channel, template) moveout table for the gather (SMEM);
-        # padded/dead rows clamp to 0 — their corr rows are all-zero and
+        # padded/dead rows stay 0 — their corr rows are all-zero and
         # the hi/lo lag mask removes them, so any in-bounds y is fine
+        # (gather mode raised above if any moveout exceeds max_mv)
         mv_t = np.zeros((n_ch, n_tp_pad), np.int32)
         mv_t[:, :n_tp] = np.clip(mv_flat, 0, max_mv).T
         self.mv_table = jnp.asarray(mv_t)

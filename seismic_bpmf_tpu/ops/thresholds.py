@@ -251,6 +251,191 @@ def _batch_candidates_kernel(ts, gauss, num_dev, caps, margin, *, win,
     return jax.vmap(one)(ts, caps)
 
 
+L2_SUB = 32        # level-2 narrowing sub-block (samples)
+L2_KEEP = 512      # level-2 sub-blocks kept before the final top-k
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("win", "shift", "n_win", "k", "k_blocks", "G", "n"),
+)
+def _batch_candidates_rms_fused(cc, gauss, num_dev, caps, margin, *, win,
+                                shift, n_win, k, k_blocks, G, n):
+    """Natively-batched rms threshold + hierarchical top-k extraction.
+
+    Replaces the vmapped (`_tdt_rms_kernel` + `_candidate_extract_two_stage`)
+    composition for the production day-scan shape: the vmap lowering
+    materializes the filled series, the full-length expanded threshold and
+    the excess series per row (~5 full (n_tp, n) temporaries) and runs a
+    whole-series top-k; hardware attribution (scripts/extract_diag.py)
+    put that at ~300 ms/day at 128 templates vs ~320 ms for the CC scan
+    itself.  This version:
+
+      * computes the window mean/std from G-sample block partial sums,
+        G = gcd(win, shift) (exact: windows are whole numbers of blocks),
+        so the zero-fill is applied analytically per block
+        (fill = center + gauss*dev  =>  filled block sums are linear in
+        the block's [sum, sum^2, n_zero, sum_g@zero, sum_g^2@zero]) and
+        the filled series is never materialized;
+      * keeps the threshold as the (n_win,) window table; the per-sample
+        threshold index is arithmetic (i >= n - shift ? n_win-1 :
+        min(i//shift, n_win-1)), so the expanded threshold is never
+        materialized either — the candidate comparison gathers from the
+        table inside the fused compare+count loop;
+      * narrows candidates hierarchically (512-sample blocks -> top
+        k_blocks by count -> 32-sample sub-blocks -> top L2_KEEP ->
+        final top-k over k_blocks*L2_SUB*... ~16 K lags) instead of one
+        top-k over 131 K gathered lags;
+      * computes the CC kurtosis from raw power sums in the same
+        compare pass (no extra full-series passes).
+
+    Exactness contract (same as the two-stage kernel): the returned set
+    equals {i: cc[i] > thr[i] - margin} whenever n_above <= k, at most
+    k_blocks 512-blocks hold candidates AND at most L2_KEEP 32-sample
+    sub-blocks of those blocks do; `blocks_hit` > k_blocks signals the
+    caller's exact fallback otherwise (a level-2 overflow reports
+    k_blocks + 1 + sub_hit).
+
+    Reference semantics: BPMF/libc.c:516-673 (threshold) +
+    BPMF/libc.c:441-485 (selection; the dedup half lives in
+    `dedup_detection_indexes`).
+    """
+    n_tp = cc.shape[0]
+    r, s = win // G, shift // G
+
+    # ---- pass 1: G-block partial sums -> window thresholds ----
+    n_need = (n_win - 1) * shift + win
+    n_glob = (n // win) * win
+    n_cov = max(n_need, n_glob)
+    nb1 = n_cov // G
+    xh = cc[:, :n_cov].reshape(n_tp, nb1, G)
+    g_full = gauss[
+        (jnp.arange(n_cov, dtype=jnp.int32) % GAUSSIAN_SAMPLE_LEN)
+    ].reshape(nb1, G)
+    z = xh == 0.0
+    b_x = jnp.sum(xh, axis=-1)
+    b_x2 = jnp.sum(xh * xh, axis=-1)
+    b_z = jnp.sum(z, axis=-1).astype(jnp.float32)
+    b_zg = jnp.sum(jnp.where(z, g_full[None], 0.0), axis=-1)
+    b_zg2 = jnp.sum(jnp.where(z, g_full[None] * g_full[None], 0.0), axis=-1)
+
+    kg = n_glob // G
+    n_nz = jnp.maximum(
+        jnp.float32(n_glob) - jnp.sum(b_z[:, :kg], axis=1), 1.0
+    )
+    center = jnp.sum(b_x[:, :kg], axis=1) / n_nz
+    dev = jnp.sqrt(jnp.maximum(
+        jnp.sum(b_x2[:, :kg], axis=1) / n_nz - center * center, 0.0
+    ))
+    c, d = center[:, None], dev[:, None]
+
+    # filled-series block sums (fill = center + gauss * dev at zeros)
+    fb1 = b_x + c * b_z + d * b_zg
+    fb2 = b_x2 + c * c * b_z + 2.0 * c * d * b_zg + d * d * b_zg2
+
+    # window sums over whole blocks: window i = blocks [i*s, i*s + r)
+    wsel = (
+        jnp.arange(n_win, dtype=jnp.int32)[:, None] * s
+        + jnp.arange(r, dtype=jnp.int32)[None, :]
+    )  # (n_win, r) constant
+    s1 = jnp.sum(fb1[:, wsel], axis=-1)
+    s2 = jnp.sum(fb2[:, wsel], axis=-1)
+    mean = s1 / win
+    var = jnp.maximum(s2 / win - mean * mean, 0.0)
+    thr_w = mean + num_dev * jnp.sqrt(var)
+
+    # "delay the jump" pairwise maxima (same algebra as _tdt_rms_kernel)
+    thr1 = jnp.concatenate(
+        [thr_w[:, :1], jnp.maximum(thr_w[:, 1:], thr_w[:, :-1])], axis=1
+    )
+    thr2 = jnp.concatenate(
+        [jnp.maximum(thr1[:, :-1], thr1[:, 1:]), thr1[:, -1:]], axis=1
+    )
+    thr2 = jnp.minimum(thr2, caps[:, None])  # per-row absolute CC cap
+
+    def thr_at(i):
+        """Threshold-table index for absolute sample positions i (i32)."""
+        j = jnp.minimum(i // shift, n_win - 1)
+        return jnp.where(i >= n - shift, n_win - 1, j)
+
+    # ---- pass 2: fused compare + count + moments over 512-blocks ----
+    Bc = CANDIDATE_BLOCK
+    nbc = -(-n // Bc)
+    pad = nbc * Bc - n
+    ccp = jnp.pad(cc, ((0, 0), (0, pad)))
+    xb = ccp.reshape(n_tp, nbc, Bc)
+    ib = (
+        jnp.arange(nbc, dtype=jnp.int32)[:, None] * Bc
+        + jnp.arange(Bc, dtype=jnp.int32)[None, :]
+    )  # (nbc, Bc) constant absolute positions
+    valid = ib < n
+    jb = thr_at(ib)  # (nbc, Bc) constant
+    thr_b = jnp.take(thr2, jb, axis=1)  # (n_tp, nbc, Bc) gather
+    excess = jnp.where(valid[None], xb - thr_b + margin, -jnp.inf)
+    pos = excess > 0.0
+    counts = jnp.sum(pos, axis=-1)          # (n_tp, nbc)
+    n_above = jnp.sum(counts, axis=-1)
+    blocks_hit = jnp.sum(counts > 0, axis=-1)
+
+    # raw power sums for the kurtosis (over the true n samples; pad = 0
+    # contributes nothing to sums, count uses the static n)
+    xv = jnp.where(valid[None], xb, 0.0)
+    x2 = xv * xv
+    m1 = jnp.sum(xv, axis=(1, 2))
+    m2r = jnp.sum(x2, axis=(1, 2))
+    m3r = jnp.sum(x2 * xv, axis=(1, 2))
+    m4r = jnp.sum(x2 * x2, axis=(1, 2))
+    mu = m1 / n
+    m2c = jnp.maximum(m2r / n - mu * mu, 0.0)
+    m4c = (m4r - 4.0 * mu * m3r + 6.0 * mu * mu * m2r) / n - 3.0 * mu**4
+    kurto = jnp.where(m2c > 0, m4c / (m2c * m2c) - 3.0, 0.0)
+
+    # ---- narrowing: top blocks by count -> top sub-blocks -> top-k ----
+    kb = min(k_blocks, nbc)
+    _, bidx = jax.lax.top_k(counts, kb)      # (n_tp, kb)
+    blk_x = jnp.take_along_axis(xb, bidx[:, :, None], axis=1)
+    i_sel = bidx[:, :, None] * Bc + jnp.arange(Bc, dtype=jnp.int32)
+    j_sel = thr_at(i_sel)
+    thr_sel = jnp.take_along_axis(
+        thr2, j_sel.reshape(n_tp, -1), axis=1
+    ).reshape(n_tp, kb, Bc)
+    exc_sel = jnp.where(
+        i_sel < n, blk_x - thr_sel + margin, -jnp.inf
+    )  # (n_tp, kb, Bc)
+
+    n_sub = Bc // L2_SUB
+    exc_sub = exc_sel.reshape(n_tp, kb * n_sub, L2_SUB)
+    counts2 = jnp.sum(exc_sub > 0.0, axis=-1)  # (n_tp, kb*n_sub)
+    sub_hit = jnp.sum(counts2 > 0, axis=-1)
+    l2 = min(L2_KEEP, kb * n_sub)
+    _, sidx = jax.lax.top_k(counts2, l2)       # (n_tp, l2)
+    exc_l2 = jnp.take_along_axis(
+        exc_sub, sidx[:, :, None], axis=1
+    ).reshape(n_tp, l2 * L2_SUB)
+    # global sample index of flat position p in exc_l2
+    base = (
+        jnp.take_along_axis(bidx, sidx // n_sub, axis=1) * Bc
+        + (sidx % n_sub) * L2_SUB
+    )  # (n_tp, l2)
+
+    kk = min(k, l2 * L2_SUB)
+    top_exc, p = jax.lax.top_k(exc_l2, kk)     # (n_tp, kk)
+    idx = jnp.take_along_axis(base, p // L2_SUB, axis=1) + p % L2_SUB
+    idx = jnp.minimum(idx, n - 1)
+    cc_v = jnp.take_along_axis(cc, idx, axis=1)
+    thr_v = jnp.take_along_axis(
+        thr2, thr_at(idx), axis=1
+    )
+
+    # a level-2 overflow invalidates the extraction exactly like a
+    # level-1 overflow: report past the caller's k_blocks bound
+    blocks_hit = jnp.where(
+        sub_hit > l2, jnp.maximum(blocks_hit, k_blocks + 1 + sub_hit),
+        blocks_hit,
+    )
+    return idx, cc_v, thr_v, n_above, kurto, blocks_hit
+
+
 def batch_candidates(
     cc,
     caps,
@@ -262,6 +447,7 @@ def batch_candidates(
     k_blocks: int = 256,
     threshold_type: str = "rms",
     margin: float = 0.0,
+    fused: bool = True,
 ):
     """Thresholds + top-k candidate extraction for a whole template chunk
     in ONE device program and one host fetch.
@@ -278,6 +464,12 @@ def batch_candidates(
     (reported `thr_vals` stay the true thresholds): the screen-precision
     engine extracts with a safety margin covering the screened series'
     rounding error, then refines candidates exactly.
+
+    `fused=True` (default) routes the rms path through
+    `_batch_candidates_rms_fused`, which never materializes the filled
+    series or the expanded threshold (same semantics, fp-rounding-level
+    threshold differences); `fused=False` keeps the vmapped
+    per-row composition (and is the only path for 'mad').
     """
     ts = jnp.asarray(cc, jnp.float32)
     n = ts.shape[-1]
@@ -297,6 +489,15 @@ def batch_candidates(
     if white_noise is None:
         white_noise = np.random.normal(size=n_noise).astype(np.float32)
     gauss = jnp.asarray(white_noise, jnp.float32)[:n_noise]
+    if threshold_type == "rms" and fused and n_win >= 1 and win > 0:
+        import math
+
+        return _batch_candidates_rms_fused(
+            ts, gauss, jnp.float32(num_dev),
+            jnp.asarray(caps, jnp.float32), jnp.float32(margin),
+            win=win, shift=shift, n_win=n_win, k=k, k_blocks=k_blocks,
+            G=math.gcd(win, shift), n=int(n),
+        )
     return _batch_candidates_kernel(
         ts, gauss, jnp.float32(num_dev),
         jnp.asarray(caps, jnp.float32), jnp.float32(margin),

@@ -336,6 +336,15 @@ def scan_days(
     make_data(date) -> a `Data` instance with waveforms read.  The next
     day's waveforms are read on a background thread while the current day
     computes (the reference's ThreadPool IO, SURVEY.md §2.4 P7).
+
+    Resume contract: the state file records only ``{date:
+    {"n_detections": N}}`` — per-day detection COUNTS, not the events.
+    Completed days are skipped on resume and their events are NOT
+    re-returned in `results`; a lossless resumable campaign must
+    therefore persist events as it goes by setting `db_path` (stage='mf'
+    writes per-template detection files, stage='bp' per-day raw files).
+    Running stage='mf' with a `state_file` but no `db_path` logs a
+    warning: a crash-resume would keep the counts and lose the events.
     """
     import json
     from concurrent.futures import ThreadPoolExecutor
@@ -347,6 +356,13 @@ def scan_days(
     if stage == "bp" and (network is None or travel_times is None):
         raise ValueError("stage='bp' requires network and travel_times")
 
+    if state_file is not None and db_path is None:
+        logger.warning(
+            "scan_days: state_file without db_path — the state keeps "
+            "per-day detection counts only; a resumed campaign skips "
+            "completed days WITHOUT re-returning their events.  Set "
+            "db_path to persist detections for a lossless resume."
+        )
     done = {}
     if state_file is not None and os.path.isfile(state_file):
         with open(state_file) as f:

@@ -394,6 +394,83 @@ class TestBatchCandidates:
                 idx2, np.sort(np.asarray(out1[0])[:na2])
             )
 
+    def test_fused_matches_vmapped(self):
+        """The fused rms kernel (block-sum thresholds, hierarchical
+        narrowing) returns the same candidate set as the vmapped
+        per-row composition, including zero-fill regions, mostly-zero
+        rows, clustered runs and a ragged tail."""
+        import jax.numpy as jnp
+
+        from seismic_bpmf_tpu.ops.thresholds import batch_candidates
+
+        rng = np.random.default_rng(7)
+        n_tp, n = 6, 137_003  # not a multiple of the 512 extract block
+        cc = rng.normal(size=(n_tp, n)).astype(np.float32) * 0.01
+        cc[:, 5000:9000] = 0.0  # zero region exercises the fill algebra
+        cc[2, :] = 0.0
+        cc[2, 50000:50010] = 0.4  # mostly-zero row
+        for t in range(n_tp):
+            cc[t, rng.integers(100, n, size=5)] += 0.5
+            s = int(rng.integers(1000, n - 100))
+            cc[t, s : s + 20] += 0.45  # clustered run
+        wn = rng.normal(size=500).astype(np.float32)
+        caps = np.linspace(0.3, 0.9, n_tp).astype(np.float32)
+
+        kw = dict(white_noise=wn, k=64, k_blocks=32, overlap=0.25,
+                  margin=0.003)
+        a = [np.asarray(x) for x in batch_candidates(
+            jnp.asarray(cc), caps, 4096, 8.0, fused=True, **kw)]
+        b = [np.asarray(x) for x in batch_candidates(
+            jnp.asarray(cc), caps, 4096, 8.0, fused=False, **kw)]
+        for t in range(n_tp):
+            na = int(a[3][t])
+            assert na == int(b[3][t])
+            assert int(a[5][t]) == int(b[5][t])  # blocks_hit
+            np.testing.assert_array_equal(
+                np.sort(a[0][t][:na]), np.sort(b[0][t][:na])
+            )
+            np.testing.assert_allclose(  # thresholds to fp tolerance
+                np.sort(a[2][t][:na]), np.sort(b[2][t][:na]),
+                rtol=2e-5, atol=2e-6,
+            )
+            np.testing.assert_allclose(a[4][t], b[4][t], rtol=1e-3,
+                                       atol=1e-4)
+
+    def test_fused_level2_overflow_flag(self):
+        """Candidates in <= k_blocks 512-blocks but > L2_KEEP 32-sample
+        sub-blocks: the fused kernel must report past k_blocks so the
+        caller's exact fallback triggers."""
+        import jax.numpy as jnp
+
+        from seismic_bpmf_tpu.ops.thresholds import (
+            CANDIDATE_BLOCK,
+            L2_KEEP,
+            L2_SUB,
+            batch_candidates,
+        )
+
+        rng = np.random.default_rng(13)
+        n = 700 * CANDIDATE_BLOCK
+        cc = rng.normal(size=(1, n)).astype(np.float32) * 0.01
+        # 40 full blocks, every 32-sample sub-block hit: 640 sub-blocks.
+        # Blocks are spread 16 apart so each 8-block threshold window
+        # holds at most one (denser spikes would lift their own window's
+        # rms threshold above the spike height).
+        n_sub = CANDIDATE_BLOCK // L2_SUB
+        hit_blocks = 40
+        assert hit_blocks * n_sub > L2_KEEP
+        for b in range(hit_blocks):
+            for s in range(n_sub):
+                cc[0, 16 * b * CANDIDATE_BLOCK + s * L2_SUB + 3] += 0.6
+        wn = rng.normal(size=500).astype(np.float32)
+        caps = np.full(1, 0.9, np.float32)
+        k_blocks = 64  # level 1 holds (40 <= 64); level 2 overflows
+        out = [np.asarray(x) for x in batch_candidates(
+            jnp.asarray(cc), caps, 4096, 8.0, white_noise=wn,
+            k=1024, k_blocks=k_blocks, overlap=0.25, fused=True)]
+        assert int(out[5][0]) > k_blocks  # overflow visible to caller
+        assert int(out[3][0]) == hit_blocks * n_sub  # n_above still exact
+
     def test_batch_candidates_mad(self):
         import jax.numpy as jnp
 
