@@ -209,18 +209,19 @@ def bench_mf(precision: str = "high"):
 
     run()  # compile
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         run()
         times.append(time.time() - t0)
-    dt = min(times)
+    dt = float(np.median(times))
     n_corr = plans[0].n_corr_unit
     gmacs = n_tp * n_sta * n_comp * n_corr * L / dt / 1e9
     return {
         "metric": "matched_filter_throughput",
         "value": round(gmacs, 1),
         "unit": f"GMAC/s/chip (128 templates x 30 ch x 1 day @ 25 Hz, "
-                f"{precision})",
+                f"{precision}, median of 5; min-rep "
+                f"{n_tp * n_sta * n_comp * n_corr * L / min(times) / 1e9:.0f})",
         "vs_baseline": round(gmacs / CPU_BASELINE_GMACS, 1),
     }
 
@@ -252,25 +253,41 @@ def bench_mf_extraction(precision: str = "high"):
     data_pad = plan.pad_data(data)
     caps = np.full(n_tp, 0.8, np.float32)
 
-    def run():
-        cc = jnp.nan_to_num(plan(data_pad))
-        out = batch_candidates(cc, caps, swin, 8.0, overlap=0.25,
-                               white_noise=wn, k=1024)
-        return [np.asarray(a) for a in out]
+    # scan + threshold/extraction enqueue back-to-back (async dispatch);
+    # the packed extraction output crosses to the host in ONE fetch.
+    # (Do NOT jit-compose over plan(): the plan's device-resident filter
+    # banks would become closure-captured literal constants of the
+    # composed HLO -- hundreds of MB, pathological compile times.)
+    from seismic_bpmf_tpu.ops.thresholds import RmsExtractionPlan
 
-    run()  # compile
-    times = []
-    for _ in range(3):
-        t0 = time.time()
-        run()
-        times.append(time.time() - t0)
-    dt = min(times)
+    eplan = RmsExtractionPlan(plan.n_corr_unit, swin, overlap=0.25,
+                              white_noise=wn, k=1024)
+    caps_j = jnp.asarray(caps)
+
+    def step(d):
+        cc = jnp.nan_to_num(plan(d))
+        return eplan.extract(cc, caps_j, 8.0, pack=True)
+
+    eplan.unpack(step(data_pad))  # compile + warm
+    # steady-state campaign pipeline: day N+1's program is dispatched
+    # before day N's packed candidates are fetched, so the (one) host
+    # fetch overlaps device compute exactly as `scan_days` runs it
+    reps = 6
+    t0 = time.time()
+    pend = step(data_pad)
+    for _ in range(reps - 1):
+        nxt = step(data_pad)
+        eplan.unpack(pend)
+        pend = nxt
+    eplan.unpack(pend)
+    dt = (time.time() - t0) / reps
     gmacs = n_tp * n_sta * n_comp * plan.n_corr_unit * L / dt / 1e9
     return {
         "metric": "matched_filter_with_extraction",
         "value": round(gmacs, 1),
         "unit": f"GMAC/s/chip sustained incl. threshold+top-k extraction "
-                f"(128 templates x 1 day, {precision})",
+                f"(128 templates x 1 day, {precision}, {reps}-day "
+                f"pipelined steady state)",
         "vs_baseline": round(gmacs / CPU_BASELINE_GMACS, 1),
     }
 
@@ -313,11 +330,22 @@ def bench_mf_screen():
     data_pad = plan.pad_data(data)
     caps = np.full(n_tp, 0.8, np.float32)
 
-    def run():
-        cc = jnp.nan_to_num(plan(data_pad))
-        out = batch_candidates(cc, caps, swin, 8.0, overlap=0.25,
-                               white_noise=wn, k=1024, margin=0.01)
-        idx, ccv, thv, n_above = (np.asarray(a) for a in out[:4])
+    # per day: bf16 scan + margin-widened threshold/extraction enqueued
+    # back-to-back (async dispatch, one packed host fetch); the float64
+    # host refine then restores oracle CC values at every candidate --
+    # the screen engine's production dispatch order
+    from seismic_bpmf_tpu.ops.thresholds import RmsExtractionPlan
+
+    eplan = RmsExtractionPlan(plan.n_corr_unit, swin, overlap=0.25,
+                              white_noise=wn, k=1024)
+    caps_j = jnp.asarray(caps)
+
+    def step(d):
+        cc = jnp.nan_to_num(plan(d))
+        return eplan.extract(cc, caps_j, 8.0, margin=0.01, pack=True)
+
+    def refine(out):
+        idx, ccv, thv, n_above = eplan.unpack(out)[:4]
         n_ref = 0
         for t in range(n_tp):
             n = min(int(n_above[t]), idx.shape[1])
@@ -326,19 +354,27 @@ def bench_mf_screen():
                 n_ref += n
         return n_ref
 
-    n_ref = run()  # compile
-    times = []
-    for _ in range(3):
-        t0 = time.time()
-        run()
-        times.append(time.time() - t0)
-    dt = min(times)
+    n_ref = refine(step(data_pad))  # compile + warm
+    # steady-state campaign pipeline: the next day's scan+extraction is
+    # dispatched before this day's candidates are fetched and refined,
+    # so the fetch AND the float64 host refine overlap device compute
+    # (exactly the `scan_days` dispatch order)
+    reps = 6
+    t0 = time.time()
+    pend = step(data_pad)
+    for _ in range(reps - 1):
+        nxt = step(data_pad)
+        refine(pend)
+        pend = nxt
+    refine(pend)
+    dt = (time.time() - t0) / reps
     gmacs = n_tp * n_sta * n_comp * plan.n_corr_unit * L / dt / 1e9
     return {
-        "metric": "matched_filter_screen_mode",
+        "metric": "matched_filter_detection_parity_throughput",
         "value": round(gmacs, 1),
         "unit": f"GMAC/s/chip sustained incl. extraction + exact refine of "
-                f"{n_ref} candidates (128 templates x 1 day, screen)",
+                f"{n_ref} candidates/day (128 templates x 1 day, screen, "
+                f"{reps}-day pipelined steady state)",
         "vs_baseline": round(gmacs / CPU_BASELINE_GMACS, 1),
     }
 
@@ -465,15 +501,16 @@ def bench_phasenet():
 
     run()  # compile
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         run()
         times.append(time.time() - t0)
-    dt = min(times)
+    dt = float(np.median(times))
     return {
         "metric": "phasenet_day_inference",
         "value": round(dt, 2),
-        "unit": "s/day (10 sta x 3 comp x 2.16 M samples, device-resident)",
+        "unit": "s/day (10 sta x 3 comp x 2.16 M samples, device-resident, "
+                "median of 5)",
         "vs_baseline": round(60.0 / dt, 1),  # ~1 min/day torch-CPU ballpark
     }
 
@@ -588,7 +625,10 @@ def main():
         for name, fn in (
             ("mf_extraction", bench_mf_extraction),
             ("mf_screen", bench_mf_screen),
-            ("beamform", lambda: bench_bp(n_src=10_000, budget_s=30.0,
+            # the BASELINE fine-grid config is 1M sources; 100k in the
+            # extras keeps the plan build + sweep inside the driver's
+            # budget while exercising the same chunked production path
+            ("beamform", lambda: bench_bp(n_src=100_000, budget_s=60.0,
                                           precision="high")),
             ("phasenet", bench_phasenet),
         ):

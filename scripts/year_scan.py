@@ -110,6 +110,37 @@ def build_bank(cfg, net, make_data, event_times, mv_p, n_tp):
     return TemplateGroup(templates, net)
 
 
+def churn_wrapper(make_data, net, n_patterns):
+    """Availability churn: each day drops 1-2 stations (pattern chosen by
+    day index modulo `n_patterns`; pass n_patterns >= days for unique-
+    per-day churn) and rolls the waveforms by a pattern-dependent shift,
+    then recomputes per-channel availability.  With
+    weights_method='closest_stations' every new pattern changes the
+    channel weights -> new plan CRCs -> full filter rebuild + re-upload,
+    the production cost a frictionless replayed-day campaign never pays
+    (reference per-day weight refresh:
+    BPMF/similarity_search.py:423-474 + BPMF/dataset.py:5010-5035)."""
+    stations = list(net.stations)
+
+    def make(date):
+        d = int("".join(ch for ch in str(date) if ch.isdigit()) or 0)
+        pat = d % max(n_patterns, 1)
+        rng = np.random.default_rng(10_000 + pat)
+        data = make_data(date)
+        drop = rng.choice(len(stations), size=1 + pat % 2, replace=False)
+        dropped = {stations[i] for i in drop}
+        shift = int(rng.integers(0, 20_000))
+        for tr in data.traces:
+            if tr.stats.station in dropped:
+                tr.data = np.zeros_like(tr.data)
+            elif shift:
+                tr.data = np.roll(tr.data, shift)
+        data.set_availability(stations)
+        return data
+
+    return make
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--days", type=int, default=365)
@@ -119,6 +150,12 @@ def main():
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--day-sec", type=float, default=86400.0,
                     help="shorten for smoke tests")
+    ap.add_argument("--churn", type=int, default=0, metavar="N",
+                    help="station-availability churn with N distinct "
+                         "patterns (N >= days -> unique per day; days "
+                         "then use weights_method='closest_stations' so "
+                         "each pattern rebuilds + re-uploads the filter "
+                         "bank)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (JAX_PLATFORMS env is not "
                          "honored when an accelerator plugin is present)")
@@ -144,12 +181,19 @@ def main():
           f"{time.time()-t0:.1f}s", flush=True)
 
     dates = [f"day{d:03d}" for d in range(args.days)]
+    day_fn, extra = make_data, {}
+    if args.churn > 0:
+        day_fn = churn_wrapper(make_data, net, args.churn)
+        extra = dict(weights_method="closest_stations",
+                     weights_kwargs={"num_closest_stations": 8})
+        print(f"# churn: {args.churn} availability patterns, "
+              f"closest-station weights", flush=True)
     t0 = time.time()
     results = workflow.scan_days(
-        dates, make_data, tg, cfg=cfg, state_file=args.state,
+        dates, day_fn, tg, cfg=cfg, state_file=args.state,
         minimum_interevent_time=5.0, threshold_window_dur=1800.0,
         min_channels=3, min_stations=2, max_kurto=1e6,
-        precision=args.precision,
+        precision=args.precision, **extra,
     )
     wall = time.time() - t0
     n_days = len(results)

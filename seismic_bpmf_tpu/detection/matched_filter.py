@@ -644,19 +644,38 @@ class MatchedFilter:
         stack_tids, stack = getattr(self, "_cc_stack", (None, None))
         cc_in = (stack if stack_tids == dev_tids
                  else jnp.stack([self.cc[tid] for tid in dev_tids]))
-        out = batch_candidates(
-            cc_in,
-            caps,
-            int(sec_to_samp(self.threshold_window_dur, sr=sr)),
-            self.cfg.n_dev_mf_threshold,
-            overlap=self.overlap,
-            white_noise=white_noise,
-            k=self.MAX_CANDIDATES,
-            k_blocks=self.MAX_CANDIDATE_BLOCKS,
-            threshold_type=self.threshold_type,
-            margin=self._margin(),
-        )
-        self._cand_pending = (dev_tids, out)
+        swin = int(sec_to_samp(self.threshold_window_dur, sr=sr))
+        eplan = None
+        if self.threshold_type == "rms":
+            from ..ops.thresholds import _rms_plan
+
+            eplan = _rms_plan(int(cc_in.shape[-1]), swin, self.overlap,
+                              white_noise, self.MAX_CANDIDATES,
+                              self.MAX_CANDIDATE_BLOCKS)
+            if not eplan.supported:
+                eplan = None
+            else:
+                white_noise = eplan.white_noise
+        if eplan is not None:
+            # packed fused path: the whole chunk's extraction crosses to
+            # the host in ONE array fetch (a per-output np.asarray costs
+            # a ~25 ms tunnel round trip each)
+            out = eplan.extract(cc_in, caps, self.cfg.n_dev_mf_threshold,
+                                margin=self._margin(), pack=True)
+        else:
+            out = batch_candidates(
+                cc_in,
+                caps,
+                swin,
+                self.cfg.n_dev_mf_threshold,
+                overlap=self.overlap,
+                white_noise=white_noise,
+                k=self.MAX_CANDIDATES,
+                k_blocks=self.MAX_CANDIDATE_BLOCKS,
+                threshold_type=self.threshold_type,
+                margin=self._margin(),
+            )
+        self._cand_pending = (dev_tids, eplan, out)
         if fetch:
             self._batch_extract_collect()
         return white_noise
@@ -677,11 +696,16 @@ class MatchedFilter:
         path re-extracts them exactly); returns those tids."""
         if self._cand_pending is None:
             return []
-        dev_tids, out = self._cand_pending
+        dev_tids, eplan, out = self._cand_pending
         self._cand_pending = None
-        idx, cc_vals, thr_vals, n_above, kurto, blocks_hit = (
-            np.asarray(a) for a in out
-        )
+        if eplan is not None:
+            idx, cc_vals, thr_vals, n_above, kurto, blocks_hit = (
+                eplan.unpack(out)
+            )
+        else:
+            idx, cc_vals, thr_vals, n_above, kurto, blocks_hit = (
+                np.asarray(a) for a in out
+            )
         needs_rerun = []
         for j, tid in enumerate(dev_tids):
             if blocks_hit[j] > self.MAX_CANDIDATE_BLOCKS:

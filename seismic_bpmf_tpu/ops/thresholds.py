@@ -255,12 +255,20 @@ L2_SUB = 32        # level-2 narrowing sub-block (samples)
 L2_KEEP = 512      # level-2 sub-blocks kept before the final top-k
 
 
+def _rms_cov_len(n: int, win: int, shift: int, n_win: int) -> int:
+    """Length of the block-summed prefix pass: covers every threshold
+    window AND every whole `win` block of the global center/dev stats."""
+    return max((n_win - 1) * shift + win, (n // win) * win)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("win", "shift", "n_win", "k", "k_blocks", "G", "n"),
+    static_argnames=("win", "shift", "n_win", "k", "k_blocks", "G", "n",
+                     "pack"),
 )
-def _batch_candidates_rms_fused(cc, gauss, num_dev, caps, margin, *, win,
-                                shift, n_win, k, k_blocks, G, n):
+def _batch_candidates_rms_fused(cc, g_tiled, num_dev, caps, margin, *, win,
+                                shift, n_win, k, k_blocks, G, n,
+                                pack=False):
     """Natively-batched rms threshold + hierarchical top-k extraction.
 
     Replaces the vmapped (`_tdt_rms_kernel` + `_candidate_extract_two_stage`)
@@ -304,14 +312,14 @@ def _batch_candidates_rms_fused(cc, gauss, num_dev, caps, margin, *, win,
     r, s = win // G, shift // G
 
     # ---- pass 1: G-block partial sums -> window thresholds ----
-    n_need = (n_win - 1) * shift + win
+    # `g_tiled` is the cyclic 500-sample Gaussian fill pre-tiled to n_cov
+    # samples on the host (a runtime table gather of n_cov scalars costs
+    # tens of ms on TPU; the tiled table uploads once per campaign).
     n_glob = (n // win) * win
-    n_cov = max(n_need, n_glob)
+    n_cov = _rms_cov_len(n, win, shift, n_win)
     nb1 = n_cov // G
     xh = cc[:, :n_cov].reshape(n_tp, nb1, G)
-    g_full = gauss[
-        (jnp.arange(n_cov, dtype=jnp.int32) % GAUSSIAN_SAMPLE_LEN)
-    ].reshape(nb1, G)
+    g_full = g_tiled[:n_cov].reshape(nb1, G)
     z = xh == 0.0
     b_x = jnp.sum(xh, axis=-1)
     b_x2 = jnp.sum(xh * xh, axis=-1)
@@ -390,15 +398,31 @@ def _batch_candidates_rms_fused(cc, gauss, num_dev, caps, margin, *, win,
     m4c = (m4r - 4.0 * mu * m3r + 6.0 * mu * mu * m2r) / n - 3.0 * mu**4
     kurto = jnp.where(m2c > 0, m4c / (m2c * m2c) - 3.0, 0.0)
 
-    # ---- narrowing: top blocks by count -> top sub-blocks -> top-k ----
+    # ---- narrowing: top blocks by count -> top sub-blocks -> sort ----
+    # Hardware attribution (scripts/fused_diag.py): per-row dynamic
+    # gathers at scalar granularity (take_along_axis of the expanded
+    # threshold over kb*Bc lags, and of cc/thr at the final k indices)
+    # cost ~100 ms+ each on TPU, while the top_k calls and WHOLE-block
+    # take_along_axis gathers are nearly free.  So: the selected blocks'
+    # thresholds are reconstructed arithmetically (a 512-sample block
+    # spans at most one window boundary, so thr takes <= 3 values:
+    # table[q], table[q+1] and the tail window), and cc/thr values ride
+    # along the block-granular narrowing gathers; the final selection is
+    # one multi-operand lax.sort instead of top_k + value gathers.
     kb = min(k_blocks, nbc)
     _, bidx = jax.lax.top_k(counts, kb)      # (n_tp, kb)
     blk_x = jnp.take_along_axis(xb, bidx[:, :, None], axis=1)
-    i_sel = bidx[:, :, None] * Bc + jnp.arange(Bc, dtype=jnp.int32)
-    j_sel = thr_at(i_sel)
-    thr_sel = jnp.take_along_axis(
-        thr2, j_sel.reshape(n_tp, -1), axis=1
-    ).reshape(n_tp, kb, Bc)
+    i0 = bidx * Bc                            # block-start positions
+    qs = i0 // shift                          # window index before clamp
+    t_lo = jnp.take_along_axis(thr2, jnp.minimum(qs, n_win - 1), axis=1)
+    t_hi = jnp.take_along_axis(thr2, jnp.minimum(qs + 1, n_win - 1), axis=1)
+    t_tail = thr2[:, -1][:, None, None]       # tail clause: i >= n - shift
+    i_sel = i0[:, :, None] + jnp.arange(Bc, dtype=jnp.int32)
+    bnd = ((qs + 1) * shift)[:, :, None]
+    thr_sel = jnp.where(
+        i_sel >= n - shift, t_tail,
+        jnp.where(i_sel >= bnd, t_hi[:, :, None], t_lo[:, :, None]),
+    )
     exc_sel = jnp.where(
         i_sel < n, blk_x - thr_sel + margin, -jnp.inf
     )  # (n_tp, kb, Bc)
@@ -409,23 +433,32 @@ def _batch_candidates_rms_fused(cc, gauss, num_dev, caps, margin, *, win,
     sub_hit = jnp.sum(counts2 > 0, axis=-1)
     l2 = min(L2_KEEP, kb * n_sub)
     _, sidx = jax.lax.top_k(counts2, l2)       # (n_tp, l2)
-    exc_l2 = jnp.take_along_axis(
-        exc_sub, sidx[:, :, None], axis=1
-    ).reshape(n_tp, l2 * L2_SUB)
-    # global sample index of flat position p in exc_l2
+
+    def _sub_take(a):
+        return jnp.take_along_axis(
+            a.reshape(n_tp, kb * n_sub, L2_SUB), sidx[:, :, None], axis=1
+        ).reshape(n_tp, l2 * L2_SUB)
+
+    exc_l2 = _sub_take(exc_sel)
+    cc_l2 = _sub_take(blk_x)
+    thr_l2 = _sub_take(thr_sel)
+    # global sample index of flat position p in exc_l2 (elementwise from
+    # the narrowing indices -- never gathered from a sample-length table)
     base = (
         jnp.take_along_axis(bidx, sidx // n_sub, axis=1) * Bc
         + (sidx % n_sub) * L2_SUB
     )  # (n_tp, l2)
+    gidx_l2 = (
+        base[:, :, None] + jnp.arange(L2_SUB, dtype=jnp.int32)
+    ).reshape(n_tp, l2 * L2_SUB)
 
     kk = min(k, l2 * L2_SUB)
-    top_exc, p = jax.lax.top_k(exc_l2, kk)     # (n_tp, kk)
-    idx = jnp.take_along_axis(base, p // L2_SUB, axis=1) + p % L2_SUB
-    idx = jnp.minimum(idx, n - 1)
-    cc_v = jnp.take_along_axis(cc, idx, axis=1)
-    thr_v = jnp.take_along_axis(
-        thr2, thr_at(idx), axis=1
+    _, idx_s, cc_s, thr_s = jax.lax.sort(
+        (-exc_l2, gidx_l2, cc_l2, thr_l2), num_keys=1, dimension=-1
     )
+    idx = jnp.minimum(idx_s[:, :kk], n - 1)
+    cc_v = cc_s[:, :kk]
+    thr_v = thr_s[:, :kk]
 
     # a level-2 overflow invalidates the extraction exactly like a
     # level-1 overflow: report past the caller's k_blocks bound
@@ -433,7 +466,101 @@ def _batch_candidates_rms_fused(cc, gauss, num_dev, caps, margin, *, win,
         sub_hit > l2, jnp.maximum(blocks_hit, k_blocks + 1 + sub_hit),
         blocks_hit,
     )
+    if pack:
+        # ONE fetchable f32 array [idx | cc | thr | n_above kurto
+        # blocks_hit]: a separate np.asarray per output costs a ~25 ms
+        # tunnel round trip EACH (~150 ms/day measured); idx/n_above/
+        # blocks_hit are < 2^24 so the f32 packing is exact
+        aux = jnp.stack(
+            [n_above.astype(jnp.float32), kurto,
+             blocks_hit.astype(jnp.float32)], axis=1,
+        )
+        return jnp.concatenate(
+            [idx.astype(jnp.float32), cc_v, thr_v, aux], axis=1
+        )
     return idx, cc_v, thr_v, n_above, kurto, blocks_hit
+
+
+class RmsExtractionPlan:
+    """Host-precomputed constants for the fused rms threshold + candidate
+    extraction: window geometry and the cyclic Gaussian fill pre-tiled to
+    the covered length (uploaded once, reused every day of a campaign).
+
+    `extract` is traceable, so a caller can compose it with the CC scan
+    into ONE jitted device program (one dispatch per chunk instead of
+    two -- the dispatch round trip to a tunneled TPU is ~25 ms).
+    """
+
+    def __init__(self, n: int, sliding_window_samp: int,
+                 overlap: float = 0.66, white_noise=None,
+                 k: int = 1024, k_blocks: int = 256):
+        import math
+
+        n = int(n)
+        swin = min(int(sliding_window_samp), n)
+        half_win = swin // 2
+        self.shift = max(int((1.0 - overlap) * swin), 1)
+        self.win = 2 * half_win
+        self.n_win = ((n - (self.win - self.shift)) // self.shift
+                      if self.shift else 0)
+        self.n, self.k, self.k_blocks = n, int(k), int(k_blocks)
+        # the 3-value threshold select assumes a 512-sample block spans
+        # at most one window boundary
+        self.supported = (self.n_win >= 1 and self.win > 0
+                          and self.shift >= CANDIDATE_BLOCK)
+        if white_noise is None:
+            white_noise = np.random.normal(
+                size=GAUSSIAN_SAMPLE_LEN).astype(np.float32)
+        self.white_noise = np.asarray(
+            white_noise, np.float32)[:GAUSSIAN_SAMPLE_LEN]
+        if self.supported:
+            self.G = math.gcd(self.win, self.shift)
+            n_cov = _rms_cov_len(n, self.win, self.shift, self.n_win)
+            self.g_tiled = jnp.asarray(np.resize(self.white_noise, n_cov))
+        else:
+            self.G, self.g_tiled = 1, None
+
+    def extract(self, cc, caps, num_dev, margin=0.0, pack=False):
+        """Fused threshold + extraction (traceable).  Returns
+        (idx, cc_vals, thr_vals, n_above, kurto, blocks_hit), or with
+        ``pack=True`` one (n_tp, 3k+3) f32 array (ONE host fetch; see
+        `unpack`)."""
+        return _batch_candidates_rms_fused(
+            cc, self.g_tiled, jnp.float32(num_dev),
+            jnp.asarray(caps, jnp.float32), jnp.float32(margin),
+            win=self.win, shift=self.shift, n_win=self.n_win, k=self.k,
+            k_blocks=self.k_blocks, G=self.G, n=self.n, pack=pack,
+        )
+
+    def unpack(self, packed):
+        """Host-side inverse of ``extract(pack=True)`` -> the 6-tuple
+        (idx, cc_vals, thr_vals, n_above, kurto, blocks_hit) as numpy."""
+        a = np.asarray(packed)
+        kk = (a.shape[1] - 3) // 3
+        return (a[:, :kk].astype(np.int64), a[:, kk:2 * kk],
+                a[:, 2 * kk:3 * kk], a[:, 3 * kk].astype(np.int64),
+                a[:, 3 * kk + 1], a[:, 3 * kk + 2].astype(np.int64))
+
+
+_RMS_PLAN_CACHE: dict = {}
+
+
+def _rms_plan(n, sliding_window_samp, overlap, white_noise, k, k_blocks):
+    import zlib
+
+    wn = (np.asarray(white_noise, np.float32)[:GAUSSIAN_SAMPLE_LEN]
+          if white_noise is not None else None)
+    key = (int(n), int(sliding_window_samp), float(overlap), int(k),
+           int(k_blocks),
+           zlib.crc32(wn.tobytes()) if wn is not None else None)
+    plan = _RMS_PLAN_CACHE.get(key)
+    if plan is None:
+        if len(_RMS_PLAN_CACHE) >= 8:
+            _RMS_PLAN_CACHE.pop(next(iter(_RMS_PLAN_CACHE)))
+        plan = RmsExtractionPlan(n, sliding_window_samp, overlap=overlap,
+                                 white_noise=wn, k=k, k_blocks=k_blocks)
+        _RMS_PLAN_CACHE[key] = plan
+    return plan
 
 
 def batch_candidates(
@@ -489,15 +616,11 @@ def batch_candidates(
     if white_noise is None:
         white_noise = np.random.normal(size=n_noise).astype(np.float32)
     gauss = jnp.asarray(white_noise, jnp.float32)[:n_noise]
-    if threshold_type == "rms" and fused and n_win >= 1 and win > 0:
-        import math
-
-        return _batch_candidates_rms_fused(
-            ts, gauss, jnp.float32(num_dev),
-            jnp.asarray(caps, jnp.float32), jnp.float32(margin),
-            win=win, shift=shift, n_win=n_win, k=k, k_blocks=k_blocks,
-            G=math.gcd(win, shift), n=int(n),
-        )
+    if threshold_type == "rms" and fused:
+        plan = _rms_plan(n, sliding_window_samp, overlap, white_noise,
+                         k, k_blocks)
+        if plan.supported:
+            return plan.extract(ts, caps, num_dev, margin)
     return _batch_candidates_kernel(
         ts, gauss, jnp.float32(num_dev),
         jnp.asarray(caps, jnp.float32), jnp.float32(margin),

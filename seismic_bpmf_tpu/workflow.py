@@ -214,6 +214,7 @@ def matched_filter_day(
     minimum_interevent_time: float = 5.0,
     threshold_window_dur: float = 1800.0,
     weights_method: str = "simple",
+    weights_kwargs: Optional[Dict] = None,
     mesh=None,
     db_path: Optional[str] = None,
     mf: Optional[MatchedFilter] = None,
@@ -227,7 +228,8 @@ def matched_filter_day(
     if mf is None:
         mf = MatchedFilter(template_group, cfg=cfg, mesh=mesh, **mf_kwargs)
     mf.set_data(data)
-    mf.set_weights_channels(method=weights_method, normalize=True)
+    mf.set_weights_channels(method=weights_method, normalize=True,
+                            **(weights_kwargs or {}))
     with GLOBAL_TIMER.stage("mf_scan"):
         detections = mf.run_matched_filter_search(
             minimum_interevent_time,
@@ -377,7 +379,7 @@ def scan_days(
         day_kwargs = {
             k: stage_kwargs.pop(k)
             for k in ("minimum_interevent_time", "threshold_window_dur",
-                      "weights_method")
+                      "weights_method", "weights_kwargs")
             if k in stage_kwargs
         }
         mesh = stage_kwargs.pop("mesh", None)

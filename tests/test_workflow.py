@@ -456,6 +456,64 @@ def test_screen_precision_detection_parity(world):
     assert n_total >= 2
 
 
+def test_screen_overflow_fallback_parity(world):
+    """The batched extraction's overflow paths must stay detection-exact
+    in screen mode: with the block bound forced to 1 and the candidate
+    budget to 1, every active template trips `needs_rerun` (blocks_hit >
+    k_blocks) or the n_above > k overflow, so detections come from the
+    per-template re-extraction / host fallback -- margin widening and
+    the exact refine included.  Results must match 'highest'."""
+    from seismic_bpmf_tpu.detection.matched_filter import MatchedFilter
+
+    w = world
+    bf, detections = workflow.backproject_day(
+        w["data"], w["net"], w["tts"], cfg=w["cfg"],
+        minimum_interevent_time=10.0, threshold_window_sec=150.0,
+        num_closest_stations=N_STA,
+    )
+    tg = workflow.build_templates(
+        detections, w["net"], cfg=w["cfg"], data_reader=data_reader_hdf5,
+        dedup_similarity=1.1,  # keep all: the batched path needs >=2 rows
+    )
+    assert tg.n_templates >= 2
+    kw = dict(cfg=w["cfg"], min_channels=3, min_stations=2, max_kurto=1e6,
+              engine="pallas")
+
+    mf_hi = MatchedFilter(tg, precision="highest", **kw)
+    mf_hi.set_data(w["data"])
+    mf_hi.set_weights_channels(method="simple", normalize=True)
+    d_hi = mf_hi.run_matched_filter_search(5.0, threshold_window_dur=150.0)
+
+    mf_sc = MatchedFilter(tg, precision="screen", **kw)
+    mf_sc.MAX_CANDIDATE_BLOCKS = 1  # force blocks_hit > k_blocks
+    mf_sc.MAX_CANDIDATES = 1        # force n_above > k overflow
+    mf_sc.set_data(w["data"])
+    mf_sc.set_weights_channels(method="simple", normalize=True)
+    n_scans = 0
+    orig = mf_sc.compute_cc_time_series
+
+    def counting(*a, **k):
+        nonlocal n_scans
+        n_scans += 1
+        return orig(*a, **k)
+
+    mf_sc.compute_cc_time_series = counting
+    d_sc = mf_sc.run_matched_filter_search(5.0, threshold_window_dur=150.0)
+    # the fallback actually fired: at least one chunk re-scanned
+    assert n_scans >= 2
+
+    assert set(d_hi) == set(d_sc)
+    n_total = 0
+    for tid in d_hi:
+        assert len(d_hi[tid]) == len(d_sc[tid])
+        for e1, e2 in zip(d_hi[tid], d_sc[tid]):
+            assert e1.origin_time == e2.origin_time
+            assert np.isclose(e1.aux_data["cc"], e2.aux_data["cc"],
+                              atol=5e-6, rtol=0)
+            n_total += 1
+    assert n_total >= 2
+
+
 def test_exact_cc_at_matches_oracle(world):
     """The screen refine (`_exact_cc_at`) must agree with the NumPy oracle
     CC at arbitrary lags, including out-of-bounds windows."""
