@@ -157,7 +157,7 @@ def main():
     ap.add_argument("--days", type=int, default=30)
     ap.add_argument("--n-src", type=int, default=10_000)
     ap.add_argument("--day-sec", type=float, default=86400.0)
-    ap.add_argument("--precision", default="high")
+    ap.add_argument("--precision", default="screen")
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--no-phasenet", action="store_true",
                     help="use envelope features (smoke tests)")
@@ -199,7 +199,10 @@ def main():
         db_path=tmp,
         feature_fn=feature_fn, minimum_interevent_time=20.0,
         threshold_window_sec=3600.0, num_closest_stations=len(net.stations),
-        precision=args.precision,
+        # 'screen' is an MF-engine mode (bf16 scan + exact candidate
+        # refine); the BP stage scans at 'high'
+        precision=("high" if args.precision == "screen"
+                   else args.precision),
     )
     t_bp = time.time() - t0
     n_bp = sum(len(v) for v in bp_results.values())

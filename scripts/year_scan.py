@@ -146,7 +146,7 @@ def main():
     ap.add_argument("--days", type=int, default=365)
     ap.add_argument("--templates", type=int, default=1024)
     ap.add_argument("--state", default="/tmp/year_state.json")
-    ap.add_argument("--precision", default="high")
+    ap.add_argument("--precision", default="screen")
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--day-sec", type=float, default=86400.0,
                     help="shorten for smoke tests")

@@ -224,8 +224,18 @@ def matched_filter_day(
 
     Pass a `MatchedFilter` instance via `mf` to reuse it across days —
     its device-resident template plans (filters uploaded once) and
-    compiled kernels then persist, so only the day's waveforms move."""
+    compiled kernels then persist, so only the day's waveforms move.
+
+    The campaign default precision is 'screen': single-pass bf16 scan
+    with margin-widened candidate extraction, then every candidate's CC
+    recomputed exactly (float64 host refine) before the detection
+    decision — detections carry oracle-precision CC values at ~2x the
+    'high' scan rate.  Only the time-dependent threshold keeps the
+    screened series' rounding (measured < 0.2%,
+    tests/test_kernels.py::test_screen_margin_near_threshold_adversarial).
+    Pass precision='high'/'highest' to scan at full precision instead."""
     if mf is None:
+        mf_kwargs.setdefault("precision", "screen")
         mf = MatchedFilter(template_group, cfg=cfg, mesh=mesh, **mf_kwargs)
     mf.set_data(data)
     mf.set_weights_channels(method=weights_method, normalize=True,
@@ -383,6 +393,10 @@ def scan_days(
             if k in stage_kwargs
         }
         mesh = stage_kwargs.pop("mesh", None)
+        # campaign default: 'screen' (bf16 scan + exact per-candidate
+        # refine — detection decisions on oracle-precision CC; see
+        # matched_filter_day)
+        stage_kwargs.setdefault("precision", "screen")
         engine = MatchedFilter(template_group, cfg=cfg, mesh=mesh,
                                **stage_kwargs)
 

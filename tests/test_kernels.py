@@ -471,6 +471,42 @@ class TestBatchCandidates:
         assert int(out[5][0]) > k_blocks  # overflow visible to caller
         assert int(out[3][0]) == hit_blocks * n_sub  # n_above still exact
 
+    def test_fused_tail_boundary_parity(self):
+        """Peaks straddling the threshold tail clause (i >= n - shift,
+        where the window index can jump by more than one): the fused
+        kernel's 3-value blockwise threshold select must match the
+        vmapped expanded-threshold composition exactly."""
+        import jax.numpy as jnp
+
+        from seismic_bpmf_tpu.ops.thresholds import batch_candidates
+
+        rng = np.random.default_rng(3)
+        n, swin, overlap = 137_003, 4096, 0.25
+        shift = int((1.0 - overlap) * swin)
+        cc = rng.normal(size=(2, n)).astype(np.float32) * 0.01
+        tail = n - shift
+        for p in (tail - 600, tail - 1, tail, tail + 1, n - 2):
+            cc[0, p] = 0.5
+            cc[1, p] = 0.45
+        wn = rng.normal(size=500).astype(np.float32)
+        caps = np.full(2, 0.9, np.float32)
+        kw = dict(white_noise=wn, k=64, k_blocks=32, overlap=overlap,
+                  margin=0.003)
+        a = [np.asarray(x) for x in batch_candidates(
+            jnp.asarray(cc), caps, swin, 8.0, fused=True, **kw)]
+        b = [np.asarray(x) for x in batch_candidates(
+            jnp.asarray(cc), caps, swin, 8.0, fused=False, **kw)]
+        for t in range(2):
+            na = int(a[3][t])
+            assert na == int(b[3][t])
+            np.testing.assert_array_equal(
+                np.sort(a[0][t][:na]), np.sort(b[0][t][:na]))
+            ia, ib = np.argsort(a[0][t][:na]), np.argsort(b[0][t][:na])
+            np.testing.assert_allclose(
+                a[2][t][:na][ia], b[2][t][:na][ib], rtol=2e-5, atol=2e-6)
+            np.testing.assert_allclose(
+                a[1][t][:na][ia], b[1][t][:na][ib], rtol=1e-6, atol=1e-7)
+
     def test_screen_margin_near_threshold_adversarial(self):
         """Adversarial screen-mode guarantee at the threshold boundary.
 
