@@ -185,6 +185,42 @@ class TestMatchedFilterE2E:
         cc_vals = [d.aux_data["cc"] for d in dets[key]]
         assert max(cc_vals) > 0.9  # self-detection
 
+    def test_plan_cache_lru_across_weight_churn(self, mini_world,
+                                                template_group):
+        """Availability churn: a weight change must rebuild the filter
+        plans (new content CRC), and returning to a previous weight
+        epoch must reuse the cached plan set (true LRU — the hit also
+        refreshes recency so alternating epochs don't thrash eviction).
+        Reference behavior being replaced: per-day weight refresh,
+        BPMF/similarity_search.py:423-474."""
+        w = mini_world
+        mf = MatchedFilter(
+            template_group, min_channels=3, min_stations=2,
+            max_kurto=1e6, cfg=w["cfg"], engine="pallas",
+        )
+        mf.set_data(w["data"])
+        mf.set_weights_channels(method="simple", normalize=True)
+        mf.compute_cc_time_series(n_corr_block=8192)
+        plans = mf._pallas_plans
+        assert len(plans) == 1
+        key_a, val_a = next(iter(plans.items()))
+        w_a = mf.weights_channels.copy()
+        # day-2 churn: station 0 drops out -> new weight CRC
+        w_b = w_a.copy()
+        w_b[:, 0, :] = 0.0
+        w_b /= w_b.sum(axis=(1, 2), keepdims=True)
+        mf.weights_channels = w_b
+        mf.compute_cc_time_series(n_corr_block=8192)
+        assert len(mf._pallas_plans) == 2
+        # day 3 returns to epoch A: plan set reused (identity), recency
+        # refreshed to most-recent-inserted
+        mf.weights_channels = w_a
+        mf.compute_cc_time_series(n_corr_block=8192)
+        plans = mf._pallas_plans
+        assert len(plans) == 2
+        assert plans[key_a][0] is val_a[0]
+        assert list(plans)[-1] == key_a
+
 
 class TestBeamRelocation:
     def test_relocate_beam_moves_to_true_source(self, mini_world,
