@@ -710,10 +710,14 @@ class PallasMatchedFilterPlan:
         # normalization select: 'gather' replaces the Q one-hot matmul
         # tap-blocks per channel with n_tp dynamic (1, B) VMEM slices of
         # the f32 y row (exact select, no MXU passes, no y Hankel roll,
-        # no bf16 y split).  Default pending the hardware sweep
-        # (scripts/mf_variants.py); 'matmul' is the round-4 measured rung.
+        # no bf16 y split).  Hardware sweep (scripts/mf_variants.py,
+        # v5e, round 5): gather wins every rung with the same oracle
+        # parity (err 2.34e-7 vs matmul's 2.90e-7 at high) — 5770 vs
+        # 5228 GMAC/s high-dense, 5296 vs 4451 predicated, 9598 vs 9171
+        # bf16, 5573 vs 5165 at 1024 templates — so it is the default;
+        # 'matmul' remains as the round-4 measured fallback rung.
         if ysel is None:
-            ysel = "matmul"
+            ysel = "gather"
         if ysel not in ("matmul", "gather"):
             raise ValueError(f"unknown ysel {ysel!r}")
         self.ysel = ysel

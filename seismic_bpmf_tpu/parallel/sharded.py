@@ -406,7 +406,9 @@ def matched_filter_sharded_pallas(
     tp_spec = tp_axis if tp_axis in mesh.shape else None
     t_spec = time_axis if time_axis in mesh.shape else None
 
-    def body(kb_l, fa_l, fb_l, sel_l, hi_l, lo_l, data_l):
+    gather = plan.ysel == "gather"
+
+    def body(kb_l, fa_l, fb_l, sel_l, mv_l, hi_l, lo_l, data_l):
         t_idx = (
             jax.lax.axis_index(time_axis) if t_spec is not None
             else jnp.int32(0)
@@ -418,17 +420,17 @@ def matched_filter_sharded_pallas(
         base = jnp.full((1, 1), t_idx * chunk, jnp.float32)
         common = dict(
             L=plan.L, B=B, LM_pad=LM_pad, n_corr_pad=chunk,
-            n_ch=plan.n_ch, interpret=interpret,
+            n_ch=plan.n_ch, Q=plan.Q, interpret=interpret,
         )
-        common.update(dense=plan.dense, diag=plan.diag)
+        common.update(dense=plan.dense, gather=gather, diag=plan.diag)
         if split:
             return pmf._mf_pallas_call_split(
                 fa_l, fb_l, sel_l, hi_l, lo_l, data_ext, base, kb=kb_l,
-                **common,
+                mv=mv_l, **common,
             )
         return pmf._mf_pallas_call(
             fa_l, sel_l, hi_l, lo_l, data_ext, base, kb=kb_l,
-            precision=plan.precision, **common,
+            mv=mv_l, precision=plan.precision, **common,
         )
 
     fa = plan.filt_hi if split else plan.filt
@@ -441,13 +443,16 @@ def matched_filter_sharded_pallas(
             P(None, None),
             P(None, tp_spec, None),
             P(None, tp_spec, None),
-            P(None, tp_spec, None),
+            # gather mode: sel is a (1, 1) dummy (replicated); the
+            # per-(channel, template) moveout table shards on templates
+            P(None, None) if gather else P(None, tp_spec, None),
+            P(None, tp_spec),
             P(None, tp_spec),
             P(None, tp_spec),
             P(None, t_spec),
         ),
         out_specs=P(tp_spec, t_spec),
-    )(plan.kb, fa, fb, plan.sel, plan.hi, plan.lo,
+    )(plan.kb, fa, fb, plan.sel, plan.mv_table, plan.hi, plan.lo,
       jnp.asarray(data_pad[:, :n_corr_shard]))
     out = out[:n_tp, : plan.n_corr_unit]
     if step > 1:
