@@ -72,14 +72,21 @@ def main():
                 precision=prec, diag=diag,
             )
             g = plan.fold_and_pad(feats)
-            v, i = plan.call_folded(g)
-            jax.block_until_ready(v)
+
+            def run():
+                # force completion with a decimated FETCH: through the
+                # remote tunnel block_until_ready returns at dispatch
+                # (async remote execution), so only materializing bytes
+                # on the host proves the program ran
+                v, i = plan.call_folded(g)
+                return np.asarray(v[::1024])
+
+            run()
             t_compile = time.time() - t0
             times = []
             for _ in range(3):
                 t0 = time.time()
-                v, i = plan.call_folded(g)
-                jax.block_until_ready(v)
+                run()
                 times.append(time.time() - t0)
             dt = min(times)
             gpts = n_src * n_samp / dt / 1e9
