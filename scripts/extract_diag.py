@@ -84,7 +84,7 @@ def main():
     cc.block_until_ready()
 
     def nan():
-        return jnp.nan_to_num(plan(data_pad))[:, ::200000].block_until_ready()
+        return np.asarray(jnp.nan_to_num(plan(data_pad))[:, ::200000])
 
     timed("scan+nan", nan)
 
@@ -94,7 +94,7 @@ def main():
     ))
 
     def thresh():
-        return tdt(cc)[:, ::200000].block_until_ready()
+        return np.asarray(tdt(cc)[:, ::200000])
 
     timed("thresh", thresh)
 

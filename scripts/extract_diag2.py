@@ -10,12 +10,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
+def _force(out):
+    """Force remote completion with a 1-element fetch per leaf: through
+    the remote tunnel jax.block_until_ready returns at dispatch, so only
+    materializing bytes on the host proves the program ran."""
+    import jax
+
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, "ravel"):
+            np.asarray(leaf.ravel()[:1])
+    return out
+
+
 def timed(label, fn, reps=3):
-    fn()
+    _force(fn())
     ts = []
     for _ in range(reps):
         t0 = time.time()
-        fn()
+        _force(fn())
         ts.append(time.time() - t0)
     print(f"{label:>16}: min {min(ts)*1e3:8.1f} ms", file=sys.stderr)
     return min(ts)
