@@ -271,16 +271,21 @@ def bench_mf_extraction(precision: str = "high"):
     eplan.unpack(step(data_pad))  # compile + warm
     # steady-state campaign pipeline: day N+1's program is dispatched
     # before day N's packed candidates are fetched, so the (one) host
-    # fetch overlaps device compute exactly as `scan_days` runs it
-    reps = 6
-    t0 = time.time()
-    pend = step(data_pad)
-    for _ in range(reps - 1):
-        nxt = step(data_pad)
+    # fetch overlaps device compute exactly as `scan_days` runs it.
+    # Median of 3 pipeline sets: tunnel-condition swings between single
+    # 6-day samples measured up to 13% round to round.
+    reps, sets = 6, 3
+    dts = []
+    for _ in range(sets):
+        t0 = time.time()
+        pend = step(data_pad)
+        for _ in range(reps - 1):
+            nxt = step(data_pad)
+            eplan.unpack(pend)
+            pend = nxt
         eplan.unpack(pend)
-        pend = nxt
-    eplan.unpack(pend)
-    dt = (time.time() - t0) / reps
+        dts.append((time.time() - t0) / reps)
+    dt = float(np.median(dts))
     gmacs = n_tp * n_sta * n_comp * plan.n_corr_unit * L / dt / 1e9
     return {
         "metric": "matched_filter_with_extraction",
@@ -358,16 +363,20 @@ def bench_mf_screen():
     # steady-state campaign pipeline: the next day's scan+extraction is
     # dispatched before this day's candidates are fetched and refined,
     # so the fetch AND the float64 host refine overlap device compute
-    # (exactly the `scan_days` dispatch order)
-    reps = 6
-    t0 = time.time()
-    pend = step(data_pad)
-    for _ in range(reps - 1):
-        nxt = step(data_pad)
+    # (exactly the `scan_days` dispatch order).  Median of 3 sets, as in
+    # bench_mf_extraction.
+    reps, sets = 6, 3
+    dts = []
+    for _ in range(sets):
+        t0 = time.time()
+        pend = step(data_pad)
+        for _ in range(reps - 1):
+            nxt = step(data_pad)
+            refine(pend)
+            pend = nxt
         refine(pend)
-        pend = nxt
-    refine(pend)
-    dt = (time.time() - t0) / reps
+        dts.append((time.time() - t0) / reps)
+    dt = float(np.median(dts))
     gmacs = n_tp * n_sta * n_comp * plan.n_corr_unit * L / dt / 1e9
     return {
         "metric": "matched_filter_detection_parity_throughput",
