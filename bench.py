@@ -226,6 +226,25 @@ def bench_mf(precision: str = "high"):
     }
 
 
+def _pipelined_median(step, consume, arg, reps=6, sets=3):
+    """Steady-state campaign pipeline timing shared by the extraction and
+    screen extras: day N+1's device program is dispatched before day N's
+    results are consumed (fetch/refine overlaps device compute, exactly
+    the `scan_days` dispatch order).  Median over `sets` pipeline sets —
+    single 6-day samples swung up to 13% with tunnel conditions."""
+    dts = []
+    for _ in range(sets):
+        t0 = time.time()
+        pend = step(arg)
+        for _ in range(reps - 1):
+            nxt = step(arg)
+            consume(pend)
+            pend = nxt
+        consume(pend)
+        dts.append((time.time() - t0) / reps)
+    return float(np.median(dts))
+
+
 def bench_mf_extraction(precision: str = "high"):
     """Sustained MF throughput INCLUDING detection extraction: the same
     128-template day as `bench_mf`, with each chunk's CC running through
@@ -269,29 +288,13 @@ def bench_mf_extraction(precision: str = "high"):
         return eplan.extract(cc, caps_j, 8.0, pack=True)
 
     eplan.unpack(step(data_pad))  # compile + warm
-    # steady-state campaign pipeline: day N+1's program is dispatched
-    # before day N's packed candidates are fetched, so the (one) host
-    # fetch overlaps device compute exactly as `scan_days` runs it.
-    # Median of 3 pipeline sets: tunnel-condition swings between single
-    # 6-day samples measured up to 13% round to round.
-    reps, sets = 6, 3
-    dts = []
-    for _ in range(sets):
-        t0 = time.time()
-        pend = step(data_pad)
-        for _ in range(reps - 1):
-            nxt = step(data_pad)
-            eplan.unpack(pend)
-            pend = nxt
-        eplan.unpack(pend)
-        dts.append((time.time() - t0) / reps)
-    dt = float(np.median(dts))
+    dt = _pipelined_median(step, eplan.unpack, data_pad)
     gmacs = n_tp * n_sta * n_comp * plan.n_corr_unit * L / dt / 1e9
     return {
         "metric": "matched_filter_with_extraction",
         "value": round(gmacs, 1),
         "unit": f"GMAC/s/chip sustained incl. threshold+top-k extraction "
-                f"(128 templates x 1 day, {precision}, {reps}-day "
+                f"(128 templates x 1 day, {precision}, 6-day "
                 f"pipelined steady state)",
         "vs_baseline": round(gmacs / CPU_BASELINE_GMACS, 1),
     }
@@ -360,30 +363,14 @@ def bench_mf_screen():
         return n_ref
 
     n_ref = refine(step(data_pad))  # compile + warm
-    # steady-state campaign pipeline: the next day's scan+extraction is
-    # dispatched before this day's candidates are fetched and refined,
-    # so the fetch AND the float64 host refine overlap device compute
-    # (exactly the `scan_days` dispatch order).  Median of 3 sets, as in
-    # bench_mf_extraction.
-    reps, sets = 6, 3
-    dts = []
-    for _ in range(sets):
-        t0 = time.time()
-        pend = step(data_pad)
-        for _ in range(reps - 1):
-            nxt = step(data_pad)
-            refine(pend)
-            pend = nxt
-        refine(pend)
-        dts.append((time.time() - t0) / reps)
-    dt = float(np.median(dts))
+    dt = _pipelined_median(step, refine, data_pad)
     gmacs = n_tp * n_sta * n_comp * plan.n_corr_unit * L / dt / 1e9
     return {
         "metric": "matched_filter_detection_parity_throughput",
         "value": round(gmacs, 1),
         "unit": f"GMAC/s/chip sustained incl. extraction + exact refine of "
                 f"{n_ref} candidates/day (128 templates x 1 day, screen, "
-                f"{reps}-day pipelined steady state)",
+                f"6-day pipelined steady state)",
         "vs_baseline": round(gmacs / CPU_BASELINE_GMACS, 1),
     }
 

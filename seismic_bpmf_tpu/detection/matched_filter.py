@@ -623,10 +623,12 @@ class MatchedFilter:
             return white_noise
         import jax.numpy as jnp
 
-        if white_noise is None:
-            if self.threshold_type == "rms":
-                n_noise = 500
-            elif stack_tids is not None and stack_tids == dev_tids:
+        if white_noise is None and self.threshold_type != "rms":
+            # (rms leaves None: the cached RmsExtractionPlan draws — and
+            # keys — its fill once per geometry, so day N of a campaign
+            # reuses day 1's plan and its device-resident tiled fill;
+            # drawing here would change the plan-cache key every day)
+            if stack_tids is not None and stack_tids == dev_tids:
                 # deferred-row dispatch: rows live only in the stack
                 n_noise = int(stack.shape[-1])
             else:
@@ -654,14 +656,22 @@ class MatchedFilter:
                               self.MAX_CANDIDATE_BLOCKS)
             if not eplan.supported:
                 eplan = None
+                if white_noise is None:
+                    # unsupported-geometry fallback still needs ONE fill
+                    # shared between the batched path and any per-row
+                    # fallback rows
+                    white_noise = np.random.normal(size=500).astype(
+                        np.float32)
             else:
                 white_noise = eplan.white_noise
         if eplan is not None:
             # packed fused path: the whole chunk's extraction crosses to
             # the host in ONE array fetch (a per-output np.asarray costs
-            # a ~25 ms tunnel round trip each)
+            # a ~25 ms tunnel round trip each).  Packing is exact only
+            # below 2^24 samples; longer series fetch the 6-tuple.
             out = eplan.extract(cc_in, caps, self.cfg.n_dev_mf_threshold,
-                                margin=self._margin(), pack=True)
+                                margin=self._margin(),
+                                pack=eplan.can_pack)
         else:
             out = batch_candidates(
                 cc_in,
@@ -698,11 +708,13 @@ class MatchedFilter:
             return []
         dev_tids, eplan, out = self._cand_pending
         self._cand_pending = None
-        if eplan is not None:
+        if eplan is not None and not isinstance(out, tuple):
             idx, cc_vals, thr_vals, n_above, kurto, blocks_hit = (
                 eplan.unpack(out)
             )
         else:
+            # unpacked 6-tuple: the non-fused path, or a fused series too
+            # long for exact f32 packing (n >= 2^24)
             idx, cc_vals, thr_vals, n_above, kurto, blocks_hit = (
                 np.asarray(a) for a in out
             )

@@ -731,6 +731,16 @@ class PallasMatchedFilterPlan:
                 f"{int(mv_flat.max(initial=0)) - pad_left} "
                 f"(ysel='gather' cannot clamp)"
             )
+        if int(mv_flat.min(initial=0)) < 0:
+            # min side, BOTH modes: a pad_left override smaller than
+            # -moveouts.min() would wrap the filter placement
+            # (np.put_along_axis wraps negative indices) and clamp the
+            # gather table to 0 — silently wrong either way
+            raise ValueError(
+                f"pad_left override {pad_left} does not cover the "
+                f"bank's most-negative moveout "
+                f"{int(mv_flat.min(initial=0)) - pad_left}"
+            )
 
         tp_flat = templates.reshape(n_tp, n_ch, L)
         tp_dm = tp_flat - tp_flat.mean(axis=-1, keepdims=True)

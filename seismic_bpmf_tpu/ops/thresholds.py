@@ -520,11 +520,25 @@ class RmsExtractionPlan:
         else:
             self.G, self.g_tiled = 1, None
 
+    @property
+    def can_pack(self) -> bool:
+        """True when the single-f32-array packing is exact: candidate
+        indices (< n) must be integers below 2^24."""
+        return self.n < 2 ** 24
+
     def extract(self, cc, caps, num_dev, margin=0.0, pack=False):
         """Fused threshold + extraction (traceable).  Returns
         (idx, cc_vals, thr_vals, n_above, kurto, blocks_hit), or with
         ``pack=True`` one (n_tp, 3k+3) f32 array (ONE host fetch; see
         `unpack`)."""
+        if pack and not self.can_pack:
+            # f32 packing would round indices >= 2^24 (e.g. a >=195 Hz
+            # day) to even values — silently wrong candidate lags.
+            # Fail loud; callers gate on `can_pack`.
+            raise ValueError(
+                f"pack=True is exact only for series shorter than 2^24 "
+                f"samples (n={self.n}); use pack=False"
+            )
         return _batch_candidates_rms_fused(
             cc, self.g_tiled, jnp.float32(num_dev),
             jnp.asarray(caps, jnp.float32), jnp.float32(margin),
@@ -554,7 +568,11 @@ def _rms_plan(n, sliding_window_samp, overlap, white_noise, k, k_blocks):
            int(k_blocks),
            zlib.crc32(wn.tobytes()) if wn is not None else None)
     plan = _RMS_PLAN_CACHE.get(key)
-    if plan is None:
+    if plan is not None:
+        # true LRU: refresh recency on hit so a campaign cycling through
+        # several extraction geometries doesn't evict the hot entry
+        _RMS_PLAN_CACHE[key] = _RMS_PLAN_CACHE.pop(key)
+    else:
         if len(_RMS_PLAN_CACHE) >= 8:
             _RMS_PLAN_CACHE.pop(next(iter(_RMS_PLAN_CACHE)))
         plan = RmsExtractionPlan(n, sliding_window_samp, overlap=overlap,

@@ -368,7 +368,9 @@ def scan_days(
     if stage == "bp" and (network is None or travel_times is None):
         raise ValueError("stage='bp' requires network and travel_times")
 
-    if state_file is not None and db_path is None:
+    if stage == "mf" and state_file is not None and db_path is None:
+        # (stage='bp' keeps full detections in memory per day regardless;
+        # the lossy-resume hazard is specific to the mf detection dicts)
         logger.warning(
             "scan_days: state_file without db_path — the state keeps "
             "per-day detection counts only; a resumed campaign skips "

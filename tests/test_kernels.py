@@ -257,6 +257,34 @@ class TestHostScans:
 
 
 class TestBatchCandidates:
+    def test_pack_guard_and_plan_cache_stability(self):
+        """(1) f32 packing is refused for series >= 2^24 samples (indices
+        would round to even values — wrong candidate lags); (2) the
+        module-level rms plan cache is stable across white_noise=None
+        calls (one plan + one tiled-fill upload per campaign geometry,
+        not per day) and LRU-refreshes on hit."""
+        import pytest
+
+        from seismic_bpmf_tpu.ops.thresholds import (
+            _RMS_PLAN_CACHE, RmsExtractionPlan, _rms_plan,
+        )
+
+        big = RmsExtractionPlan(2 ** 24, 45_000)
+        assert not big.can_pack
+        with pytest.raises(ValueError, match="2\\^24"):
+            big.extract(np.zeros((2, 8)), np.ones(2), 8.0, pack=True)
+        assert RmsExtractionPlan(2 ** 24 - 1, 45_000).can_pack
+
+        _RMS_PLAN_CACHE.clear()
+        a = _rms_plan(20_000, 600, 0.66, None, 64, 256)
+        b = _rms_plan(20_000, 600, 0.66, None, 64, 256)
+        assert a is b  # day 2 with default noise reuses day 1's plan
+        c = _rms_plan(30_000, 600, 0.66, None, 64, 256)
+        assert _rms_plan(20_000, 600, 0.66, None, 64, 256) is a
+        # LRU: the re-hit 20k plan is most recent, 30k oldest
+        assert list(_RMS_PLAN_CACHE.values())[-1] is a
+        assert list(_RMS_PLAN_CACHE.values())[0] is c
+
     def test_matches_per_template_path(self):
         """batch_candidates == per-row time_dependent_threshold + top-k."""
         import jax.numpy as jnp

@@ -93,6 +93,38 @@ class TestPallasMatchedFilter:
                 got = np.asarray(plan(plan.pad_data(data)))
                 np.testing.assert_allclose(got, want, rtol=1e-4, atol=tol)
 
+    def test_insufficient_overrides_fail_loud(self, rng):
+        """Explicit pad_left / max_moveout overrides too small for the
+        bank must raise, never clamp: a clamped row would wrap the
+        filter placement (matmul) or gather the wrong normalization
+        window (gather)."""
+        import pytest
+
+        from seismic_bpmf_tpu.ops.pallas_mf import PallasMatchedFilterPlan
+
+        n_tp, n_sta, n_comp, L, n_samp = 3, 2, 2, 32, 1500
+        tp = rng.normal(size=(n_tp, n_sta, n_comp, L)).astype(np.float32)
+        w = np.full((n_tp, n_sta, n_comp), 0.25, np.float32)
+        mv = rng.integers(-30, 60, size=(n_tp, n_sta, n_comp)).astype(
+            np.int32
+        )
+        mv[0, 0, 0] = -30
+        for ysel in ("matmul", "gather"):
+            with pytest.raises(ValueError, match="pad_left"):
+                PallasMatchedFilterPlan(
+                    tp, mv, w, n_samp, lag_block=512, interpret=True,
+                    pad_left=10, ysel=ysel,  # bank needs >= 30
+                )
+        mv_pos = rng.integers(0, 200, size=(n_tp, n_sta, n_comp)).astype(
+            np.int32
+        )
+        mv_pos[0, 0, 0] = 199
+        with pytest.raises(ValueError, match="max_moveout"):
+            PallasMatchedFilterPlan(
+                tp, mv_pos, w, n_samp, lag_block=512, interpret=True,
+                max_moveout=64, ysel="gather",
+            )
+
     def test_diag_modes_run(self, rng):
         """Stage-removal diagnostics (hardware cost attribution) produce
         finite output of the right shape; values are intentionally wrong."""
