@@ -39,7 +39,7 @@ def main():
 
     precision = sys.argv[1] if len(sys.argv) > 1 else "high"
     n_tp = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
-    chunk = int(sys.argv[3]) if len(sys.argv) > 3 else 128
+    chunk = int(sys.argv[3]) if len(sys.argv) > 3 else 256
     lag_block = int(sys.argv[4]) if len(sys.argv) > 4 else 8192
 
     rng = np.random.default_rng(0)

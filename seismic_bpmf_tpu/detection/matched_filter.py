@@ -46,7 +46,7 @@ class MatchedFilter:
         mesh=None,
         engine: str = "auto",
         precision: str = "high",
-        template_chunk: int = 128,
+        template_chunk: int = 256,
         screen_margin: float = 0.01,
     ):
         self.template_group = template_group

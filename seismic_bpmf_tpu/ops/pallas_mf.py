@@ -660,7 +660,9 @@ class PallasMatchedFilterPlan:
                  precision: str = "highest", pad_left: int = None,
                  max_moveout: int = None, dense: bool = None,
                  ysel: str = None, diag: str = ""):
-        # note: template_chunk=128 in callers balances VMEM vs MXU occupancy
+        # note: template_chunk=256 in callers (round-5 hardware sweep,
+        # gather select: 256-row matmuls win ~10% at 'high' and ~20% at
+        # bf16 over 128; B=16384+chunk=256 overflows VMEM)
         templates = np.asarray(templates, np.float32)
         moveouts = np.asarray(moveouts, np.int64)
         weights = np.asarray(weights, np.float32)
@@ -909,7 +911,7 @@ def matched_filter_pallas(
     data,
     step: int = 1,
     lag_block: int = 8192,
-    template_chunk: int = 128,
+    template_chunk: int = 256,
     interpret: bool = False,
     precision: str = "highest",
 ):
