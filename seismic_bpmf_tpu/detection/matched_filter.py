@@ -152,11 +152,14 @@ class MatchedFilter:
                 plans.pop(next(iter(plans)))
             self._pallas_plans = plans
         pad_key = (id(self.data_arr), n_samp,
-                   plans[key][0].pad_left, plans[key][0].ext)
+                   plans[key][0].pad_left, plans[key][0].ext,
+                   self._upload_dtype())
         if getattr(self, "_data_pad_key", None) == pad_key:
             data_pad = self._data_pad
         else:
-            data_pad = plans[key][0].pad_data(self.data_arr)
+            data_pad = plans[key][0].pad_data(
+                self.data_arr, dtype=self._upload_dtype()
+            )
             self._data_pad, self._data_pad_key = data_pad, pad_key
         outs = []
         for plan in plans[key]:
@@ -269,6 +272,15 @@ class MatchedFilter:
             norm = norm.squeeze(-1)
         return arr, norm
 
+    def _upload_dtype(self) -> str:
+        """Day-upload sample dtype.  `screen` ships the day as bf16 and
+        casts back to f32 on device — the single-pass scan rounds the
+        data to bf16 anyway and detection decisions are re-taken on
+        exact host CC, so only the time-dependent threshold keeps the
+        extra ~1e-3 rounding (inside the screen margin); the transfer
+        (the tunnel-bound campaign cost) halves."""
+        return "bfloat16" if self.precision == "screen" else "float32"
+
     def preupload_day(self, data):
         """Prepare `data` for a later `set_data(data)` call: normalize on
         the calling (prefetch) thread and START the padded device upload,
@@ -294,8 +306,8 @@ class MatchedFilter:
             )
             bundle["pad"] = (
                 pad_day_data(arr, arr.shape[0] * arr.shape[1], n_samp,
-                             pad_left, ext),
-                (id(arr), n_samp, pad_left, ext),
+                             pad_left, ext, dtype=self._upload_dtype()),
+                (id(arr), n_samp, pad_left, ext, self._upload_dtype()),
             )
         pre = getattr(self, "_preloaded", None)
         if not isinstance(pre, dict):

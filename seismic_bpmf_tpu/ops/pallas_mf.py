@@ -626,21 +626,35 @@ def _pad_day_device(data, n_ch_pad: int, ext: int, pad_left: int):
     hi_clip = min(ext, pad_left + n_samp)
     out = jnp.zeros((n_ch_pad, ext), jnp.float32)
     return jax.lax.dynamic_update_slice(
-        out, data[:, : hi_clip - pad_left], (0, pad_left)
+        out, data[:, : hi_clip - pad_left].astype(jnp.float32),
+        (0, pad_left),
     )
 
 
 def pad_day_data(data, n_ch: int, n_samp: int, pad_left: int,
-                 ext: int) -> jnp.ndarray:
+                 ext: int, dtype: str = "float32") -> jnp.ndarray:
     """Host data (n_sta, n_comp, n_samp) -> padded device layout.
 
     Uploads the RAW (n_ch, n_samp) array and pads on device: over a
     tunneled accelerator link (~40 MB/s measured) the zero margin would
     otherwise cost extra transfer, and the host-side 278 MB zero+copy is
-    skipped entirely."""
+    skipped entirely.
+
+    `dtype='bfloat16'` halves the transfer again: the day is rounded to
+    bf16 on the host, shipped as 2-byte samples, and cast back to f32
+    inside the device pad program, so the kernel sees a normal f32
+    layout holding bf16-rounded values.  Meant for the `screen`
+    campaign path, whose single-pass scan rounds the data to bf16
+    anyway and whose detection decisions are re-taken on exact
+    host-side CC — only the time-dependent threshold keeps the
+    additional ~1e-3 rounding (inside the screen margin)."""
     data = np.ascontiguousarray(
         np.asarray(data, np.float32).reshape(n_ch, n_samp)
     )
+    if dtype == "bfloat16":
+        import ml_dtypes
+
+        data = data.astype(ml_dtypes.bfloat16)
     return _pad_day_device(
         jnp.asarray(data), n_ch_pad=_round_up(n_ch, 8), ext=int(ext),
         pad_left=int(pad_left),
@@ -875,10 +889,12 @@ class PallasMatchedFilterPlan:
         n_corr_pad = _round_up(int(n_samp) - int(L) + 1, int(lag_block))
         return int(pad_left), n_corr_pad + LM_pad
 
-    def pad_data(self, data) -> jnp.ndarray:
-        """Host data (n_sta, n_comp, n_samp) -> padded device layout."""
+    def pad_data(self, data, dtype: str = "float32") -> jnp.ndarray:
+        """Host data (n_sta, n_comp, n_samp) -> padded device layout.
+        `dtype='bfloat16'` halves the host->device transfer (see
+        `pad_day_data`); the result is f32 either way."""
         return pad_day_data(data, self.n_ch, self.n_samp, self.pad_left,
-                            self.ext)
+                            self.ext, dtype=dtype)
 
     def __call__(self, data_pad: jnp.ndarray) -> jnp.ndarray:
         """(padded, device-resident) data -> (n_tp, n_corr) device CC."""
