@@ -9,6 +9,7 @@ extraction mirror the reference.
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Dict, List, Optional, Sequence
 
@@ -23,6 +24,8 @@ from ..ops.cf import scalar_kurtosis
 from ..ops.host_ops import dedup_detection_indexes
 from ..utils.time import sec_to_samp, utc_from_epoch
 from ..data.events import Event
+
+logger = logging.getLogger("seismic_bpmf_tpu.detection.matched_filter")
 
 
 class MatchedFilter:
@@ -226,7 +229,25 @@ class MatchedFilter:
         optimum (BENCHMARKS.md round-4 extraction rows)."""
         row_gb = max(self.memory_cc_time_series_gb, 1e-9)
         if self.max_memory_gb is not None:
-            return max(1, int(self.max_memory_gb / row_gb))
+            chunk = max(1, int(self.max_memory_gb / row_gb))
+            if chunk < 2 and n_templates > 2:
+                # the batched threshold/top-k pipeline needs >= 2
+                # device-resident CC rows; chunk 1 silently degrades to
+                # per-template dispatch+fetch (measured ~20x slower
+                # through a tunneled link) — almost always a
+                # misconfigured max_memory_gb (e.g. computed from
+                # memory_cc_time_series_gb BEFORE set_data, when it is
+                # still 0.0)
+                logger.warning(
+                    "max_memory_gb=%.3g fits %d CC row(s) on device — "
+                    "the batched extraction pipeline is disabled and "
+                    "the scan runs per-template; raise max_memory_gb "
+                    "(one %d-sample row is %.3g GB)",
+                    self.max_memory_gb, chunk,
+                    int(self.data.duration * self.data.sr / self.step)
+                    if hasattr(self, "data") else -1, row_gb,
+                )
+            return chunk
         if self._use_pallas():
             return max(
                 1, int(self._device_memory_gb() / 4.0 / (4.0 * row_gb))

@@ -221,6 +221,24 @@ class TestMatchedFilterE2E:
         assert plans[key_a][0] is val_a[0]
         assert list(plans)[-1] == key_a
 
+    def test_tiny_max_memory_warns(self, mini_world, template_group,
+                                   caplog):
+        """max_memory_gb too small for 2 CC rows silently disables the
+        batched extraction pipeline (per-template dispatch is ~20x
+        slower through a tunneled link) — the engine must warn."""
+        import logging
+
+        w = mini_world
+        mf = MatchedFilter(
+            template_group, min_channels=3, min_stations=2,
+            max_kurto=1e6, cfg=w["cfg"], max_memory_gb=1e-6,
+        )
+        mf.set_data(w["data"])
+        with caplog.at_level(logging.WARNING,
+                             logger="seismic_bpmf_tpu"):
+            assert mf._extraction_chunk(128) == 1
+        assert any("max_memory_gb" in r.message for r in caplog.records)
+
 
 class TestBeamRelocation:
     def test_relocate_beam_moves_to_true_source(self, mini_world,
