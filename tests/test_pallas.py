@@ -93,6 +93,39 @@ class TestPallasMatchedFilter:
                 got = np.asarray(plan(plan.pad_data(data)))
                 np.testing.assert_allclose(got, want, rtol=1e-4, atol=tol)
 
+    def test_bf16_day_upload_is_f32_with_bf16_values(self, rng):
+        """pad_data(dtype='bfloat16') ships 2-byte samples and casts back
+        on device: the result must be a normal f32 padded layout holding
+        exactly bf16-rounded values (the screen campaign path)."""
+        import ml_dtypes
+
+        from seismic_bpmf_tpu.ops.pallas_mf import PallasMatchedFilterPlan
+
+        n_tp, n_sta, n_comp, L, n_samp = 2, 2, 2, 32, 1500
+        tp = rng.normal(size=(n_tp, n_sta, n_comp, L)).astype(np.float32)
+        mv = rng.integers(0, 60, size=(n_tp, n_sta, n_comp)).astype(
+            np.int32
+        )
+        w = np.full((n_tp, n_sta, n_comp), 0.25, np.float32)
+        data = rng.normal(size=(n_sta, n_comp, n_samp)).astype(np.float32)
+        plan = PallasMatchedFilterPlan(
+            tp, mv, w, n_samp, lag_block=512, interpret=True,
+        )
+        pad32 = np.asarray(plan.pad_data(data))
+        pad16 = np.asarray(plan.pad_data(data, dtype="bfloat16"))
+        assert pad16.dtype == np.float32
+        assert pad16.shape == pad32.shape
+        want = data.reshape(-1, n_samp).astype(ml_dtypes.bfloat16).astype(
+            np.float32
+        )
+        got = pad16[: n_sta * n_comp,
+                    plan.pad_left : plan.pad_left + n_samp]
+        np.testing.assert_array_equal(got, want)
+        # and the kernel still runs on it
+        cc = np.asarray(plan(plan.pad_data(data, dtype="bfloat16")))
+        cc32 = np.asarray(plan(plan.pad_data(data)))
+        np.testing.assert_allclose(cc, cc32, atol=5e-3)
+
     def test_insufficient_overrides_fail_loud(self, rng):
         """Explicit pad_left / max_moveout overrides too small for the
         bank must raise, never clamp: a clamped row would wrap the
