@@ -230,7 +230,7 @@ class MatchedFilter:
         row_gb = max(self.memory_cc_time_series_gb, 1e-9)
         if self.max_memory_gb is not None:
             chunk = max(1, int(self.max_memory_gb / row_gb))
-            if chunk < 2 and n_templates > 2:
+            if chunk < 2 and n_templates >= 2:
                 # the batched threshold/top-k pipeline needs >= 2
                 # device-resident CC rows; chunk 1 silently degrades to
                 # per-template dispatch+fetch (measured ~20x slower
@@ -684,9 +684,22 @@ class MatchedFilter:
         if self.threshold_type == "rms":
             from ..ops.thresholds import _rms_plan
 
-            eplan = _rms_plan(int(cc_in.shape[-1]), swin, self.overlap,
-                              white_noise, self.MAX_CANDIDATES,
-                              self.MAX_CANDIDATE_BLOCKS)
+            # a fill we previously got FROM the plan must not round-trip
+            # into the module cache's key (its CRC would mint a second
+            # entry + a second device-resident tiled fill per geometry):
+            # when this call's noise is exactly the last plan's own fill
+            # and the geometry is unchanged, reuse that plan directly
+            pkey = (int(cc_in.shape[-1]), swin, self.overlap,
+                    self.MAX_CANDIDATES, self.MAX_CANDIDATE_BLOCKS)
+            if (white_noise is getattr(self, "_rms_plan_noise", None)
+                    and getattr(self, "_rms_plan_key", None) == pkey):
+                eplan = self._rms_plan_obj
+            else:
+                eplan = _rms_plan(pkey[0], pkey[1], pkey[2], white_noise,
+                                  pkey[3], pkey[4])
+            self._rms_plan_obj = eplan
+            self._rms_plan_key = pkey
+            self._rms_plan_noise = eplan.white_noise
             if not eplan.supported:
                 eplan = None
                 if white_noise is None:

@@ -368,14 +368,16 @@ def scan_days(
     if stage == "bp" and (network is None or travel_times is None):
         raise ValueError("stage='bp' requires network and travel_times")
 
-    if stage == "mf" and state_file is not None and db_path is None:
-        # (stage='bp' keeps full detections in memory per day regardless;
-        # the lossy-resume hazard is specific to the mf detection dicts)
+    if state_file is not None and db_path is None:
+        # both stages lose completed days' events across a crash-resume:
+        # the state keeps counts only, and without db_path neither the
+        # mf detection files nor the bp raw_bp_<date>.h5 are written
         logger.warning(
-            "scan_days: state_file without db_path — the state keeps "
-            "per-day detection counts only; a resumed campaign skips "
-            "completed days WITHOUT re-returning their events.  Set "
-            "db_path to persist detections for a lossless resume."
+            "scan_days(stage=%r): state_file without db_path — the "
+            "state keeps per-day detection counts only; a resumed "
+            "campaign skips completed days WITHOUT re-returning their "
+            "events.  Set db_path to persist detections for a lossless "
+            "resume.", stage,
         )
     done = {}
     if state_file is not None and os.path.isfile(state_file):
